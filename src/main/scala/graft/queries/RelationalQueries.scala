@@ -1,0 +1,404 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.sources.Tables
+
+/** Relational surface of the reference (SURVEY.md §2.1–2.4, §2.7 X8):
+  * scans S3–S5/S8, projections/filters P1–P9, join J1, unions U1/U2,
+  * aggregations A1–A6, tumbling OHLCV rebuild X8.
+  *
+  * Scale notes: all queries are single-pass scans + hash aggregates with
+  * filters/projections pushed to the parquet reader; the only shuffles are
+  * the groupBy/join keys. The J1-family joins broadcast the dimension side
+  * explicitly — at 100 TB the fact side streams, dims stay in memory.
+  */
+object RelationalQueries extends QueryPack {
+
+  /** Exact, order-independent money sum: per-term cast to DECIMAL(18,4)
+    * (bit-identical to DuckDB because the term itself is a single/double
+    * FP expression with deterministic value), exact decimal SUM, then a
+    * deterministic cast back to DOUBLE.
+    */
+  private def moneySum(term: Column): Column =
+    sum(term.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  private def moneySumSql(term: String): String =
+    s"CAST(sum(CAST($term AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** events.value with NULLs injected deterministically (the testdata has no
+    * native nulls; the reference's cleanup ops A2/A3 need some).
+    */
+  private def nulledValue: Column =
+    when(col("event_type") === "error", lit(null)).otherwise(col("value"))
+  private val nulledValueSql =
+    "CASE WHEN event_type = 'error' THEN NULL ELSE value END"
+
+  override def queries: Seq[QueryDef] = Seq(
+
+    // S3 — "last point" lookup (reference: Flux last()); ns-exact ordering.
+    QueryDef(
+      "q_s3_last_point",
+      (s, dir) => Tables.events(s, dir)
+        .orderBy(desc("ts_ns"), desc("event_id"))
+        .limit(1)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+      Some("""SELECT event_id, user_id, event_type, value
+              FROM events ORDER BY ts DESC, event_id DESC LIMIT 1""")),
+
+    // S4 — absolute time-range scan; predicate pushed to the parquet scan.
+    QueryDef(
+      "q_s4_range_scan",
+      (s, dir) => Tables.events(s, dir)
+        .filter(col("ts") >= to_timestamp(lit("2024-01-15 00:00:00")))
+        .select(
+          col("event_id"), col("user_id"), col("event_type"), col("value"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, event_type, value,
+                     strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+              FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+              ORDER BY event_id""")),
+
+    // S5 — relative range scan (dashboard "last N hours"), N=240, anchored
+    // at max(ts); the scalar max is broadcast, no driver collect.
+    QueryDef(
+      "q_s5_relative_scan",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val mx = ev.agg(max(col("ts_ns")).as("mx_ns"))
+        ev.crossJoin(broadcast(mx))
+          .filter(col("ts_ns") >= col("mx_ns") - lit(240L * 3600 * 1000000000L))
+          .select(col("event_id"), col("user_id"), col("value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, value FROM events
+              WHERE ts >= (SELECT max(ts) - INTERVAL 240 HOUR FROM events)
+              ORDER BY event_id""")),
+
+    // S8 — scan + equality filter + limit (reference: kaggle CSV head-500).
+    QueryDef(
+      "q_s8_filter_limit",
+      (s, dir) => Tables.documents(s, dir)
+        .filter(col("lang") === "en")
+        .orderBy("doc_id")
+        .limit(100)
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      Some("""SELECT doc_id, source, n_chars FROM documents
+              WHERE lang = 'en' ORDER BY doc_id LIMIT 100""")),
+
+    // P1 — column projection (+ pushdown-friendly filter).
+    QueryDef(
+      "q_p1_projection",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+              FROM lineitem WHERE l_orderkey % 100 = 0
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // P2 — rename / alias projection.
+    QueryDef(
+      "q_p2_rename",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_linenumber") === 1)
+        .select(
+          col("l_orderkey").as("okey"),
+          col("l_extendedprice").as("price"),
+          col("l_returnflag").as("flag"))
+        .orderBy("okey"),
+      Some("""SELECT l_orderkey AS okey, l_extendedprice AS price,
+                     l_returnflag AS flag
+              FROM lineitem WHERE l_linenumber = 1 ORDER BY okey""")),
+
+    // P3 — long→wide pivot (reference: Flux field→column pivot).
+    QueryDef(
+      "q_p3_pivot",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(moneySum(col("value")))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+                     """ + moneySumSql("CASE WHEN event_type='click' THEN value END") + """ AS click,
+                     """ + moneySumSql("CASE WHEN event_type='error' THEN value END") + """ AS error,
+                     """ + moneySumSql("CASE WHEN event_type='purchase' THEN value END") + """ AS purchase,
+                     """ + moneySumSql("CASE WHEN event_type='signup' THEN value END") + """ AS signup,
+                     """ + moneySumSql("CASE WHEN event_type='view' THEN value END") + """ AS view
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // P4 — boolean/row predicate filter.
+    QueryDef(
+      "q_p4_bool_filter",
+      (s, dir) => Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value") > 100.0)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, value FROM events
+              WHERE event_type = 'purchase' AND value > 100.0
+              ORDER BY event_id""")),
+
+    // P5 — equality filter.
+    QueryDef(
+      "q_p5_eq_filter",
+      (s, dir) => Tables.documents(s, dir)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id")),
+
+    // P6 — deterministic limit (head slice).
+    QueryDef(
+      "q_p6_limit",
+      (s, dir) => Tables.orders(s, dir)
+        .orderBy("o_orderkey")
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")),
+      Some("""SELECT o_orderkey, o_totalprice, o_orderstatus
+              FROM orders ORDER BY o_orderkey LIMIT 10""")),
+
+    // P7 — last row per series (reference: combined_df.iloc[-1:]), i.e. the
+    // incremental write-reduction. row_number over desc time, rn = 1.
+    QueryDef(
+      "q_p7_last_per_series",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(desc("ts_ns"), desc("event_id"))
+        Tables.events(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id, value FROM (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) t
+              WHERE rn = 1 ORDER BY user_id""")),
+
+    // P8 — derived arithmetic columns (marker y-positions).
+    QueryDef(
+      "q_p8_derived_arith",
+      (s, dir) => Tables.events(s, dir)
+        .filter(col("event_type") === "signup")
+        .select(
+          col("event_id"), col("value"),
+          round(col("value") - col("value") * 0.01, 6).as("marker_lo"),
+          round(col("value") + col("value") * 0.01, 6).as("marker_hi"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, value,
+                     round(value - value * 0.01, 6) AS marker_lo,
+                     round(value + value * 0.01, 6) AS marker_hi
+              FROM events WHERE event_type = 'signup' ORDER BY event_id""")),
+
+    // P9 — empty-input guard: aggregate over an empty slice still yields a
+    // well-formed single row (reference raises AirflowSkipException).
+    QueryDef(
+      "q_p9_empty_guard",
+      (s, dir) => Tables.events(s, dir)
+        .filter(col("ts") > to_timestamp(lit("2030-01-01 00:00:00")))
+        .agg(
+          count(lit(1)).as("n"),
+          coalesce(moneySum(col("value")), lit(0.0)).as("total")),
+      Some("""SELECT count(*) AS n,
+                     coalesce(""" + moneySumSql("value") + """, 0.0) AS total
+              FROM events WHERE ts > TIMESTAMP '2030-01-01 00:00:00'""")),
+
+    // J1 — inner equi-join + group aggregate; dimension side broadcast.
+    QueryDef(
+      "q_j1_inner_join",
+      (s, dir) => Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey, count(*) AS n_orders,
+                     """ + moneySumSql("o_totalprice") + """ AS total_price
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_nationkey ORDER BY c_nationkey"""),
+      bench = true),
+
+    // J1b — 5-way star join: fact table streams, all dims broadcast.
+    QueryDef(
+      "q_j1b_star_join",
+      (s, dir) => Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name, count(*) AS n_lines,
+                     """ + moneySumSql("l_extendedprice * (1.0 - l_discount)") + """ AS revenue
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+              GROUP BY r_name ORDER BY r_name"""),
+      bench = true),
+
+    // U1 — union (append rows), then aggregate.
+    QueryDef(
+      "q_u1_union",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        ev.filter(col("value") < 50.0)
+          .unionByName(ev.filter(col("value") >= 50.0))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+                     """ + moneySumSql("value") + """ AS total
+              FROM (SELECT * FROM events WHERE value < 50.0
+                    UNION ALL
+                    SELECT * FROM events WHERE value >= 50.0) t
+              GROUP BY event_type ORDER BY event_type""")),
+
+    // U2 — column widening (withColumn chain; reference's J1 exists only
+    // because its branches ran in separate processes).
+    QueryDef(
+      "q_u2_widen",
+      (s, dir) => Tables.lineitem(s, dir)
+        .withColumn("revenue", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .withColumn("charge", col("revenue") * (lit(1.0) + col("l_tax")))
+        .filter(col("l_orderkey") < 500)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("revenue"), 6).as("revenue"),
+          round(col("charge"), 6).as("charge"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     round(l_extendedprice * (1.0 - l_discount), 6) AS revenue,
+                     round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 6) AS charge
+              FROM lineitem WHERE l_orderkey < 500
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // A1 — deduplicate (distinct over a projection).
+    QueryDef(
+      "q_a1_dedup_distinct",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates()
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+              ORDER BY user_id, event_type""")),
+
+    // A2/W4 — rolling-median null fill over a 5-row trailing frame.
+    QueryDef(
+      "q_a2_median_fill",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ns"), col("event_id"))
+          .rowsBetween(-4, 0)
+        // Spark disallows median() with an explicit window frame; an exact
+        // frame median is a sorted collect_list + middle pick (nulls are
+        // skipped by collect_list, matching SQL aggregate null semantics).
+        val arr = array_sort(collect_list(col("v")).over(w))
+        val n = size(arr)
+        val med = when(n === 0, lit(null).cast("double"))
+          .when(n % 2 === 1, element_at(arr, ((n + 1) / 2).cast("int")))
+          .otherwise((element_at(arr, (n / 2).cast("int"))
+            + element_at(arr, (n / 2).cast("int") + 1)) / 2.0)
+        Tables.events(s, dir)
+          .withColumn("v", nulledValue)
+          .withColumn("v_filled", round(coalesce(col("v"), med), 6))
+          .select(col("event_id"), col("v_filled"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id,
+                     round(coalesce(v, median(v) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)), 6) AS v_filled
+              FROM (SELECT *, $nulledValueSql AS v FROM events) t
+              ORDER BY event_id""")),
+
+    // A3 — drop remaining nulls.
+    QueryDef(
+      "q_a3_dropna",
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("v", nulledValue)
+        .select("event_id", "event_type", "v")
+        .na.drop()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some(s"""SELECT event_type, count(*) AS n
+              FROM (SELECT event_type, $nulledValueSql AS v FROM events) t
+              WHERE v IS NOT NULL GROUP BY event_type ORDER BY event_type""")),
+
+    // A4 — multi-column unpivot (stack) → label histogram.
+    QueryDef(
+      "q_a4_unpivot_histogram",
+      (s, dir) => Tables.lineitem(s, dir)
+        .selectExpr("stack(2, 'returnflag', l_returnflag, 'linestatus', l_linestatus) AS (field, label)")
+        .groupBy(col("field"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("field", "label"),
+      Some("""SELECT field, label, count(*) AS n FROM (
+                SELECT 'returnflag' AS field, l_returnflag AS label FROM lineitem
+                UNION ALL
+                SELECT 'linestatus' AS field, l_linestatus AS label FROM lineitem) t
+              GROUP BY field, label ORDER BY field, label""")),
+
+    // A5 — value_counts per column.
+    QueryDef(
+      "q_a5_value_counts",
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("lang")),
+      Some("SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY n DESC, lang")),
+
+    // A6 — min/max aggregates (axis scaling).
+    QueryDef(
+      "q_a6_minmax",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(max(col("value")).as("mx"), min(col("value")).as("mn"), count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, max(value) AS mx, min(value) AS mn, count(*) AS n
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // X8 — tumbling 1h OHLCV bar rebuild from raw events (open = first by
+    // time, close = last by time via min_by/max_by on the nanos key).
+    QueryDef(
+      "q_x8_ohlcv_bars",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"), date_trunc("HOUR", col("ts")).as("bucket_ts"))
+        .agg(
+          min_by(col("value"), col("ts_ns")).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), col("ts_ns")).as("close"),
+          moneySum(col("value")).as("volume"),
+          count(lit(1)).as("n_trades"))
+        .select(
+          col("user_id"),
+          date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("volume"), col("n_trades"))
+        .orderBy("user_id", "bucket"),
+      Some("""SELECT user_id,
+                     strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+                     arg_min(value, ts) AS open, max(value) AS high,
+                     min(value) AS low, arg_max(value, ts) AS close,
+                     """ + moneySumSql("value") + """ AS volume,
+                     count(*) AS n_trades
+              FROM events GROUP BY user_id, date_trunc('hour', ts)
+              ORDER BY user_id, bucket"""),
+      bench = true)
+  )
+}

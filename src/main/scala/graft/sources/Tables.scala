@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * All tables are plain parquet; Spark's DataSource V2 parquet reader gives
+  * us predicate pushdown, column pruning and (for partitioned layouts)
+  * partition pruning for free — at 100 TB the same `spark.read.parquet`
+  * call works against a directory of thousands of files, so nothing here
+  * assumes single-file inputs.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects outright; `spark.sql.legacy.parquet.nanosAsLong` (set in
+    * [[graft.GraftSession]]) surfaces it as a Long of epoch-nanos. We floor
+    * to micros and expose a proper TimestampType `ts` (session TZ is UTC),
+    * keeping the raw nanos as `ts_ns` for exact ordering parity with engines
+    * that keep full nanosecond resolution.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
+  }
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

@@ -1,0 +1,127 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB against the
+parquet tables in <sfDir> (registered by bare table name), loads the Spark
+result parquet from <verifyOutDir>/<name>/, then compares: column names
+(sorted), dtypes-compatible values, row counts, and exact/approx equality.
+
+This is test tooling only — the engine itself is pure Scala/Spark.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize decimals -> float for comparison
+    for c in df.columns:
+        if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (bytes,)):
+            continue
+        try:
+            if df[c].dtype == object:
+                import decimal
+                if len(df) and isinstance(df[c].dropna().iloc[0], decimal.Decimal):
+                    df[c] = df[c].astype(float)
+        except Exception:
+            pass
+    sort_cols = list(df.columns)
+    df = df.sort_values(by=sort_cols, kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    problems = []
+    sc, dc = sorted(spark_df.columns), sorted(duck_df.columns)
+    if sc != dc:
+        return [f"columns differ: spark={sc} duck={dc}"]
+    if len(spark_df) != len(duck_df):
+        return [f"row count differs: spark={len(spark_df)} duck={len(duck_df)}"]
+    a, b = norm(spark_df), norm(duck_df)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            af = av.astype(float).to_numpy()
+            bf = bv.astype(float).to_numpy()
+            both_nan = np.isnan(af) & np.isnan(bf)
+            exact = (af == bf) | both_nan
+            if not exact.all():
+                close = np.isclose(af, bf, rtol=1e-12, atol=1e-12) | both_nan
+                n_bad = int((~exact).sum())
+                worst = np.nanmax(np.abs(af - bf))
+                tag = "NONEXACT" if close.all() else "MISMATCH"
+                problems.append(f"{tag} col={c}: {n_bad} rows differ, worst abs diff={worst:.3e}")
+        else:
+            try:
+                eq = (av == bv) | (av.isna() & bv.isna())
+            except Exception:
+                eq = av.astype(str) == bv.astype(str)
+            if not eq.all():
+                i = int(np.argmax(~eq.to_numpy()))
+                problems.append(
+                    f"MISMATCH col={c}: {int((~eq).sum())} rows differ; "
+                    f"first at sorted-row {i}: spark={av.iloc[i]!r} duck={bv.iloc[i]!r}")
+    return problems
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        pq = Path(out_dir) / name
+        if not pq.exists():
+            print(f"FAIL  {name}: no spark output at {pq}")
+            n_bad += 1
+            continue
+        try:
+            spark_df = pd.read_parquet(pq)
+        except Exception as e:
+            print(f"FAIL  {name}: cannot read spark parquet: {e}")
+            n_bad += 1
+            continue
+        try:
+            duck_df = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_bad += 1
+            continue
+        problems = compare(name, spark_df, duck_df)
+        if problems:
+            print(f"FAIL  {name} ({len(spark_df)} rows)")
+            for p in problems:
+                print(f"      {p}")
+            n_bad += 1
+        else:
+            print(f"OK    {name} ({len(spark_df)} rows)")
+            n_ok += 1
+    # rows-only queries (no oracle): check output exists and has rows
+    for d in sorted(Path(out_dir).iterdir()):
+        if d.is_dir() and d.name not in oracle:
+            try:
+                n = len(pd.read_parquet(d))
+                print(f"ROWS  {d.name}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
+            except Exception as e:
+                print(f"ROWS  {d.name}: unreadable: {e}")
+    print(f"\n{n_ok} ok, {n_bad} failed of {len(oracle)} oracled queries")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
