@@ -28,6 +28,17 @@ object GraftSession {
 
   def get(cores: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt): SparkSession = {
     val spark = builder(cores).getOrCreate()
+    // getOrCreate silently ignores static confs when a session already
+    // exists in the JVM; fail loudly instead of computing wrong answers.
+    val mustMatch = Seq(
+      "spark.sql.session.timeZone" -> "UTC",
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    for ((k, want) <- mustMatch) {
+      val got = spark.conf.get(k, "")
+      require(got == want,
+        s"GraftSession: existing SparkSession has $k=$got, need $want — " +
+        "stop the stale session before calling GraftSession.get")
+    }
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -30,8 +30,10 @@ object Tables {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // floor-to-micros (pmod keeps pre-1970 negative nanos correct;
+        // plain `div` truncates toward zero and would round those up).
         raw.withColumn("ts_ns", col("ts"))
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
     }
   }

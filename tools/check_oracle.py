@@ -36,8 +36,14 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                     df[c] = df[c].astype(float)
         except Exception:
             pass
-    sort_cols = list(df.columns)
-    df = df.sort_values(by=sort_cols, kind="mergesort").reset_index(drop=True)
+    # Sort by non-float columns only: every query carries a deterministic
+    # total ORDER BY on key columns, so a stable sort on the discrete columns
+    # aligns rows without letting a last-ulp float difference shuffle the
+    # pairing (which would fabricate MISMATCHes on the other columns).
+    sort_cols = [c for c in df.columns
+                 if not np.issubdtype(df[c].dtype, np.floating)]
+    if sort_cols:
+        df = df.sort_values(by=sort_cols, kind="mergesort").reset_index(drop=True)
     return df
 
 
