@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
-    RelationalQueries)
+    RelationalQueries,
+    TimeSeriesFrameQueries)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.FrameKernels._
+import graft.sources.Tables
+
+/** Frame-expressible time-series kernels over the per-user `events.value`
+  * series (stand-in for the reference's per-instrument Close series):
+  * W1 SMA smoothing, W5 lag/shift, W6 Bollinger Bands, G2 band-crossover
+  * signals (SURVEY.md §2.5a/§2.5c).
+  *
+  * Scale: one hash partition by series key, one sort per partition shared
+  * by every window expression (Catalyst collapses same-spec windows into a
+  * single WindowExec); memory is O(frame). 150 series here, millions on a
+  * real cluster — same plan.
+  */
+object TimeSeriesFrameQueries extends QueryPack {
+
+  private val seriesW = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+
+  private val overOrd = "(PARTITION BY user_id ORDER BY ts, event_id)"
+  private val frame29 = "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)"
+  private val frame19 = "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)"
+
+  /** Shared inner SQL: per-series row_number + exact-decimal frame moments
+    * for the 20-row Bollinger frame. Mirrors [[FrameKernels.bollinger]]
+    * operation-for-operation so the IEEE double arithmetic is identical.
+    */
+  private val bbInnerSql =
+    s"""SELECT event_id, user_id, ts, value,
+       |       row_number() OVER $overOrd AS rn,
+       |       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER $frame19 AS DOUBLE)
+       |         / CAST(count(value) OVER $frame19 AS DOUBLE) AS mean,
+       |       CAST(sum(CAST(value * value AS DECIMAL(28,10))) OVER $frame19 AS DOUBLE)
+       |         / CAST(count(value) OVER $frame19 AS DOUBLE) AS meansq
+       |FROM events""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+
+    // W1 — SMA(30), min_periods=1 (reference smoothers.py:19-24).
+    QueryDef(
+      "q_w1_sma",
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("sma30", round(sma(col("value"), 30, seriesW), 6))
+        .select(col("event_id"), col("sma30"))
+        .orderBy("event_id"),
+      Some(s"""SELECT event_id,
+              |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER $frame29 AS DOUBLE)
+              |             / CAST(count(value) OVER $frame29 AS DOUBLE), 6) AS sma30
+              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // W5 — lag/shift(1) + first difference (ta_signals.py crossover input).
+    QueryDef(
+      "q_w5_lag",
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("prev_value", lag(col("value"), 1).over(seriesW))
+        .withColumn("diff", col("value") - col("prev_value"))
+        .select(col("event_id"), col("value"), col("prev_value"), col("diff"))
+        .orderBy("event_id"),
+      Some(s"""SELECT event_id, value,
+              |       lag(value, 1) OVER $overOrd AS prev_value,
+              |       value - lag(value, 1) OVER $overOrd AS diff
+              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // W6 — Bollinger Bands(20, 2, 2, matype=0): SMA middle ± 2·stddev_pop,
+    // first 19 rows of each series null (TA-Lib warmup, ta_signals.py:17-25).
+    QueryDef(
+      "q_w6_bbands",
+      (s, dir) => {
+        val rn = row_number().over(seriesW)
+        val (mid, up, lo) = bollinger(col("value"), col("rn"), 20, 2.0, seriesW)
+        Tables.events(s, dir)
+          .withColumn("rn", rn)
+          .select(
+            col("event_id"),
+            round(mid, 6).as("bb_mid"),
+            round(up, 6).as("bb_up"),
+            round(lo, 6).as("bb_lo"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id,
+              |       round(CASE WHEN rn >= 20 THEN mean END, 6) AS bb_mid,
+              |       round(CASE WHEN rn >= 20 THEN mean + 2.0 * sqrt(meansq - mean * mean) END, 6) AS bb_up,
+              |       round(CASE WHEN rn >= 20 THEN mean - 2.0 * sqrt(meansq - mean * mean) END, 6) AS bb_lo
+              |FROM ($bbInnerSql) t ORDER BY event_id""".stripMargin)),
+
+    // G2 — BBANDS crossover signals (ta_signals.py:22-23): buy when the
+    // series crosses below the lower band, sell when it crosses above the
+    // upper; warmup rows are false (pandas NaN-compare semantics).
+    QueryDef(
+      "q_g2_bbands_signal",
+      (s, dir) => {
+        val rn = row_number().over(seriesW)
+        val (_, up, lo) = bollinger(col("value"), col("rn"), 20, 2.0, seriesW)
+        Tables.events(s, dir)
+          .withColumn("rn", rn)
+          .withColumn("bb_up", up)
+          .withColumn("bb_lo", lo)
+          .withColumn("buy", crossBelow(col("value"), col("bb_lo"), seriesW))
+          .withColumn("sell", crossAbove(col("value"), col("bb_up"), seriesW))
+          .select(col("event_id"), col("buy"), col("sell"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id,
+              |       coalesce(lag(value, 1) OVER $overOrd > lag(bb_lo, 1) OVER $overOrd
+              |                AND value < bb_lo, false) AS buy,
+              |       coalesce(lag(value, 1) OVER $overOrd < lag(bb_up, 1) OVER $overOrd
+              |                AND value > bb_up, false) AS sell
+              |FROM (SELECT event_id, user_id, ts, value,
+              |             CASE WHEN rn >= 20 THEN mean + 2.0 * sqrt(meansq - mean * mean) END AS bb_up,
+              |             CASE WHEN rn >= 20 THEN mean - 2.0 * sqrt(meansq - mean * mean) END AS bb_lo
+              |      FROM ($bbInnerSql) t) b
+              |ORDER BY event_id""".stripMargin))
+  )
+}
