@@ -14,7 +14,8 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
     RelationalQueries,
-    TimeSeriesFrameQueries)
+    TimeSeriesFrameQueries,
+    RecursiveKernelQueries)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

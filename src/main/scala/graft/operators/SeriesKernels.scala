@@ -1,0 +1,313 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+/** Order-dependent per-series kernels (SURVEY.md §2.5b): each output row
+  * depends on the previous *output*, so these cannot be bounded-frame
+  * window aggregates. The Spark shape is one sequential pass per series:
+  * `repartition(seriesKey)` + `sortWithinPartitions(key, ts)` +
+  * `mapPartitions` running tiny O(1)-state machines.
+  *
+  * Scale: a partition holds many complete series back-to-back (rows of one
+  * series are contiguous after the sort); kernels reset on key change, so
+  * memory per row is O(1) (Kalman: 2 doubles, MACD: ~6, ADX: ~8 + a
+  * 12-slot ring). Parallelism is across series — millions of keys spread
+  * over 1000 executors with exactly one shuffle. If the same series key
+  * was already hash-partitioned upstream (e.g. a window op), Catalyst's
+  * EnsureRequirements elides the extra exchange. The known limit (SURVEY
+  * §7.4): a single colossal series is inherently sequential; chunked
+  * stitching with carried state would be the escape hatch.
+  *
+  * Numeric contract: every kernel mirrors the reference arithmetic
+  * operation-for-operation (filterpy / TA-Lib / statsmodels formulas,
+  * cited per kernel) so the DuckDB recursive-CTE oracles reproduce results
+  * bit-exactly; missing inputs are NaN in, NaN out ⇒ null columns.
+  */
+object SeriesKernels {
+
+  /** One sequential state machine: consumes `arity` doubles per row,
+    * emits `width` doubles (NaN ⇒ null in the output column).
+    */
+  trait Kernel extends Serializable {
+    def arity: Int
+    def width: Int
+    def reset(): Unit
+    def step(in: Array[Double]): Array[Double]
+  }
+
+  /** Binds a kernel factory to input/output column names. */
+  final case class KernelSpec(
+      inputCols: Seq[String],
+      outputCols: Seq[String],
+      make: () => Kernel)
+
+  /** Runs the given kernels over every series of `df`, appending the
+    * kernels' output columns. Rows are hash-partitioned by `keyCols` and
+    * sorted by `keyCols ++ orderCols` within partitions; kernels reset at
+    * every key-tuple change.
+    */
+  def applyKernels(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      specs: Seq[KernelSpec]): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(
+      inSchema.fields ++ specs.flatMap(_.outputCols)
+        .map(c => StructField(c, DoubleType, nullable = true)))
+    val keyIdx = keyCols.map(inSchema.fieldIndex).toArray
+    val inIdx = specs.map(_.inputCols.map(inSchema.fieldIndex).toArray).toArray
+
+    val partitioned = df
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
+
+    partitioned.mapPartitions { rows =>
+      val kernels = specs.map(_.make()).toArray
+      var lastKey: Seq[Any] = null
+      rows.map { row =>
+        val key = keyIdx.map(row.get).toSeq
+        if (key != lastKey) {
+          kernels.foreach(_.reset())
+          lastKey = key
+        }
+        val out = new Array[Any](outSchema.length)
+        var i = 0
+        while (i < inSchema.length) { out(i) = row.get(i); i += 1 }
+        var k = 0
+        var o = inSchema.length
+        while (k < kernels.length) {
+          val idx = inIdx(k)
+          val in = new Array[Double](idx.length)
+          var j = 0
+          while (j < idx.length) {
+            in(j) = if (row.isNullAt(idx(j))) Double.NaN else row.getDouble(idx(j))
+            j += 1
+          }
+          val res = kernels(k).step(in)
+          var w = 0
+          while (w < res.length) {
+            out(o) = if (java.lang.Double.isNaN(res(w))) null else res(w)
+            o += 1; w += 1
+          }
+          k += 1
+        }
+        Row.fromSeq(out.toIndexedSeq)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  // ------------------------------------------------------------------
+  // Kernel implementations
+  // ------------------------------------------------------------------
+
+  /** R1 — 1-state Kalman filter, filterpy semantics (reference
+    * filters.py:8-27): x₀ = first observation, P₀ = 1, F = H = 1,
+    * R = 1e-3, Q = 1e-4; per row: predict (P += Q), gain K = P/(P+R),
+    * x += K·(z−x), Joseph-form covariance P = (1−K)·P·(1−K) + K·R·K.
+    * The first observation is itself filtered (reference loops over the
+    * full array after seeding x with data[0]).
+    */
+  final class KalmanKernel(q: Double = 1e-4, r: Double = 1e-3) extends Kernel {
+    val arity = 1; val width = 1
+    private var init = false
+    private var x = 0.0
+    private var p = 0.0
+    def reset(): Unit = { init = false }
+    def step(in: Array[Double]): Array[Double] = {
+      val z = in(0)
+      if (z.isNaN) return Array(Double.NaN)
+      if (!init) { x = z; p = 1.0; init = true }
+      p = p + q
+      val k = p / (p + r)
+      x = x + k * (z - x)
+      val ikh = 1.0 - k
+      p = ikh * p * ikh + k * r * k
+      Array(x)
+    }
+  }
+
+  /** R2 — simple exponential smoothing fitted values (reference
+    * smoothers.py:27-33, statsmodels SimpleExpSmoothing with
+    * smoothing_level = α, optimized=False, level seeded at x₀): the fitted
+    * value at t is the one-step-ahead forecast
+    * f₀ = x₀, fₜ = α·xₜ₋₁ + (1−α)·fₜ₋₁.
+    */
+  final class SesKernel(alpha: Double = 0.2) extends Kernel {
+    val arity = 1; val width = 1
+    private var init = false
+    private var f = 0.0
+    private var prevX = 0.0
+    def reset(): Unit = { init = false }
+    def step(in: Array[Double]): Array[Double] = {
+      val z = in(0)
+      if (z.isNaN) return Array(Double.NaN)
+      if (!init) { f = z; init = true }
+      else f = alpha * prevX + (1.0 - alpha) * f
+      prevX = z
+      Array(f)
+    }
+  }
+
+  /** R4 — Wilder RSI (reference ta_signals.py:6-14, TA-Lib RSI(14)):
+    * gains/losses from first differences; seed averages = simple mean of
+    * the first `period` gains/losses (available at row period+1); then
+    * Wilder recursion avg = (prev·(period−1) + cur)/period;
+    * RSI = 100·gain/(gain+loss), 0 when the denominator is 0. First
+    * `period` rows are null.
+    */
+  final class RsiKernel(period: Int = 14) extends Kernel {
+    val arity = 1; val width = 1
+    private var t = 0
+    private var prev = 0.0
+    private var sumG = 0.0
+    private var sumL = 0.0
+    private var ag = 0.0
+    private var al = 0.0
+    def reset(): Unit = { t = 0; sumG = 0.0; sumL = 0.0 }
+    def step(in: Array[Double]): Array[Double] = {
+      val z = in(0)
+      if (z.isNaN) return Array(Double.NaN)
+      t += 1
+      if (t == 1) { prev = z; return Array(Double.NaN) }
+      val g = math.max(z - prev, 0.0)
+      val l = math.max(prev - z, 0.0)
+      prev = z
+      if (t <= period) { sumG += g; sumL += l; return Array(Double.NaN) }
+      if (t == period + 1) {
+        ag = (sumG + g) / period.toDouble
+        al = (sumL + l) / period.toDouble
+      } else {
+        ag = (ag * (period - 1).toDouble + g) / period.toDouble
+        al = (al * (period - 1).toDouble + l) / period.toDouble
+      }
+      val denom = ag + al
+      Array(if (denom == 0.0) 0.0 else 100.0 * (ag / denom))
+    }
+  }
+
+  /** R5 — MACD(12,26,9), TA-Lib alignment (reference ta_signals.py:28-37):
+    * the slow EMA is SMA-seeded over rows 1..26; the fast EMA is SMA-seeded
+    * over rows 15..26 (TA-Lib computes both EMA streams starting at the
+    * slow seed point, so the fast seed window is the 12 rows ending there);
+    * macd = fast − slow from row 26; the signal line is EMA(9) of macd,
+    * SMA-seeded over macd rows 26..34. All three outputs (macd, signal,
+    * hist) are null before row 34 (33-row warmup).
+    */
+  final class MacdKernel(fast: Int = 12, slow: Int = 26, sig: Int = 9) extends Kernel {
+    val arity = 1; val width = 3
+    private val kFast = 2.0 / (fast + 1).toDouble
+    private val kSlow = 2.0 / (slow + 1).toDouble
+    private val kSig = 2.0 / (sig + 1).toDouble
+    private var t = 0
+    private val ring = new Array[Double](fast)
+    private var sumSlow = 0.0
+    private var emaF = 0.0
+    private var emaS = 0.0
+    private var sumSig = 0.0
+    private var signal = 0.0
+    def reset(): Unit = { t = 0; sumSlow = 0.0; sumSig = 0.0 }
+    def step(in: Array[Double]): Array[Double] = {
+      val z = in(0)
+      if (z.isNaN) return Array(Double.NaN, Double.NaN, Double.NaN)
+      t += 1
+      ring((t - 1) % fast) = z
+      if (t < slow) { sumSlow += z; return Array(Double.NaN, Double.NaN, Double.NaN) }
+      if (t == slow) {
+        emaS = (sumSlow + z) / slow.toDouble
+        // fast seed: chronological left-fold over rows slow-fast+1 .. slow
+        var s = 0.0
+        var i = 0
+        while (i < fast) { s = s + ring((t + i) % fast); i += 1 }
+        emaF = s / fast.toDouble
+      } else {
+        emaF = (z - emaF) * kFast + emaF
+        emaS = (z - emaS) * kSlow + emaS
+      }
+      val macd = emaF - emaS
+      val warmSig = slow + sig - 1 // 34
+      if (t < warmSig) { sumSig += macd; return Array(Double.NaN, Double.NaN, Double.NaN) }
+      if (t == warmSig) signal = (sumSig + macd) / sig.toDouble
+      else signal = (macd - signal) * kSig + signal
+      Array(macd, signal, macd - signal)
+    }
+  }
+
+  /** Generic SMA-seeded EMA over a possibly-null series (TA-Lib EMA):
+    * seeds with the mean of the first `period` non-NaN inputs, then
+    * ema = (x − prev)·k + prev with k = 2/(period+1). Used for the PPO
+    * signal line (reference ta_signals.py:47: talib.EMA(ppo, 9)).
+    */
+  final class EmaKernel(period: Int = 9) extends Kernel {
+    val arity = 1; val width = 1
+    private val k = 2.0 / (period + 1).toDouble
+    private var n = 0
+    private var sum = 0.0
+    private var ema = 0.0
+    private var seeded = false
+    def reset(): Unit = { n = 0; sum = 0.0; seeded = false }
+    def step(in: Array[Double]): Array[Double] = {
+      val z = in(0)
+      if (z.isNaN) return Array(Double.NaN)
+      if (!seeded) {
+        n += 1; sum += z
+        if (n < period) return Array(Double.NaN)
+        ema = sum / period.toDouble
+        seeded = true
+      } else ema = (z - ema) * k + ema
+      Array(ema)
+    }
+  }
+
+  /** R7 — Wilder ADX / +DI / −DI (reference ta_signals.py:56-69, TA-Lib
+    * period 14). Inputs (high, low, close). TR/±DM from row 2; Wilder sums
+    * seeded over the first 14 TR/DM values (rows 2..15), then
+    * s = s − s/14 + cur; ±DI = 100·(±sm/smTR) from row 15 (0 when smTR=0);
+    * DX = 100·|+DI−−DI|/(+DI+−DI) (0 when the sum is 0); ADX seeded at
+    * row 28 as the mean of the first 14 DX values, then Wilder recursion
+    * (prev·13 + DX)/14. Warmups: ±DI 14 rows, ADX 27 rows.
+    */
+  final class AdxKernel(period: Int = 14) extends Kernel {
+    val arity = 3; val width = 3
+    private var t = 0
+    private var ph = 0.0; private var pl = 0.0; private var pc = 0.0
+    private var smTR = 0.0; private var smP = 0.0; private var smM = 0.0
+    private var sumDX = 0.0
+    private var adx = 0.0
+    def reset(): Unit = { t = 0; smTR = 0.0; smP = 0.0; smM = 0.0; sumDX = 0.0 }
+    def step(in: Array[Double]): Array[Double] = {
+      val h = in(0); val l = in(1); val c = in(2)
+      if (h.isNaN || l.isNaN || c.isNaN) return Array(Double.NaN, Double.NaN, Double.NaN)
+      t += 1
+      if (t == 1) { ph = h; pl = l; pc = c; return Array(Double.NaN, Double.NaN, Double.NaN) }
+      val tr = math.max(h - l, math.max(math.abs(h - pc), math.abs(l - pc)))
+      val dP = h - ph
+      val dM = pl - l
+      val pdm = if (dP > dM && dP > 0.0) dP else 0.0
+      val mdm = if (dM > dP && dM > 0.0) dM else 0.0
+      ph = h; pl = l; pc = c
+      if (t <= period) { // rows 2..14: first 13 TR/DM values
+        smTR += tr; smP += pdm; smM += mdm
+        return Array(Double.NaN, Double.NaN, Double.NaN)
+      }
+      if (t == period + 1) { // row 15: 14th value completes the Wilder seed
+        smTR += tr; smP += pdm; smM += mdm
+      } else {
+        smTR = smTR - smTR / period.toDouble + tr
+        smP = smP - smP / period.toDouble + pdm
+        smM = smM - smM / period.toDouble + mdm
+      }
+      val pdi = if (smTR == 0.0) 0.0 else 100.0 * (smP / smTR)
+      val mdi = if (smTR == 0.0) 0.0 else 100.0 * (smM / smTR)
+      val dsum = pdi + mdi
+      val dx = if (dsum == 0.0) 0.0 else 100.0 * (math.abs(pdi - mdi) / dsum)
+      val warmAdx = 2 * period // 28
+      if (t < warmAdx) { sumDX += dx; return Array(pdi, mdi, Double.NaN) }
+      if (t == warmAdx) adx = (sumDX + dx) / period.toDouble
+      else adx = (adx * (period - 1).toDouble + dx) / period.toDouble
+      Array(pdi, mdi, adx)
+    }
+  }
+}
