@@ -15,7 +15,9 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     RelationalQueries,
     TimeSeriesFrameQueries,
-    RecursiveKernelQueries)
+    RecursiveKernelQueries,
+    TextQueries,
+    TextAnalysisQueries)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

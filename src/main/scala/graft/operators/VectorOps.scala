@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level dense-vector primitives (SURVEY.md §2.6 V1–V3 + the ANN
+  * scale path). Embeddings are `ArrayType(FloatType)` columns; all math is
+  * double-precision with a fixed left-fold order so the DuckDB oracle
+  * (list_zip/list_transform/list_reduce) reproduces results bit-exactly.
+  *
+  * Scale: dot/norm/cosine are narrow per-row expressions (no shuffle, no
+  * UDF — higher-order functions are codegen-friendly in Spark 4). Top-k
+  * by score compiles to TakeOrderedAndProject: each partition keeps a
+  * k-heap and only k rows per partition reach the driver-side merge, so
+  * brute-force kNN scales linearly with executors. The LSH/IVF variants
+  * cut the scanned fraction for 100 TB corpora.
+  */
+object VectorOps {
+
+  private def d(c: Column): Column = c.cast("double")
+
+  /** Σ aᵢ·bᵢ, left fold from 0.0 — matches the oracle's list_reduce over
+    * list_prepend(0.0, products). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Σ aᵢ² (same fold). */
+  def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, v) => acc + d(v) * d(v))
+
+  /** Cosine similarity = dot / (√‖a‖² · √‖b‖²). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Dot of a vector column with a constant hyperplane (Seq of doubles
+    * embedded as literals — the same literals the oracle SQL embeds). */
+  def dotConst(a: Column, hp: Seq[Double]): Column =
+    aggregate(
+      zip_with(a, typedLit(hp), (x, w) => d(x) * w),
+      lit(0.0), (acc, v) => acc + v)
+
+  // ---------------------------------------------------------------- SQL
+  // DuckDB mirrors. Products fold from a prepended 0.0 so the first IEEE
+  // addition is 0.0 + p₁, identical to Spark's aggregate initial value.
+
+  def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(list_zip($a, $b),
+       |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+       |  (x, y) -> x + y)""".stripMargin
+
+  def norm2Sql(a: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+       |  (x, y) -> x + y)""".stripMargin
+
+  def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (sqrt(${norm2Sql(a)}) * sqrt(${norm2Sql(b)}))"
+
+  /** Double literal that DuckDB parses as DOUBLE (e-notation), bit-exact
+    * round-trip of the Scala value. */
+  def dl(v: Double): String = {
+    val s = v.toString
+    if (s.contains('e') || s.contains('E')) s else s + "e0"
+  }
+
+  def dotConstSql(a: String, hp: Seq[Double]): String =
+    dotSql(a, hp.map(dl).mkString("[", ", ", "]"))
+
+  /** Deterministic pseudo-random hyperplanes for sign-bit LSH: `n` planes
+    * of dimension `dim`, components uniform in (-1, 1) from a fixed-seed
+    * LCG (java.util.Random semantics are specified, so Spark literals and
+    * oracle SQL literals are the same bits on any JVM).
+    */
+  def hyperplanes(n: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(n)(Seq.fill(dim)(rnd.nextDouble() * 2.0 - 1.0))
+  }
+
+  /** Sign-bit LSH bucket id: bit k set iff v·hpₖ > 0. */
+  def lshBucket(v: Column, hps: Seq[Seq[Double]]): Column =
+    hps.zipWithIndex.map { case (hp, k) =>
+      when(dotConst(v, hp) > 0.0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def lshBucketSql(v: String, hps: Seq[Seq[Double]]): String =
+    hps.zipWithIndex.map { case (hp, k) =>
+      s"(CASE WHEN (${dotConstSql(v, hp)}) > 0.0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+}

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps._
+import graft.sources.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (builder brief: language-ID, quality scoring, token counting, document
+  * fingerprinting), over the `documents` table.
+  *
+  * All per-row, no shuffle except the final presentation ORDER BY (which a
+  * real pipeline wouldn't have) — at 100 TB these run as a single map
+  * stage over the corpus scan with columns pruned to (doc_id, text, …).
+  */
+object TextAnalysisQueries extends QueryPack {
+
+  /** BPE-ish token pattern: letter runs, digit runs, single punctuation. */
+  private val bpePat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  private val bpePatSql = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  override def queries: Seq[QueryDef] = Seq(
+
+    // N1 — language identification via stopword-hit ratio (n-gram/lexicon
+    // heuristic): fraction of whitespace tokens that are common-English
+    // stopwords; >= 0.08 → 'en'. The lexicon test is an array membership
+    // over a broadcast literal — the operator shape for any lexicon-based
+    // classifier at scale.
+    QueryDef(
+      "q_n1_lang_id",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val hits = size(filter(toks, t => array_contains(typedLit(Stopwords), t)))
+        Tables.documents(s, dir)
+          .withColumn("n_tokens", size(toks))
+          .withColumn("stop_ratio",
+            round(hits.cast("double") / greatest(col("n_tokens"), lit(1)).cast("double"), 6))
+          .select(
+            col("doc_id"),
+            col("n_tokens"),
+            col("stop_ratio"),
+            when(col("stop_ratio") >= 0.08, "en").otherwise("und").as("lang_pred"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, n_tokens, stop_ratio,
+              |       CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'und' END AS lang_pred
+              |FROM (SELECT doc_id,
+              |             len(toks) AS n_tokens,
+              |             round(CAST(len(list_filter(toks, t -> list_contains(${stopwordsSqlList}, t))) AS DOUBLE)
+              |                   / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS stop_ratio
+              |      FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents) t0) t
+              |ORDER BY doc_id""".stripMargin)),
+
+    // N2 — quality scoring: length, mean token length, punctuation ratio,
+    // uppercase ratio, stopword ratio, folded into one bounded score.
+    QueryDef(
+      "q_n2_quality_score",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val nTok = size(toks).cast("double")
+        val nChars = length(col("text")).cast("double")
+        val punct = (nChars - length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", "")))
+          .cast("double") / greatest(nChars, lit(1.0))
+        val upper = (nChars - length(regexp_replace(col("text"), "[A-Z]", "")))
+          .cast("double") / greatest(nChars, lit(1.0))
+        val stop = size(filter(toks, t => array_contains(typedLit(Stopwords), t)))
+          .cast("double") / greatest(nTok, lit(1.0))
+        val meanTokLen = (nChars - (nTok - 1.0)) / greatest(nTok, lit(1.0))
+        val quality =
+          least(nTok / 100.0, lit(1.0)) * 0.4 +
+          least(stop * 5.0, lit(1.0)) * 0.3 +
+          (lit(1.0) - least(punct * 10.0, lit(1.0))) * 0.2 +
+          (lit(1.0) - least(upper * 10.0, lit(1.0))) * 0.1
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            round(meanTokLen, 6).as("mean_tok_len"),
+            round(punct, 6).as("punct_ratio"),
+            round(stop, 6).as("stop_ratio"),
+            round(quality, 6).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |       round((n_chars2 - (n_tok - 1.0)) / greatest(n_tok, 1.0), 6) AS mean_tok_len,
+              |       round(punct, 6) AS punct_ratio,
+              |       round(stop, 6) AS stop_ratio,
+              |       round(least(n_tok / 100.0, 1.0) * 0.4
+              |             + least(stop * 5.0, 1.0) * 0.3
+              |             + (1.0 - least(punct * 10.0, 1.0)) * 0.2
+              |             + (1.0 - least(upper_r * 10.0, 1.0)) * 0.1, 6) AS quality
+              |FROM (SELECT doc_id,
+              |             CAST(length(text) AS DOUBLE) AS n_chars2,
+              |             CAST(len(${tokensSql("text")}) AS DOUBLE) AS n_tok,
+              |             CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+              |               / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct,
+              |             CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+              |               / greatest(CAST(length(text) AS DOUBLE), 1.0) AS upper_r,
+              |             CAST(len(list_filter(${tokensSql("text")},
+              |                    t -> list_contains(${stopwordsSqlList}, t))) AS DOUBLE)
+              |               / greatest(CAST(len(${tokensSql("text")}) AS DOUBLE), 1.0) AS stop
+              |      FROM documents) t
+              |ORDER BY doc_id""".stripMargin)),
+
+    // N3 — token counting: whitespace tokens, BPE-ish regex tokens, and
+    // the chars/4 heuristic estimate.
+    QueryDef(
+      "q_n3_token_count",
+      (s, dir) => Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit(bpePat), lit(0))).as("bpe_tokens"),
+          ceil(length(col("text")).cast("double") / 4.0).cast("long").as("est_tokens"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |       len(${tokensSql("text")}) AS ws_tokens,
+              |       len(regexp_extract_all(text, '$bpePatSql')) AS bpe_tokens,
+              |       CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_tokens
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // N4 — document fingerprinting: canonical normalization then (a) the
+    // shared polynomial rolling hash and (b) md5 hex — the exact-dedup /
+    // shard-assignment keys for a 100 TB corpus.
+    QueryDef(
+      "q_n4_fingerprint",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("norm", normalizeText(col("text")))
+        .select(
+          col("doc_id"),
+          polyHash(col("norm")).as("fp_poly"),
+          md5(col("norm").cast("binary")).as("fp_md5"),
+          (polyHash(col("norm")) % 64).as("shard"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |       ${polyHashSql("norm")} AS fp_poly,
+              |       md5(norm) AS fp_md5,
+              |       ${polyHashSql("norm")} % 64 AS shard
+              |FROM (SELECT doc_id, ${normalizeTextSql("text")} AS norm FROM documents) t
+              |ORDER BY doc_id""".stripMargin))
+  )
+}
