@@ -17,7 +17,8 @@ object SparkEntry {
     TimeSeriesFrameQueries,
     RecursiveKernelQueries,
     TextQueries,
-    TextAnalysisQueries)
+    TextAnalysisQueries,
+    VectorQueries)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

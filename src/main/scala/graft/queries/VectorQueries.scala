@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorOps._
+import graft.sources.Tables
+
+/** Vector / similarity-search operators (SURVEY.md §2.6 V1–V3:
+  * dashboard/pages/3_Sentiment_Analysis.py:81-103, init_qdrant.py:38-58)
+  * plus the ANN + near-dup extensions for a training-data pipeline.
+  *
+  * Scale design:
+  *  - Exact kNN (V2) is a scored scan + `TakeOrderedAndProject`: each task
+  *    keeps a k-heap, only `k·numPartitions` rows reach the driver merge —
+  *    embarrassingly parallel over a 100 TB corpus.
+  *  - Batch kNN (V2b) broadcasts the (small) query set; the big side
+  *    streams through a broadcast-nested-loop with a per-query heap via
+  *    window `row_number` — no shuffle of the corpus.
+  *  - The ANN path (V4) is sign-bit LSH: 16 fixed hyperplanes → 4 bands of
+  *    4 bits. Bucket ids are plain integer columns, so the candidate
+  *    filter is a pushed-down predicate and the corpus fraction scanned
+  *    drops ~(1 - (15/16)^4) ≈ 23% per band family; at scale the bucketed
+  *    table is written partitioned by band so candidate lookup is
+  *    partition pruning, not a scan.
+  *  - Near-dup (V5) joins on band buckets (equi-join, shuffle on small
+  *    int keys) instead of the O(n²) cross join — the standard LSH
+  *    blocking scheme; the exact cosine then runs only on candidates.
+  *
+  * All vector math is the shared fixed-fold double arithmetic of
+  * [[graft.operators.VectorOps]], so DuckDB reproduces scores bit-exactly.
+  */
+object VectorQueries extends QueryPack {
+
+  /** Embedding dimensionality of the testdata `embeddings` table. */
+  val Dim = 64
+
+  /** Fixed deterministic query vector (components uniform in (-1,1) from
+    * java.util.Random(13) — specified LCG, identical on any JVM). */
+  val QueryVec: Seq[Double] = hyperplanes(1, Dim, seed = 13L).head
+
+  /** 16 hyperplanes → 4 bands × 4 bits for LSH bucketing. */
+  val Planes: Seq[Seq[Double]] = hyperplanes(16, Dim, seed = 7L)
+  val Bands = 4
+  val BitsPerBand = 4
+
+  private def bandPlanes(b: Int): Seq[Seq[Double]] =
+    Planes.slice(b * BitsPerBand, (b + 1) * BitsPerBand)
+
+  /** Band bucket ids of a constant vector, computed once in Scala with the
+    * same arithmetic both engines use on columns (dot fold from 0.0). */
+  private def constBands(v: Seq[Double]): Seq[Long] =
+    (0 until Bands).map { b =>
+      bandPlanes(b).zipWithIndex.map { case (hp, k) =>
+        val dot = hp.zip(v).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+        if (dot > 0.0) 1L << k else 0L
+      }.sum
+    }
+
+  /** Spark-side band columns for an embedding column. */
+  private def bandCols(e: Column): Seq[Column] =
+    (0 until Bands).map(b => lshBucket(e, bandPlanes(b)))
+
+  /** SQL mirror: band bucket select-exprs over column `e`. */
+  private def bandSqls(e: String): Seq[String] =
+    (0 until Bands).map(b => lshBucketSql(e, bandPlanes(b)))
+
+  private val qvSql: String = QueryVec.map(dl).mkString("[", ", ", "]")
+
+  override def queries: Seq[QueryDef] = Seq(
+
+    // V2 — exact kNN: top-10 by cosine to a fixed query vector
+    // (3_Sentiment_Analysis.py:81-87; notebook cells 128-130). Compiles to
+    // a scored parquet scan + TakeOrderedAndProject (per-partition k-heap).
+    QueryDef(
+      "q_v2_knn_cosine",
+      (s, dir) => Tables.embeddings(s, dir)
+        .withColumn("score", cosine(col("embedding"), typedLit(QueryVec)))
+        .orderBy(desc("score"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("label"), round(col("score"), 6).as("score")),
+      Some(s"""SELECT vec_id, label, round(score, 6) AS score
+              |FROM (SELECT vec_id, label,
+              |             ${cosineSql("embedding", qvSql)} AS score
+              |      FROM embeddings) t
+              |ORDER BY t.score DESC, vec_id LIMIT 10""".stripMargin),
+      bench = true),
+
+    // V2b — batch kNN: top-3 neighbors for each of the first 20 vectors
+    // (the all-pairs similarity-join shape). The query side is broadcast;
+    // the corpus side never shuffles.
+    QueryDef(
+      "q_v2b_knn_batch",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val scored = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("score", cosine(col("embedding"), col("qvec")))
+        val w = Window.partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank"), col("vec_id"),
+            round(col("score"), 6).as("score"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""SELECT qid, rank, vec_id, round(score, 6) AS score
+              |FROM (SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+              |             ${cosineSql("e.embedding", "q.embedding")} AS score,
+              |             row_number() OVER
+              |               (PARTITION BY q.vec_id
+              |                ORDER BY ${cosineSql("e.embedding", "q.embedding")} DESC,
+              |                         e.vec_id) AS rank
+              |      FROM embeddings e, embeddings q
+              |      WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id) t
+              |WHERE rank <= 3
+              |ORDER BY qid, rank""".stripMargin),
+      bench = true),
+
+    // V3 — kNN-neighborhood profile: label histogram over the top-10
+    // neighbors (3_Sentiment_Analysis.py:89-103 counts sentiment labels
+    // over the k result payloads; here the payload field is `label`).
+    QueryDef(
+      "q_v3_knn_histogram",
+      (s, dir) => Tables.embeddings(s, dir)
+        .withColumn("score", cosine(col("embedding"), typedLit(QueryVec)))
+        .orderBy(desc("score"), col("vec_id"))
+        .limit(10)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("label"),
+      Some(s"""SELECT label, count(*) AS cnt
+              |FROM (SELECT vec_id, label,
+              |             ${cosineSql("embedding", qvSql)} AS score
+              |      FROM embeddings
+              |      ORDER BY score DESC, vec_id LIMIT 10) t
+              |GROUP BY label ORDER BY label""".stripMargin)),
+
+    // V4 — ANN via sign-bit LSH: only vectors sharing >= 1 of 4 band
+    // buckets with the query are scored; exact cosine ranks the candidate
+    // set. The scale path for kNN over corpora where a full scan is too
+    // expensive (bucket ids become partition keys).
+    QueryDef(
+      "q_v4_lsh_ann",
+      (s, dir) => {
+        val qb = constBands(QueryVec)
+        val bands = bandCols(col("embedding"))
+        val isCand = (0 until Bands)
+          .map(b => bands(b) === lit(qb(b)))
+          .reduce(_ || _)
+        Tables.embeddings(s, dir)
+          .filter(isCand)
+          .withColumn("score", cosine(col("embedding"), typedLit(QueryVec)))
+          .orderBy(desc("score"), col("vec_id"))
+          .limit(5)
+          .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
+      },
+      {
+        val qb = constBands(QueryVec)
+        val cond = bandSqls("embedding").zipWithIndex
+          .map { case (sql, b) => s"($sql) = ${qb(b)}" }
+          .mkString(" OR ")
+        Some(s"""SELECT vec_id, label, round(score, 6) AS score
+                |FROM (SELECT vec_id, label,
+                |             ${cosineSql("embedding", qvSql)} AS score
+                |      FROM embeddings
+                |      WHERE $cond) t
+                |ORDER BY t.score DESC, vec_id LIMIT 5""".stripMargin)
+      }),
+
+    // V5 — embedding-cosine near-duplicate pairs. The corpus is augmented
+    // with perturbed copies of the first 25 vectors (deterministic +0.01
+    // shift, ids offset by 1e6) so near-dups exist; candidate pairs come
+    // from an equi-join on LSH band buckets (no O(n²) cross join), then
+    // exact cosine > 0.95 confirms. unionByName + band-bucket join is
+    // exactly the 100 TB blocking scheme.
+    QueryDef(
+      "q_v5_cosine_neardup",
+      (s, dir) => {
+        val base = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("emb"))
+        val copies = base.filter(col("vec_id") < 25)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("emb"), x => x + 0.01).as("emb"))
+        val u = base.unionByName(copies)
+        val withBands = u.select(
+          col("vec_id"), col("emb"),
+          explode(array(bandCols(col("emb")).zipWithIndex.map {
+            case (c, b) => struct(lit(b).as("band"), c.as("bucket"))
+          }: _*)).as("bb"))
+          .select(col("vec_id"), col("emb"),
+            col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        val a = withBands.as("a")
+        val b = withBands.as("b")
+        a.join(b,
+            col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+            col("a.emb").as("ea"), col("b.emb").as("eb"))
+          .distinct()
+          .withColumn("score", cosine(col("ea"), col("eb")))
+          .filter(col("score") > 0.95)
+          .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+          .orderBy("id_a", "id_b")
+      },
+      {
+        // list-of-2-lists (not tuples) so bb[1]/bb[2] positional indexing
+        // works in DuckDB; both elements are BIGINT.
+        val bandStruct = bandSqls("emb").zipWithIndex
+          .map { case (sql, b) => s"[CAST($b AS BIGINT), ($sql)]" }
+          .mkString("[", ", ", "]")
+        Some(s"""WITH u AS (
+                |  SELECT vec_id,
+                |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                |  FROM embeddings
+                |  UNION ALL
+                |  SELECT vec_id + 1000000,
+                |         list_transform(
+                |           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                |           x -> x + 0.01)
+                |  FROM embeddings WHERE vec_id < 25
+                |), wb AS (
+                |  SELECT vec_id, emb, bb[1] AS band, bb[2] AS bucket
+                |  FROM (SELECT vec_id, emb, unnest($bandStruct) AS bb FROM u)
+                |), pairs AS (
+                |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                |         a.emb AS ea, b.emb AS eb
+                |  FROM wb a JOIN wb b
+                |    ON a.band = b.band AND a.bucket = b.bucket
+                |   AND a.vec_id < b.vec_id
+                |)
+                |SELECT id_a, id_b, round(score, 6) AS score
+                |FROM (SELECT id_a, id_b, ${cosineSql("ea", "eb")} AS score
+                |      FROM pairs) t
+                |WHERE score > 0.95
+                |ORDER BY id_a, id_b""".stripMargin)
+      },
+      bench = true)
+  )
+}

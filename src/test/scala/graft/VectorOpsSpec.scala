@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.VectorOps._
+import graft.queries.VectorQueries
+
+/** Vector-operator invariants (SURVEY.md §5.3 property tests). */
+class VectorOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.get(4)
+  private val sf = "/root/testdata/sf0.001"
+
+  test("cosine is bounded, symmetric, and 1.0 on self") {
+    import spark.implicits._
+    val df = graft.sources.Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    val self = df.select(cosine(col("e"), col("e")).as("c"))
+      .as[Double].collect()
+    assert(self.forall(c => math.abs(c - 1.0) < 1e-12))
+
+    val a = df.as("a")
+    val b = df.as("b")
+    val pairs = a.crossJoin(b)
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(
+        cosine(col("a.e"), col("b.e")).as("ab"),
+        cosine(col("b.e"), col("a.e")).as("ba"))
+      .as[(Double, Double)].collect()
+    assert(pairs.forall { case (ab, ba) => ab == ba && ab >= -1.0 - 1e-12 && ab <= 1.0 + 1e-12 })
+  }
+
+  test("top-k by cosine is a prefix of top-(k+1)") {
+    import spark.implicits._
+    val scored = graft.sources.Tables.embeddings(spark, sf)
+      .withColumn("score", cosine(col("embedding"), typedLit(VectorQueries.QueryVec)))
+      .orderBy(desc("score"), col("vec_id"))
+    val k5 = scored.limit(5).select("vec_id").as[Long].collect().toSeq
+    val k6 = scored.limit(6).select("vec_id").as[Long].collect().toSeq
+    assert(k6.take(5) == k5)
+  }
+
+  test("LSH bucket ids are deterministic and within band range") {
+    import spark.implicits._
+    val planes = hyperplanes(4, 64, seed = 7L)
+    val df = graft.sources.Tables.embeddings(spark, sf).limit(100)
+      .select(lshBucket(col("embedding"), planes).as("b"))
+    val b1 = df.as[Long].collect().toSeq
+    val b2 = df.as[Long].collect().toSeq
+    assert(b1 == b2)
+    assert(b1.forall(b => b >= 0 && b < 16))
+  }
+
+  test("hyperplanes are reproducible from the seed") {
+    assert(hyperplanes(3, 8, 42L) == hyperplanes(3, 8, 42L))
+    assert(hyperplanes(3, 8, 42L) != hyperplanes(3, 8, 43L))
+    assert(hyperplanes(2, 5, 1L).flatten.forall(v => v > -1.0 && v < 1.0))
+  }
+}
