@@ -18,7 +18,8 @@ object SparkEntry {
     RecursiveKernelQueries,
     TextQueries,
     TextAnalysisQueries,
-    VectorQueries)
+    VectorQueries,
+    DedupQueries)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps._
+import graft.sources.Tables
+
+/** Document-deduplication operators for a large-scale training-data
+  * pipeline (builder brief): exact hash-groupBy dedup, MinHash+LSH,
+  * SimHash, and n-gram Jaccard verification, over `documents`.
+  *
+  * The synthetic corpus has no natural duplicates, so each query unions in
+  * deterministic perturbed/exact copies of a prefix of the corpus (ids
+  * offset by 1e6) — the dedup operators then have real work to do and the
+  * DuckDB oracles verify every candidate pair and score bit-exactly.
+  *
+  * Scale design (the 100 TB story):
+  *  - Exact dedup is one hash aggregation on a 128-bit fingerprint —
+  *    shuffle keys are 16-byte digests, not documents.
+  *  - MinHash dedup never forms the O(n²) pair space: candidates come
+  *    from an equi-join on (band, bucket) — the standard LSH blocking —
+  *    and signatures are 16 int64s per doc regardless of doc size.
+  *  - SimHash is a 16-bit locality fingerprint; hamming distance is one
+  *    xor+bit_count on an int column.
+  *  - All hashing is the shared deterministic [[TextOps.polyHash]], so no
+  *    engine-private hash functions leak into results.
+  */
+object DedupQueries extends QueryPack {
+
+  /** MinHash modulus (same prime as the base hash). */
+  private val P = HashP
+
+  /** 16 affine minhash functions h_i(x) = (a_i·x + b_i) mod P with
+    * coefficients from a fixed-seed LCG (identical literals both engines).
+    * a_i ∈ [1, P), b_i ∈ [0, P). */
+  val MinhashCoeffs: Seq[(Long, Long)] = {
+    val rnd = new java.util.Random(101L)
+    Seq.fill(16)((1L + math.abs(rnd.nextLong()) % (P - 1), math.abs(rnd.nextLong()) % P))
+  }
+  private val NumBands = 4
+  private val RowsPerBand = 4
+
+  /** Distinct word-3-shingle polyHash values of a normalized text column. */
+  private def shingleHashes(text: Column): Column =
+    transform(array_distinct(shingles(tokens(normalizeText(text)), 3)),
+      s => polyHash(s))
+
+  private def shingleHashesSql(text: String): String =
+    s"""list_transform(
+       |  list_distinct(${shinglesSql(tokensSql(normalizeTextSql(text)), 3)}),
+       |  s -> ${polyHashSql("s")})""".stripMargin
+
+  /** 16-component minhash signature from precomputed shingle hashes. */
+  private def minhashSig(hashes: Column): Column =
+    array(MinhashCoeffs.map { case (a, b) =>
+      array_min(transform(hashes, h => (h * a + b) % P))
+    }: _*)
+
+  private def minhashSigSql(hashes: String): String =
+    MinhashCoeffs.map { case (a, b) =>
+      s"list_min(list_transform($hashes, h -> (h * $a + $b) % $P))"
+    }.mkString("[", ", ", "]")
+
+  /** Perturbed near-dup copies: ids + 1e6, a marker phrase appended. */
+  private val Marker = " zq near duplicate marker tail"
+
+  override def queries: Seq[QueryDef] = Seq(
+
+    // D1 — MinHash + LSH near-dup detection. Signature = 16 minhashes over
+    // distinct normalized 3-shingles; 4 bands x 4 rows; candidates share a
+    // band bucket; estimated Jaccard = matching signature fraction >= 0.5.
+    // Expect exactly the 25 (orig, copy) pairs.
+    QueryDef(
+      "q_d1_minhash_lsh",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        val copies = base.filter(col("doc_id") < 25)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(Marker)).as("text"))
+        val sigs = base.unionByName(copies)
+          .withColumn("hashes", shingleHashes(col("text")))
+          .filter(size(col("hashes")) > 0)
+          .withColumn("sig", minhashSig(col("hashes")))
+          .select(col("doc_id"), col("sig"))
+        val banded = sigs.select(
+          col("doc_id"), col("sig"),
+          explode(array((0 until NumBands).map { bd =>
+            struct(lit(bd).as("band"),
+              concat_ws(",", (0 until RowsPerBand).map(r =>
+                element_at(col("sig"), bd * RowsPerBand + r + 1).cast("string")): _*)
+                .as("bucket"))
+          }: _*)).as("bb"))
+          .select(col("doc_id"), col("sig"),
+            col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        val a = banded.as("a")
+        val b = banded.as("b")
+        a.join(b,
+            col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.sig").as("sa"), col("b.sig").as("sb"))
+          .distinct()
+          .withColumn("est_jaccard",
+            round(size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+              b => b)).cast("double") / 16.0, 6))
+          .filter(col("est_jaccard") >= 0.5)
+          .select(col("id_a"), col("id_b"), col("est_jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH u AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 1000000, text || '$Marker'
+              |  FROM documents WHERE doc_id < 25
+              |), sigs AS (
+              |  SELECT doc_id, ${minhashSigSql("hashes")} AS sig
+              |  FROM (SELECT doc_id, ${shingleHashesSql("text")} AS hashes FROM u) h
+              |  WHERE len(hashes) > 0
+              |), banded AS (
+              |  SELECT doc_id, sig, band,
+              |         list_aggregate(list_transform([1,2,3,4],
+              |           i -> CAST(sig[band * 4 + i] AS VARCHAR)),
+              |           'string_agg', ',') AS bucket
+              |  FROM (SELECT doc_id, sig,
+              |               CAST(unnest([0,1,2,3]) AS INT) AS band
+              |        FROM sigs)
+              |), pairs AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+              |         a.sig AS sa, b.sig AS sb
+              |  FROM banded a JOIN banded b
+              |    ON a.band = b.band AND a.bucket = b.bucket
+              |   AND a.doc_id < b.doc_id
+              |)
+              |SELECT id_a, id_b,
+              |       round(CAST(len(list_filter(list_zip(sa, sb),
+              |                    p -> p[1] = p[2])) AS DOUBLE) / 16.0, 6)
+              |         AS est_jaccard
+              |FROM pairs
+              |WHERE len(list_filter(list_zip(sa, sb), p -> p[1] = p[2])) >= 8
+              |ORDER BY id_a, id_b""".stripMargin),
+      bench = true),
+
+    // D2 — SimHash fingerprints: 16-bit sign-aggregated token-hash
+    // fingerprint; hamming(orig, perturbed copy) via xor + bit_count.
+    // Locality property: small text edits move few bits.
+    QueryDef(
+      "q_d2_simhash",
+      (s, dir) => {
+        // token hashes materialized once; the 16 bit-sums fold over them.
+        def tokenHashes(text: Column): Column =
+          transform(tokens(normalizeText(text)), t => polyHash(t))
+        def simhashFrom(th: Column): Column =
+          (0 until 16).map { k =>
+            val bitSum = aggregate(th, lit(0L),
+              (acc, h) => acc + (shiftright(h, k).bitwiseAND(1L) * 2L - 1L))
+            when(bitSum >= 0, lit(1L << k)).otherwise(lit(0L))
+          }.reduce(_ + _)
+        Tables.documents(s, dir).filter(col("doc_id") < 100)
+          .withColumn("th_a", tokenHashes(col("text")))
+          .withColumn("th_b", tokenHashes(concat(col("text"), lit(Marker))))
+          .withColumn("sim_a", simhashFrom(col("th_a")))
+          .withColumn("sim_b", simhashFrom(col("th_b")))
+          .select(col("doc_id"), col("sim_a"), col("sim_b"),
+            bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+          .orderBy("doc_id")
+      },
+      {
+        def thSql(text: String): String =
+          s"list_transform(${tokensSql(normalizeTextSql(text))}, t -> ${polyHashSql("t")})"
+        def simhashFromSql(th: String): String =
+          (0 until 16).map { k =>
+            s"""(CASE WHEN list_sum(list_prepend(CAST(0 AS BIGINT),
+               |  list_transform($th, h -> ((h >> $k) & 1) * 2 - 1))) >= 0
+               |  THEN ${1L << k} ELSE 0 END)""".stripMargin
+          }.mkString("(", " + ", ")")
+        Some(s"""SELECT doc_id, sim_a, sim_b,
+                |       bit_count(xor(sim_a, sim_b)) AS hamming
+                |FROM (SELECT doc_id,
+                |             ${simhashFromSql("th_a")} AS sim_a,
+                |             ${simhashFromSql("th_b")} AS sim_b
+                |      FROM (SELECT doc_id,
+                |                   ${thSql("text")} AS th_a,
+                |                   ${thSql(s"text || '$Marker'")} AS th_b
+                |            FROM documents WHERE doc_id < 100) h) t
+                |ORDER BY doc_id""".stripMargin)
+      }),
+
+    // D3 — exact n-gram Jaccard verification over candidate pairs (the
+    // re-rank step after LSH blocking): |A∩B| / |A∪B| on distinct
+    // 3-shingle sets, near-dup iff >= 0.5.
+    QueryDef(
+      "q_d3_ngram_jaccard",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 50)
+          .select(col("doc_id"),
+            array_distinct(shingles(tokens(normalizeText(col("text"))), 3)).as("sh_a"),
+            array_distinct(shingles(tokens(normalizeText(
+              concat(col("text"), lit(Marker)))), 3)).as("sh_b"))
+        base
+          .withColumn("jaccard",
+            round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
+          .select(col("doc_id"), col("jaccard"),
+            (col("jaccard") >= 0.5).as("is_neardup"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+              |             / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE), 6)
+              |         AS jaccard,
+              |       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+              |             / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE), 6)
+              |         >= 0.5 AS is_neardup
+              |FROM (SELECT doc_id,
+              |             list_distinct(${shinglesSql(tokensSql(normalizeTextSql("text")), 3)}) AS sh_a,
+              |             list_distinct(${shinglesSql(tokensSql(normalizeTextSql(s"text || '$Marker'")), 3)}) AS sh_b
+              |      FROM documents WHERE doc_id < 50) t
+              |ORDER BY doc_id""".stripMargin)),
+
+    // D4 — exact dedup by content fingerprint (hash-groupBy): exact copies
+    // of the first 50 docs are injected; group by md5(normalized text),
+    // keep min(doc_id), report groups with duplicates. Shuffle keys are
+    // 16-byte digests — corpus-size-independent.
+    QueryDef(
+      "q_d4_exact_dedup",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val copies = base.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        base.unionByName(copies)
+          .withColumn("fp", md5(normalizeText(col("text")).cast("binary")))
+          .groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("keeper"),
+            count(lit(1)).as("n_copies"))
+          .filter(col("n_copies") > 1)
+          .orderBy("keeper")
+          .select(col("keeper"), col("fp"), col("n_copies"))
+      },
+      Some(s"""SELECT keeper, fp, n_copies
+              |FROM (SELECT md5(${normalizeTextSql("text")}) AS fp,
+              |             min(doc_id) AS keeper,
+              |             count(*) AS n_copies
+              |      FROM (SELECT doc_id, text FROM documents
+              |            UNION ALL
+              |            SELECT doc_id + 1000000, text
+              |            FROM documents WHERE doc_id < 50) u
+              |      GROUP BY fp) g
+              |WHERE n_copies > 1
+              |ORDER BY keeper""".stripMargin),
+      bench = true)
+  )
+}
