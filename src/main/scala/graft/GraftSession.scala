@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** Standard session factory: every entry point (Verify, Bench, tests) uses
   * the same config so plans and numeric results are reproducible.
@@ -20,6 +22,27 @@ object GraftSession {
   def builder(cores: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cores]")
+      // custom codegen'd expressions (see graft.functions) — injected via
+      // the public extensions API so they're usable from spark.sql too.
+      .withExtensions { ext =>
+        ext.injectFunction((
+          FunctionIdentifier("graft_polyhash"),
+          new ExpressionInfo(classOf[graft.functions.PolyHash].getName, "graft_polyhash"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            graft.functions.PolyHash(children.head)))
+        ext.injectFunction((
+          FunctionIdentifier("graft_hash_embed"),
+          new ExpressionInfo(classOf[graft.functions.HashEmbed].getName, "graft_hash_embed"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+            val dim = children.lift(1) match {
+              case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+              case None => 16
+              case other => throw new IllegalArgumentException(
+                s"graft_hash_embed(th[, dim]): dim must be an int literal, got $other")
+            }
+            graft.functions.HashEmbed(children.head, dim)
+          }))
+      }
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -19,7 +19,8 @@ object SparkEntry {
     TextQueries,
     TextAnalysisQueries,
     VectorQueries,
-    DedupQueries)
+    DedupQueries,
+    ScorerQueries)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

@@ -30,8 +30,17 @@ object TextOps {
     * Used (instead of murmur3/xxhash) because the DuckDB oracle must
     * compute bit-identical values; both engines fold left over the same
     * char sequence. ASCII-safe (testdata text is ASCII).
+    *
+    * Backed by the codegen'd [[graft.functions.PolyHash]] expression
+    * (registered by GraftSession); the declarative HOF fold
+    * [[polyHashHof]] is semantically identical but ~4 orders of magnitude
+    * slower per char and is kept only as a cross-check in tests.
     */
-  def polyHash(s: Column): Column =
+  def polyHash(s: Column): Column = call_function("graft_polyhash", s)
+
+  /** Reference HOF implementation of [[polyHash]] (tests cross-check the
+    * codegen'd expression against this). */
+  def polyHashHof(s: Column): Column =
     aggregate(
       split(s, ""),
       lit(HashSeed),
