@@ -20,7 +20,8 @@ object SparkEntry {
     TextAnalysisQueries,
     VectorQueries,
     DedupQueries,
-    ScorerQueries)
+    ScorerQueries,
+    FirKernelQueries)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{FirKernels, Wavelet}
+import graft.sources.Tables
+
+/** W2 Gaussian smoothing, W3 Savitzky–Golay, R3 wavelet denoising
+  * (SURVEY.md §2.5) over the per-user `events.value` series — the three
+  * kernels whose edge/global semantics don't fit a plain bounded frame.
+  *
+  * W2/W3 stay fully declarative (pad-union + windowed FIR taps; see
+  * [[graft.operators.FirKernels]]) and carry exact DuckDB oracles.
+  * R3 is a whole-series transform with no SQL equivalent — its
+  * correctness contract lives in WaveletSpec (perfect reconstruction,
+  * polynomial preservation); the query is rows-only checked.
+  */
+object FirKernelQueries extends QueryPack {
+
+  override def queries: Seq[QueryDef] = Seq(
+
+    // W2 — Gaussian smoothing, σ = 20/6, radius 13, edge mode 'reflect'
+    // (smoothers.py:7-16).
+    QueryDef(
+      "q_w2_gaussian",
+      (s, dir) => FirKernels.gaussian(
+        Tables.events(s, dir), Seq("user_id"), Seq("ts_ns", "event_id"),
+        "value", "gauss")
+        .select(col("event_id"), round(col("gauss"), 6).as("gauss"))
+        .orderBy("event_id"),
+      Some {
+        val cte = FirKernels.gaussianSql(
+          "events", Seq("user_id"), Seq("ts, event_id"),
+          "value", "gauss", Seq("user_id", "event_id"))
+        s"""WITH $cte
+           |SELECT event_id, round(gauss, 6) AS gauss
+           |FROM conv WHERE pos >= 0 AND pos < n
+           |ORDER BY event_id""".stripMargin
+      },
+      bench = true),
+
+    // W3 — Savitzky–Golay(21, 4), mode 'interp' (filters.py:30-35).
+    QueryDef(
+      "q_w3_savgol",
+      (s, dir) => FirKernels.savgol(
+        Tables.events(s, dir), Seq("user_id"), Seq("ts_ns", "event_id"),
+        "value", "savgol")
+        .select(col("event_id"), round(col("savgol"), 6).as("savgol"))
+        .orderBy("event_id"),
+      Some {
+        val cte = FirKernels.savgolSql(
+          "events", Seq("user_id"), Seq("ts, event_id"), "value", "savgol")
+        s"""WITH $cte
+           |SELECT event_id, round(savgol, 6) AS savgol
+           |FROM sg ORDER BY event_id""".stripMargin
+      }),
+
+    // R3 — sym4 level-2 wavelet denoising (filters.py:38-60): global
+    // per-series transform; rows-only check + WaveletSpec contract.
+    QueryDef(
+      "q_r3_wavelet",
+      (s, dir) => Wavelet.applySeriesTransform(
+        Tables.events(s, dir), Seq("user_id"), Seq("ts_ns", "event_id"),
+        "value", "denoised")(Wavelet.denoise(_))
+        .select(col("event_id"), round(col("denoised"), 6).as("denoised"))
+        .orderBy("event_id"),
+      None)
+  )
+}
