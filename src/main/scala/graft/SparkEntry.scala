@@ -21,7 +21,8 @@ object SparkEntry {
     VectorQueries,
     DedupQueries,
     ScorerQueries,
-    FirKernelQueries)
+    FirKernelQueries,
+    PipelineQueries)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{FirKernels, SeriesKernels, Wavelet}
+import graft.operators.FrameKernels._
+import graft.operators.SeriesKernels._
+import graft.sources.Tables
+
+/** E1 — the reference's entire hourly OHLCV DAG as ONE logical plan
+  * (SURVEY.md §3 E1, btc_usdt_etl_dag.py:42-229): candle source → 6
+  * derived Close series (Kalman, SavGol, wavelet, Gaussian, SMA, SES) →
+  * 10 crossover signals ({RSI,BBANDS,MACD,PPO,ADX} × {buy,sell}) → the
+  * 22-column projection written by the reference
+  * (btc_usdt_etl_dag.py:193-201).
+  *
+  * The reference runs this as 5 Airflow processes exchanging JSON
+  * (fan-out add_features ∥ add_signal then an inner join on Date —
+  * SURVEY §3: "the join exists only because of process isolation").
+  * Here the whole thing is one Catalyst plan:
+  *
+  *   bars (1 shuffle: groupBy user,hour) →
+  *   window pack (1 shuffle on user reused by EnsureRequirements:
+  *     rn, SMA30, Bollinger moments, PPO line) →
+  *   one mapPartitions pass for ALL six O(1)-state kernels
+  *     (Kalman, SES, RSI, MACD, PPO-EMA, ADX — single KernelSpec list) →
+  *   Gaussian / SavGol FIR windows + wavelet series transform →
+  *   signal lag-algebra windows → 22-col projection.
+  *
+  * No joins anywhere — column widening replaces the reference's J1. At
+  * 100 TB: everything after the bar aggregation is partitioned by
+  * series key; a thousand executors each stream their series once.
+  *
+  * Oracle: None (composes recursive kernels + wavelet — not
+  * SQL-expressible); correctness is carried by the per-kernel oracled
+  * queries (the q_r, q_w and q_g families) plus PipelineSpec's
+  * structural contract (schema, warmup nulls, signal mutual exclusion).
+  */
+object PipelineQueries extends QueryPack {
+
+  private val seriesW = Window.partitionBy(col("user_id")).orderBy(col("bts"))
+
+  /** Per-user hourly OHLCV bars from raw events (X8; volume = event
+    * count per bar as the testdata has no size column). */
+  private def bars(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), date_trunc("HOUR", col("ts")).as("bts"))
+      .agg(
+        min_by(col("value"), col("ts_ns")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts_ns")).as("close"),
+        count(lit(1)).cast("double").as("volume"))
+
+  def build(s: SparkSession, dir: String): DataFrame = {
+    // ---- window pack: row number, SMA30, Bollinger(20,2), PPO line
+    val f12 = seriesW.rowsBetween(-11, 0)
+    val f26 = seriesW.rowsBetween(-25, 0)
+    val sma12 = decSum(col("close"), f12) / 12.0
+    val sma26 = decSum(col("close"), f26) / 26.0
+    val withWindows = bars(s, dir)
+      .withColumn("rn", row_number().over(seriesW))
+      .withColumn("close_sma", sma(col("close"), 30, seriesW))
+      .withColumn("ppo", when(col("rn") >= 26, (sma12 - sma26) / sma26 * 100.0))
+    val (bbMid, bbUp, bbLo) = bollinger(col("close"), col("rn"), 20, 2.0, seriesW)
+    val withBb = withWindows
+      .withColumn("bb_mid", bbMid)
+      .withColumn("bb_up", bbUp)
+      .withColumn("bb_lo", bbLo)
+
+    // ---- ONE fused object-land pass: all six O(1)-state kernels + the
+    // three whole-series smoothers (Gaussian, SavGol, wavelet) run over
+    // each buffered series in a single shuffle+sort (interleaving them
+    // with window stages would re-exchange on user_id at every
+    // serialize fence — measured 11 exchanges vs 4 for this plan).
+    import graft.operators.SeriesTransforms
+    import graft.operators.SeriesTransforms._
+    val withWavelet = SeriesTransforms.applyAll(
+      withBb, Seq("user_id"), Seq("bts"),
+      Seq(
+        fromKernel(KernelSpec(Seq("close"), Seq("close_kalman"), () => new KalmanKernel())),
+        fromKernel(KernelSpec(Seq("close"), Seq("close_ses"), () => new SesKernel())),
+        fromKernel(KernelSpec(Seq("close"), Seq("rsi"), () => new RsiKernel())),
+        fromKernel(KernelSpec(Seq("close"), Seq("macd", "macd_sig", "macd_hist"),
+          () => new MacdKernel())),
+        fromKernel(KernelSpec(Seq("ppo"), Seq("ppo_ema"), () => new EmaKernel(9))),
+        fromKernel(KernelSpec(Seq("high", "low", "close"),
+          Seq("plus_di", "minus_di", "adx"), () => new AdxKernel())),
+        gaussianSpec("close", "close_gauss"),
+        savgolSpec("close", "close_savgol"),
+        waveletSpec("close", "close_wavelet")))
+
+    // ---- crossover signal algebra (G1-G5)
+    withWavelet
+      .withColumn("rsi_buy", crossAbove(col("rsi"), lit(30.0), seriesW))
+      .withColumn("rsi_sell", crossBelow(col("rsi"), lit(70.0), seriesW))
+      .withColumn("bbands_buy", crossBelow(col("close"), col("bb_lo"), seriesW))
+      .withColumn("bbands_sell", crossAbove(col("close"), col("bb_up"), seriesW))
+      .withColumn("macd_buy", crossAbove(col("macd"), col("macd_sig"), seriesW))
+      .withColumn("macd_sell", crossBelow(col("macd"), col("macd_sig"), seriesW))
+      .withColumn("ppo_buy", crossAbove(col("ppo"), col("ppo_ema"), seriesW))
+      .withColumn("ppo_sell", crossBelow(col("ppo"), col("ppo_ema"), seriesW))
+      .withColumn("adx_buy",
+        coalesce(lag(col("plus_di"), 1).over(seriesW) < lag(col("minus_di"), 1).over(seriesW)
+          && col("plus_di") > col("minus_di") && col("adx") > 25.0, lit(false)))
+      .withColumn("adx_sell",
+        coalesce(lag(col("minus_di"), 1).over(seriesW) < lag(col("plus_di"), 1).over(seriesW)
+          && col("minus_di") > col("plus_di") && col("adx") > 25.0, lit(false)))
+      // ---- the reference's 22-column write schema (P1/P2 rename applied)
+      .select(
+        col("user_id"),
+        date_format(col("bts"), "yyyy-MM-dd HH:mm:ss").as("date"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"),
+        round(col("close_kalman"), 6).as("close_kalman_filter"),
+        round(col("close_savgol"), 6).as("close_savitzky_golay_filter"),
+        round(col("close_wavelet"), 6).as("close_wavelet_filter"),
+        round(col("close_gauss"), 6).as("close_gaussian_smoothing"),
+        round(col("close_sma"), 6).as("close_sma_smoothing"),
+        round(col("close_ses"), 6).as("close_exponential_smoothing"),
+        col("rsi_buy").as("rsi_buy_signal"), col("rsi_sell").as("rsi_sell_signal"),
+        col("bbands_buy").as("bbands_buy_signal"), col("bbands_sell").as("bbands_sell_signal"),
+        col("macd_buy").as("macd_buy_signal"), col("macd_sell").as("macd_sell_signal"),
+        col("ppo_buy").as("ppo_buy_signal"), col("ppo_sell").as("ppo_sell_signal"),
+        col("adx_buy").as("adx_buy_signal"), col("adx_sell").as("adx_sell_signal"))
+      .orderBy("user_id", "date")
+  }
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_e1_ohlcv_pipeline", build, None, bench = true))
+}
