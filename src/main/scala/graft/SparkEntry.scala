@@ -22,7 +22,8 @@ object SparkEntry {
     DedupQueries,
     ScorerQueries,
     FirKernelQueries,
-    PipelineQueries)
+    PipelineQueries,
+    StreamingQueries)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Ev
+
+/** Streaming-semantics queries (SURVEY.md §2.7): each runs a REAL
+  * Structured Streaming job (memory source → watermark/stateful
+  * transform → memory sink, two micro-batch phases) whose final output
+  * must equal the equivalent batch query — which is exactly what the
+  * DuckDB oracle computes. The stream/batch agreement is the core
+  * guarantee of the Structured Streaming model, and these queries gate
+  * it per operator.
+  */
+object StreamingQueries extends QueryPack {
+
+  /** Deterministic event sample for the streams: every 7th event keeps
+    * the memory-source volume reasonable at any SF. */
+  private def sample(s: SparkSession, dir: String): Seq[Ev] = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter(col("event_id") % 7 === 0)
+      // integer div: epoch-nanos exceed double mantissa range, so a
+      // float division here would drop the low microsecond digit
+      .select(col("event_id"),
+        expr("(ts_ns - pmod(ts_ns, 1000)) div 1000").as("ts_us"),
+        col("user_id"), col("value"))
+      .as[Ev]
+      .collect()
+      .sortBy(_.event_id)
+      .toSeq
+  }
+
+  private val sampleSql = "SELECT * FROM events WHERE event_id % 7 = 0"
+
+  override def queries: Seq[QueryDef] = Seq(
+
+    // X1/X8 — streaming tumbling 1-hour bars with event-time watermark
+    // (append mode; a far-future sentinel flushes the last windows).
+    // Oracle: the same aggregation as a batch query.
+    QueryDef(
+      "q_x1_stream_tumbling",
+      (s, dir) => StreamingOps.runTwoPhase(
+        s, sample(s, dir), Seq.empty, StreamingOps.tumblingBars, "append")
+        .orderBy("user_id", "bucket"),
+      Some(s"""SELECT user_id,
+              |       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+              |       count(*) AS n_events,
+              |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+              |FROM ($sampleSql) t
+              |GROUP BY user_id, date_trunc('hour', ts)
+              |ORDER BY user_id, bucket""".stripMargin)),
+
+    // X3 — late/duplicate delivery: phase 2 re-delivers the first 200
+    // events (the reference's 24h-overlap window re-reads articles and
+    // accumulates duplicates — news_etl_dag.py:37-38; we dedup on the
+    // business key instead). Oracle: batch DISTINCT.
+    QueryDef(
+      "q_x3_stream_dedup",
+      (s, dir) => {
+        val rows = sample(s, dir)
+        StreamingOps.runTwoPhase(
+          s, rows, rows.take(200), StreamingOps.dedupStream, "append")
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id,
+              |       epoch_us(date_trunc('microseconds', ts)) AS ts_us, value
+              |FROM ($sampleSql) t
+              |ORDER BY event_id""".stripMargin))
+  )
+}

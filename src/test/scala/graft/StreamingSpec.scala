@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.FrameKernels._
+import graft.operators.SeriesKernels._
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Ev
+
+/** Streaming semantics (SURVEY.md §2.7): X2 incremental-tick parity —
+  * the invariant the reference assumes but never checks — plus X4
+  * empty-batch no-op.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.get(4)
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The reference's per-tick enrichment over a (≤300-row) frame:
+    * SMA30 + Bollinger(20,2) + band signals (btc_usdt_etl_dag.py:109-172,
+    * frame-expressible subset). */
+  private def enrich(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val rn = row_number().over(w)
+    val base = df.withColumn("rn", rn)
+    val (mid, up, lo) = bollinger(col("value"), col("rn"), 20, 2.0, w)
+    base
+      .withColumn("sma30", sma(col("value"), 30, w))
+      .withColumn("bb_up", up)
+      .withColumn("bb_lo", lo)
+      .withColumn("buy", crossBelow(col("value"), col("bb_lo"), w))
+      .withColumn("sell", crossAbove(col("value"), col("bb_up"), w))
+  }
+
+  test("X2: incremental tick (lookback window + 1 new row) equals batch recompute") {
+    // one series, driver-sequenced ticks — the foreachBatch shape
+    val series = Tables.events(spark, sf)
+      .filter(col("user_id") === 3)
+      .orderBy("ts_ns", "event_id")
+      .select("event_id", "ts_ns", "user_id", "value")
+      .collect()
+    assert(series.length > 45)
+    import spark.implicits._
+    val full = enrich(
+      series.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.toDF("event_id", "ts_ns", "user_id", "value"))
+      .select("event_id", "sma30", "bb_up", "bb_lo", "buy", "sell")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val lookback = 299
+    for (t <- 40 until series.length) {
+      val windowRows = series.slice(math.max(0, t - lookback), t + 1)
+      val ticked = enrich(
+        windowRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSeq.toDF("event_id", "ts_ns", "user_id", "value"))
+        .orderBy(desc("ts_ns"), desc("event_id")).limit(1)
+        .select("event_id", "sma30", "bb_up", "bb_lo", "buy", "sell")
+        .head()
+      val batch = full(ticked.getLong(0))
+      for (i <- 1 to 3)
+        assert(math.abs(ticked.getDouble(i) - batch.getDouble(i)) < 1e-12,
+          s"tick $t col $i: ${ticked.getDouble(i)} vs ${batch.getDouble(i)}")
+      for (i <- 4 to 5)
+        assert(ticked.getBoolean(i) == batch.getBoolean(i), s"tick $t signal col $i")
+    }
+  }
+
+  test("X4: an empty micro-batch is a no-op") {
+    val rows = Seq(
+      Ev(1, 1704067200000000L, 1, 10.0),
+      Ev(2, 1704070800000000L, 1, 11.0),
+      Ev(3, 1704074400000000L, 2, 12.0),
+      Ev(4, 1704078000000000L, 2, 13.0))
+    // phase 2 delivers only the sentinel (dups empty, second half empty
+    // after split) — output must still be exactly the distinct input
+    val out = StreamingOps.runTwoPhase(
+      spark, rows, Seq.empty, StreamingOps.dedupStream, "append")
+    assert(out.count() == 4)
+  }
+
+  test("X3: duplicate re-delivery across micro-batches is dropped") {
+    val rows = (1 to 20).map(i => Ev(i.toLong, 1704067200000000L + i * 60000000L, 1L, i * 1.0))
+    val out = StreamingOps.runTwoPhase(
+      spark, rows, rows.take(10), StreamingOps.dedupStream, "append")
+    assert(out.count() == 20)
+  }
+}
