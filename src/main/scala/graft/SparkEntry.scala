@@ -23,7 +23,8 @@ object SparkEntry {
     ScorerQueries,
     FirKernelQueries,
     PipelineQueries,
-    StreamingQueries)
+    StreamingQueries,
+    MultimodalQueries)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

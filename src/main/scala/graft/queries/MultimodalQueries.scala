@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.MultimodalOps
+import graft.sources.Tables
+
+/** Multimodal-column queries (builder brief): binary payloads + typed
+  * metadata through the relational engine. Payloads are synthesized
+  * deterministically from `documents.text` (the container has no media
+  * files); the byte-level plumbing — binary columns, lengths, hashes,
+  * slicing — is real and oracle-checked; the codec stage is the
+  * [[graft.operators.MultimodalOps.FakeCodec]] stub (rows-only checked +
+  * MultimodalSpec contract).
+  */
+object MultimodalQueries extends QueryPack {
+
+  override def queries: Seq[QueryDef] = Seq(
+
+    // MM1 — binary payload + metadata struct: cast text to bytes, carry
+    // (mime, size, checksum) metadata; fully oracle-checked byte plumbing.
+    QueryDef(
+      "q_mm1_binary_meta",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("meta", struct(
+          lit("text/plain").as("mime"),
+          length(col("payload")).as("bytes"),
+          md5(col("payload")).as("checksum")))
+        .select(
+          col("doc_id"),
+          col("meta.mime").as("mime"),
+          col("meta.bytes").as("n_bytes"),
+          col("meta.checksum").as("checksum"),
+          base64(expr("substring(payload, 1, 12)")).as("head_b64"))
+        .orderBy("doc_id"),
+      // DuckDB's md5/substring don't take BLOBs; the corpus is ASCII, so
+      // the text-level mirror hashes/slices identical bytes.
+      Some("""SELECT doc_id,
+             |       'text/plain' AS mime,
+             |       octet_length(encode(text)) AS n_bytes,
+             |       md5(text) AS checksum,
+             |       to_base64(encode(substring(text, 1, 12))) AS head_b64
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+    // MM2 — batched decode stage over the payloads (FakeCodec stub):
+    // schema/batch plumbing is the tested surface; rows-only check.
+    QueryDef(
+      "q_mm2_decode_features",
+      (s, dir) => MultimodalOps.decodeStage(
+        Tables.documents(s, dir)
+          .withColumn("payload", col("text").cast("binary")),
+        "payload")
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          round(col("mean_byte"), 6).as("mean_byte"),
+          round(col("byte_entropy"), 6).as("byte_entropy"))
+        .orderBy("doc_id"),
+      None),
+
+    // MM3 — frame sampling over a synthetic "video": 64-byte frames,
+    // every 4th kept; per-frame checksum. Pure byte slicing — oracled.
+    QueryDef(
+      "q_mm3_frame_sample",
+      (s, dir) => MultimodalOps.sampleFrames(
+        Tables.documents(s, dir)
+          .withColumn("payload", col("text").cast("binary")),
+        "payload", frameSize = 64, stride = 4)
+        .select(col("doc_id"), col("frame_idx"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""SELECT doc_id, frame_idx, md5(frame) AS frame_md5
+             |FROM (
+             |  SELECT doc_id, frame_idx,
+             |         substring(text, CAST(frame_idx * 64 + 1 AS INT), 64) AS frame
+             |  FROM (SELECT doc_id, text,
+             |               unnest(range(0, greatest(octet_length(encode(text)) // 64, 0)))
+             |                 AS frame_idx
+             |        FROM documents) t
+             |  WHERE frame_idx % 4 = 0
+             |) f
+             |ORDER BY doc_id, frame_idx""".stripMargin))
+  )
+}

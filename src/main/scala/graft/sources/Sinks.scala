@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sink layer (SURVEY.md §2.1 K1–K3).
+  *
+  *  - K1 [[appendPartitioned]]: the InfluxDB measurement append
+  *    (btc_usdt_etl_dag.py:212-220) becomes a time-partitioned parquet
+  *    append. Partitioning by day means (a) the reference's Flux
+  *    `range(start:…)` scans become partition pruning, (b) S3 "last
+  *    point" lookups touch only the newest partition, (c) appends never
+  *    rewrite history. At 100 TB the layout is
+  *    `sink/day=YYYY-MM-DD/part-*.parquet` across the cluster.
+  *
+  *  - K2 [[upsertByKey]]: the Qdrant per-point upsert
+  *    (news_etl_dag.py:142-183, `wait=False` row-at-a-time) becomes a
+  *    bulk merge: union incoming with current, keep the newest version
+  *    per key (row_number over version order), rewrite. This fixes the
+  *    reference's duplicate accumulation (X3) while keeping upsert
+  *    semantics. A real deployment backs this with a table format that
+  *    has MERGE (Delta/Iceberg); plain parquet rewrites the union —
+  *    the semantics and the dedup shuffle shape are identical.
+  *
+  *  - K3 idempotent DDL = create-path-if-absent, implicit in both.
+  */
+object Sinks {
+
+  /** K1: append `df` partitioned by the DATE of `tsCol` (directory
+    * column `day`). */
+  def appendPartitioned(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("day", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode("append").partitionBy("day").parquet(path)
+
+  /** Reads a K1 sink; day-range predicates prune partitions. */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** K2: merge `incoming` into the keyed sink at `path`: per key keep the
+    * highest `versionCol` row (ties: incoming wins via the source rank).
+    * Creates the sink if absent.
+    */
+  def upsertByKey(spark: SparkSession, incoming: DataFrame, path: String,
+      keys: Seq[String], versionCol: String): Unit = {
+    val existing =
+      try Some(spark.read.parquet(path).select(incoming.columns.map(col): _*))
+      catch { case _: Throwable => None }
+    val merged = existing match {
+      case None => incoming.dropDuplicates(keys)
+      case Some(cur) =>
+        val unioned = cur.withColumn("__src", lit(0))
+          .unionByName(incoming.withColumn("__src", lit(1)))
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(desc(versionCol), desc("__src"))
+        unioned
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1)
+          .drop("__rk", "__src")
+    }
+    // rewrite atomically enough for a test/demo sink: stage then move
+    val staged = path + ".staging"
+    merged.write.mode("overwrite").parquet(staged)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staged), dst)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Sinks, Tables}
+
+/** K1 partitioned-append and K2 keyed-upsert sink contracts. */
+class SinksSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.get(4)
+  private val sf = "/root/testdata/sf0.001"
+
+  test("K1: partitioned append + partition pruning on day predicates") {
+    val dir = Files.createTempDirectory("graft_k1").toString + "/sink"
+    val events = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "value")
+    Sinks.appendPartitioned(events.filter(col("event_id") % 2 === 0), "ts", dir)
+    Sinks.appendPartitioned(events.filter(col("event_id") % 2 === 1), "ts", dir)
+    val back = Sinks.readPartitioned(spark, dir)
+    assert(back.count() == events.count())
+
+    val pruned = back.filter(col("day") === "2024-01-05")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // partition filter must reach the scan, not a post-scan Filter
+    assert(plan.contains("PartitionFilters") && plan.contains("day"),
+      s"no partition pruning in plan:\n$plan")
+    val expected = events.filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-05").count()
+    assert(pruned.count() == expected && expected > 0)
+  }
+
+  test("K2: upsert keeps the newest version per key and dedups re-delivery") {
+    val dir = Files.createTempDirectory("graft_k2").toString + "/sink"
+    import spark.implicits._
+    val v1 = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+      .toDF("id", "payload", "version")
+    Sinks.upsertByKey(spark, v1, dir, Seq("id"), "version")
+    // re-deliver id=2 with a newer version, id=3 with same (incoming wins),
+    // and a brand-new id=4
+    val v2 = Seq((2L, "B", 2L), (3L, "C", 1L), (4L, "d", 1L))
+      .toDF("id", "payload", "version")
+    Sinks.upsertByKey(spark, v2, dir, Seq("id"), "version")
+    val state = spark.read.parquet(dir)
+      .select("id", "payload", "version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(state == Set((1L, "a", 1L), (2L, "B", 2L), (3L, "C", 1L), (4L, "d", 1L)))
+  }
+
+  test("K2: upsert is idempotent") {
+    val dir = Files.createTempDirectory("graft_k2i").toString + "/sink"
+    import spark.implicits._
+    val v = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "payload", "version")
+    Sinks.upsertByKey(spark, v, dir, Seq("id"), "version")
+    Sinks.upsertByKey(spark, v, dir, Seq("id"), "version")
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+}
