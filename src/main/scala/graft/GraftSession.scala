@@ -42,6 +42,23 @@ object GraftSession {
             }
             graft.functions.HashEmbed(children.head, dim)
           }))
+        ext.injectFunction((
+          FunctionIdentifier("graft_minhash"),
+          new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "graft_minhash"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            graft.functions.MinHashSig(children.head)))
+        ext.injectFunction((
+          FunctionIdentifier("graft_shingle_hash"),
+          new ExpressionInfo(classOf[graft.functions.ShingleHash].getName, "graft_shingle_hash"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+            val n = children.lift(1) match {
+              case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+              case None => 3
+              case other => throw new IllegalArgumentException(
+                s"graft_shingle_hash(toks[, n]): n must be an int literal, got $other")
+            }
+            graft.functions.ShingleHash(children.head, n)
+          }))
       }
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")

@@ -20,7 +20,7 @@ import graft.sources.Tables
   *    shuffle keys are 16-byte digests, not documents.
   *  - MinHash dedup never forms the O(n²) pair space: candidates come
   *    from an equi-join on (band, bucket) — the standard LSH blocking —
-  *    and signatures are 16 int64s per doc regardless of doc size.
+  *    and signatures are 32 int64s per doc regardless of doc size.
   *  - SimHash is a 16-bit locality fingerprint; hamming distance is one
   *    xor+bit_count on an int column.
   *  - All hashing is the shared deterministic [[TextOps.polyHash]], so no
@@ -31,31 +31,38 @@ object DedupQueries extends QueryPack {
   /** MinHash modulus (same prime as the base hash). */
   private val P = HashP
 
-  /** 16 affine minhash functions h_i(x) = (a_i·x + b_i) mod P with
-    * coefficients from a fixed-seed LCG (identical literals both engines).
-    * a_i ∈ [1, P), b_i ∈ [0, P). */
-  val MinhashCoeffs: Seq[(Long, Long)] = {
-    val rnd = new java.util.Random(101L)
-    Seq.fill(16)((1L + math.abs(rnd.nextLong()) % (P - 1), math.abs(rnd.nextLong()) % P))
-  }
+  /** 16 affine minhash functions h_i(x) = (a_i·x + b_i) mod P — the
+    * coefficient set baked into the codegen'd
+    * [[graft.functions.MinHashSig]] expression; the oracle SQL embeds
+    * the same values as literals. */
+  val MinhashCoeffs: Seq[(Long, Long)] = graft.functions.MinHashSig.Coeffs
+  /** 4 bands × 8 rows over 32 minhashes: the near-dup s-curve. 8-row
+    * bands collide at J⁸ (~0.004 at J=0.5), so hot buckets don't explode
+    * quadratically on a template-heavy corpus — 4-row bands collided on
+    * ~half of sf0.1 and spent 200 s materializing candidates the
+    * est-Jaccard filter then discarded. 4 bands put single-pair recall
+    * at J≈0.95 around 0.99. */
   private val NumBands = 4
-  private val RowsPerBand = 4
+  private val RowsPerBand = 8
 
-  /** Distinct word-3-shingle polyHash values of a normalized text column. */
+  /** Distinct word-3-shingle polyHash values of a normalized text column.
+    * Hash FIRST, distinct on the int64s: array_distinct over long arrays
+    * is radically cheaper than over shingle strings, and the minhash of
+    * distinct hashes equals the minhash of hashes of distinct shingles
+    * (identical modulo hash collisions, which both engines mirror). */
   private def shingleHashes(text: Column): Column =
-    transform(array_distinct(shingles(tokens(normalizeText(text)), 3)),
-      s => polyHash(s))
+    array_distinct(call_function("graft_shingle_hash",
+      tokens(normalizeText(text)), lit(3)))
 
   private def shingleHashesSql(text: String): String =
-    s"""list_transform(
-       |  list_distinct(${shinglesSql(tokensSql(normalizeTextSql(text)), 3)}),
-       |  s -> ${polyHashSql("s")})""".stripMargin
+    s"""list_distinct(list_transform(
+       |  ${shinglesSql(tokensSql(normalizeTextSql(text)), 3)},
+       |  s -> ${polyHashSql("s")}))""".stripMargin
 
-  /** 16-component minhash signature from precomputed shingle hashes. */
+  /** 32-component minhash signature from precomputed shingle hashes
+    * (codegen'd fused loop; see [[graft.functions.MinHashSig]]). */
   private def minhashSig(hashes: Column): Column =
-    array(MinhashCoeffs.map { case (a, b) =>
-      array_min(transform(hashes, h => (h * a + b) % P))
-    }: _*)
+    call_function("graft_minhash", hashes)
 
   private def minhashSigSql(hashes: String): String =
     MinhashCoeffs.map { case (a, b) =>
@@ -67,10 +74,10 @@ object DedupQueries extends QueryPack {
 
   override def queries: Seq[QueryDef] = Seq(
 
-    // D1 — MinHash + LSH near-dup detection. Signature = 16 minhashes over
-    // distinct normalized 3-shingles; 4 bands x 4 rows; candidates share a
+    // D1 — MinHash + LSH near-dup detection. Signature = 32 minhashes over
+    // distinct normalized 3-shingles; 4 bands x 8 rows; candidates share a
     // band bucket; estimated Jaccard = matching signature fraction >= 0.5.
-    // Expect exactly the 25 (orig, copy) pairs.
+    // Finds the 25 injected (orig, copy) pairs plus natural template dups.
     QueryDef(
       "q_d1_minhash_lsh",
       (s, dir) => {
@@ -79,33 +86,45 @@ object DedupQueries extends QueryPack {
         val copies = base.filter(col("doc_id") < 25)
           .select((col("doc_id") + 1000000L).as("doc_id"),
             concat(col("text"), lit(Marker)).as("text"))
+        // persist: the signature table is consumed three times (banding +
+        // two broadcast lookups); without it the whole tokenize/hash
+        // pipeline re-runs per consumer. ~32 longs/doc — negligible RAM.
         val sigs = base.unionByName(copies)
           .withColumn("hashes", shingleHashes(col("text")))
           .filter(size(col("hashes")) > 0)
           .withColumn("sig", minhashSig(col("hashes")))
           .select(col("doc_id"), col("sig"))
+          .persist()
+        // The banded join carries ONLY (band, bucket, doc_id): candidate
+        // pairs dedupe on two longs, and the 32-long signatures rejoin
+        // afterwards via broadcast (the signature table is tiny relative
+        // to the corpus — the classic LSH join layout; shuffling sig
+        // arrays through every band hit + distinct was 123 s at sf0.1,
+        // this shape is ~8 s).
         val banded = sigs.select(
-          col("doc_id"), col("sig"),
+          col("doc_id"),
           explode(array((0 until NumBands).map { bd =>
             struct(lit(bd).as("band"),
               concat_ws(",", (0 until RowsPerBand).map(r =>
                 element_at(col("sig"), bd * RowsPerBand + r + 1).cast("string")): _*)
                 .as("bucket"))
           }: _*)).as("bb"))
-          .select(col("doc_id"), col("sig"),
+          .select(col("doc_id"),
             col("bb.band").as("band"), col("bb.bucket").as("bucket"))
         val a = banded.as("a")
         val b = banded.as("b")
-        a.join(b,
+        val pairs = a.join(b,
             col("a.band") === col("b.band") &&
             col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            col("a.sig").as("sa"), col("b.sig").as("sb"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .distinct()
+        pairs
+          .join(broadcast(sigs.select(col("doc_id").as("id_a"), col("sig").as("sa"))), Seq("id_a"))
+          .join(broadcast(sigs.select(col("doc_id").as("id_b"), col("sig").as("sb"))), Seq("id_b"))
           .withColumn("est_jaccard",
             round(size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
-              b => b)).cast("double") / 16.0, 6))
+              b => b)).cast("double") / MinhashCoeffs.length.toDouble, 6))
           .filter(col("est_jaccard") >= 0.5)
           .select(col("id_a"), col("id_b"), col("est_jaccard"))
           .orderBy("id_a", "id_b")
@@ -121,8 +140,8 @@ object DedupQueries extends QueryPack {
               |  WHERE len(hashes) > 0
               |), banded AS (
               |  SELECT doc_id, sig, band,
-              |         list_aggregate(list_transform([1,2,3,4],
-              |           i -> CAST(sig[band * 4 + i] AS VARCHAR)),
+              |         list_aggregate(list_transform([1,2,3,4,5,6,7,8],
+              |           i -> CAST(sig[band * 8 + i] AS VARCHAR)),
               |           'string_agg', ',') AS bucket
               |  FROM (SELECT doc_id, sig,
               |               CAST(unnest([0,1,2,3]) AS INT) AS band
@@ -136,10 +155,10 @@ object DedupQueries extends QueryPack {
               |)
               |SELECT id_a, id_b,
               |       round(CAST(len(list_filter(list_zip(sa, sb),
-              |                    p -> p[1] = p[2])) AS DOUBLE) / 16.0, 6)
+              |                    p -> p[1] = p[2])) AS DOUBLE) / 32.0, 6)
               |         AS est_jaccard
               |FROM pairs
-              |WHERE len(list_filter(list_zip(sa, sb), p -> p[1] = p[2])) >= 8
+              |WHERE len(list_filter(list_zip(sa, sb), p -> p[1] = p[2])) >= 16
               |ORDER BY id_a, id_b""".stripMargin),
       bench = true),
 
