@@ -40,13 +40,34 @@ object VectorQueries extends QueryPack {
     * java.util.Random(13) — specified LCG, identical on any JVM). */
   val QueryVec: Seq[Double] = hyperplanes(1, Dim, seed = 13L).head
 
-  /** 16 hyperplanes → 4 bands × 4 bits for LSH bucketing. */
+  /** 16 hyperplanes → 4 bands × 4 bits for the ANN query path (V4):
+    * shallow bands keep per-query recall high while pruning ~3/4 of the
+    * corpus. */
   val Planes: Seq[Seq[Double]] = hyperplanes(16, Dim, seed = 7L)
   val Bands = 4
   val BitsPerBand = 4
 
+  /** 32 hyperplanes → 4 bands × 8 bits for the near-dup JOIN path (V5):
+    * pair-join selectivity goes with bucket occupancy squared, so deeper
+    * bands matter — 4-bit buckets over a near-random corpus put ~n/16
+    * vectors in a bucket and the join blew up to ~500k candidate pairs
+    * at sf0.1; 8-bit buckets cut that ~20×. The tiny +0.01 perturbation
+    * leaves band agreement (and recall) high. */
+  val PlanesV5: Seq[Seq[Double]] = hyperplanes(32, Dim, seed = 11L)
+  val BandsV5 = 4
+  val BitsPerBandV5 = 8
+
   private def bandPlanes(b: Int): Seq[Seq[Double]] =
     Planes.slice(b * BitsPerBand, (b + 1) * BitsPerBand)
+
+  private def bandPlanesV5(b: Int): Seq[Seq[Double]] =
+    PlanesV5.slice(b * BitsPerBandV5, (b + 1) * BitsPerBandV5)
+
+  private def bandColsV5(e: Column): Seq[Column] =
+    (0 until BandsV5).map(b => lshBucket(e, bandPlanesV5(b)))
+
+  private def bandSqlsV5(e: String): Seq[String] =
+    (0 until BandsV5).map(b => lshBucketSql(e, bandPlanesV5(b)))
 
   /** Band bucket ids of a constant vector, computed once in Scala with the
     * same arithmetic both engines use on columns (dot fold from 0.0). */
@@ -185,23 +206,29 @@ object VectorQueries extends QueryPack {
         val copies = base.filter(col("vec_id") < 25)
           .select((col("vec_id") + 1000000L).as("vec_id"),
             transform(col("emb"), x => x + 0.01).as("emb"))
-        val u = base.unionByName(copies)
+        // candidate pairs dedupe on bare ids; the 64-double vectors
+        // rejoin via broadcast afterwards (same LSH-join layout as
+        // q_d1 — shuffling embeddings through every band hit + the
+        // distinct dominates otherwise)
+        val u = base.unionByName(copies).persist()
         val withBands = u.select(
-          col("vec_id"), col("emb"),
-          explode(array(bandCols(col("emb")).zipWithIndex.map {
+          col("vec_id"),
+          explode(array(bandColsV5(col("emb")).zipWithIndex.map {
             case (c, b) => struct(lit(b).as("band"), c.as("bucket"))
           }: _*)).as("bb"))
-          .select(col("vec_id"), col("emb"),
+          .select(col("vec_id"),
             col("bb.band").as("band"), col("bb.bucket").as("bucket"))
         val a = withBands.as("a")
         val b = withBands.as("b")
-        a.join(b,
+        val pairs = a.join(b,
             col("a.band") === col("b.band") &&
             col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-            col("a.emb").as("ea"), col("b.emb").as("eb"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
           .distinct()
+        pairs
+          .join(broadcast(u.select(col("vec_id").as("id_a"), col("emb").as("ea"))), Seq("id_a"))
+          .join(broadcast(u.select(col("vec_id").as("id_b"), col("emb").as("eb"))), Seq("id_b"))
           .withColumn("score", cosine(col("ea"), col("eb")))
           .filter(col("score") > 0.95)
           .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
@@ -210,7 +237,7 @@ object VectorQueries extends QueryPack {
       {
         // list-of-2-lists (not tuples) so bb[1]/bb[2] positional indexing
         // works in DuckDB; both elements are BIGINT.
-        val bandStruct = bandSqls("emb").zipWithIndex
+        val bandStruct = bandSqlsV5("emb").zipWithIndex
           .map { case (sql, b) => s"[CAST($b AS BIGINT), ($sql)]" }
           .mkString("[", ", ", "]")
         Some(s"""WITH u AS (
