@@ -191,6 +191,122 @@ object VectorQueries extends QueryPack {
                 |ORDER BY t.score DESC, vec_id LIMIT 5""".stripMargin)
       }),
 
+    // V6 — IVF-style ANN: a coarse quantizer of 16 centroids (sampled
+    // deterministically from the corpus — IVF-flat with sampled
+    // centroids), every vector assigned to its nearest centroid cell,
+    // the query probing only the 2 nearest cells. At scale the cell id
+    // is a partition key, so probing = partition pruning over the
+    // corpus instead of a scan; this is the structure the reference
+    // delegates to Qdrant's index (init_qdrant.py:45-50).
+    QueryDef(
+      "q_v6_ivf_ann",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        // centroid table: first 16 vectors (deterministic sample)
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+        // assign: argmin over cosine DISTANCE (= max similarity) via a
+        // broadcast join + per-vector rank
+        val assigned = e.crossJoin(broadcast(cents))
+          .withColumn("sim", cosine(col("embedding"), col("cvec")))
+        val wAssign = Window.partitionBy("vec_id").orderBy(desc("sim"), col("cent_id"))
+        val cells = assigned
+          .withColumn("rk", row_number().over(wAssign))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
+        // probe list: the query's 2 nearest centroids (driver-computable,
+        // but expressed in-plan so the shape generalizes)
+        val probes = cents
+          .withColumn("qsim", cosine(col("cvec"), typedLit(QueryVec)))
+          .orderBy(desc("qsim"), col("cent_id"))
+          .limit(2)
+          .select(col("cent_id"))
+        cells.join(broadcast(probes), Seq("cent_id"))
+          .withColumn("score", cosine(col("embedding"), typedLit(QueryVec)))
+          .orderBy(desc("score"), col("vec_id"))
+          .limit(5)
+          .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
+      },
+      Some(s"""WITH cents AS (
+              |  SELECT vec_id AS cent_id, embedding AS cvec
+              |  FROM embeddings WHERE vec_id < 16
+              |), cells AS (
+              |  SELECT vec_id, label, embedding, cent_id
+              |  FROM (SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+              |               row_number() OVER
+              |                 (PARTITION BY e.vec_id
+              |                  ORDER BY ${cosineSql("e.embedding", "c.cvec")} DESC,
+              |                           c.cent_id) AS rk
+              |        FROM embeddings e, cents c) t
+              |  WHERE rk = 1
+              |), probes AS (
+              |  SELECT cent_id FROM cents
+              |  ORDER BY ${cosineSql("cvec", qvSql)} DESC, cent_id LIMIT 2
+              |)
+              |SELECT vec_id, label, round(score, 6) AS score
+              |FROM (SELECT cells.vec_id, cells.label,
+              |             ${cosineSql("cells.embedding", qvSql)} AS score
+              |      FROM cells JOIN probes ON cells.cent_id = probes.cent_id) s
+              |ORDER BY s.score DESC, vec_id LIMIT 5""".stripMargin)),
+
+    // V7 — int8 scalar quantization (the reference's Qdrant storage
+    // config: scalar int8, quantile 1.0, init_qdrant.py:51-57): each
+    // vector stores round(v/scale) in [-127,127] with scale =
+    // max|v|/127; the approx cosine runs on dequantized values.
+    // The query reports the approx score and its error vs exact —
+    // the storage-size/recall tradeoff made measurable.
+    QueryDef(
+      "q_v7_int8_quant",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("emb"))
+        val scaled = e
+          .withColumn("absmax",
+            aggregate(col("emb"), lit(0.0), (a, v) => greatest(a, abs(v))))
+          .withColumn("scale",
+            when(col("absmax") > 0.0, col("absmax") / 127.0).otherwise(1.0))
+          .withColumn("q",
+            transform(col("emb"), v => round(v / col("scale"), 0).cast("int")))
+          .withColumn("deq",
+            transform(col("q"), v => v.cast("double") * col("scale")))
+        scaled
+          .withColumn("approx", cosine(col("deq"), typedLit(QueryVec)))
+          .withColumn("exact", cosine(col("emb"), typedLit(QueryVec)))
+          .filter(col("vec_id") % 17 === 0)
+          .select(col("vec_id"),
+            round(col("approx"), 6).as("approx_score"),
+            round(col("exact"), 6).as("exact_score"),
+            round(abs(col("approx") - col("exact")), 6).as("abs_err"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, label,
+              |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+              |  FROM embeddings
+              |), scaled AS (
+              |  SELECT vec_id, emb,
+              |         CASE WHEN absmax > 0.0 THEN absmax / 127.0 ELSE 1.0 END AS scale
+              |  FROM (SELECT vec_id, emb,
+              |               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              |                 list_transform(emb, v -> abs(v))),
+              |                 (a, v) -> greatest(a, v)) AS absmax
+              |        FROM e) t
+              |), deqd AS (
+              |  SELECT vec_id,  emb, scale,
+              |         list_transform(
+              |           list_transform(emb, v -> CAST(round(v / scale, 0) AS INT)),
+              |           v -> CAST(v AS DOUBLE) * scale) AS deq
+              |  FROM scaled
+              |)
+              |SELECT vec_id,
+              |       round(${cosineSql("deq", qvSql)}, 6) AS approx_score,
+              |       round(${cosineSql("emb", qvSql)}, 6) AS exact_score,
+              |       round(abs((${cosineSql("deq", qvSql)}) - (${cosineSql("emb", qvSql)})), 6) AS abs_err
+              |FROM deqd
+              |WHERE vec_id % 17 = 0
+              |ORDER BY vec_id""".stripMargin)),
+
     // V5 — embedding-cosine near-duplicate pairs. The corpus is augmented
     // with perturbed copies of the first 25 vectors (deterministic +0.01
     // shift, ids offset by 1e6) so near-dups exist; candidate pairs come
