@@ -59,6 +59,16 @@ object GraftSession {
             }
             graft.functions.ShingleHash(children.head, n)
           }))
+        ext.injectFunction((
+          FunctionIdentifier("graft_lexcount"),
+          new ExpressionInfo(classOf[graft.functions.TokenLexCount].getName, "graft_lexcount"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            graft.functions.TokenLexCount(children.head)))
+        ext.injectFunction((
+          FunctionIdentifier("graft_token_hashes"),
+          new ExpressionInfo(classOf[graft.functions.TokenHashes].getName, "graft_token_hashes"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            graft.functions.TokenHashes(children.head)))
       }
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")

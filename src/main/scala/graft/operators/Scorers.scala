@@ -37,8 +37,8 @@ import TextOps._
   */
 object Scorers {
 
-  val Positive: Seq[String] = Seq("fast", "big", "spark", "merge", "join")
-  val Negative: Seq[String] = Seq("slow", "small", "hash", "filter")
+  val Positive: Seq[String] = graft.functions.TokenLexCount.Positive
+  val Negative: Seq[String] = graft.functions.TokenLexCount.Negative
 
   private def posList = Positive.map(w => s"'$w'").mkString("[", ", ", "]")
   private def negList = Negative.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -121,14 +121,15 @@ object Scorers {
     */
   def withFieldStats(df: org.apache.spark.sql.DataFrame, p: String,
       text: Column): org.apache.spark.sql.DataFrame = {
-    val toksCol = s"${p}_toks"
-    df.withColumn(toksCol, tokens(normalizeText(text)))
-      .withColumn(s"${p}_pos",
-        size(filter(col(toksCol), t => array_contains(typedLit(Positive), t))))
-      .withColumn(s"${p}_neg",
-        size(filter(col(toksCol), t => array_contains(typedLit(Negative), t))))
+    // one codegen'd pass for both lexicon counts (the per-token lambda
+    // dispatch of the HOF filter form dominated the 100k-doc sweep)
+    val lcCol = s"${p}_lc"
+    df.withColumn(lcCol,
+        call_function("graft_lexcount", tokens(normalizeText(text))))
+      .withColumn(s"${p}_pos", element_at(col(lcCol), 1))
+      .withColumn(s"${p}_neg", element_at(col(lcCol), 2))
       .withColumn(s"${p}_hash", polyHash(normalizeText(text)))
-      .drop(toksCol)
+      .drop(lcCol)
   }
 
   // ------------------------------------------------------------ M2
@@ -139,7 +140,7 @@ object Scorers {
     * odd-multiplier remix mod P — exactly mirrorable in SQL.
     */
   def tokenHashes(text: Column): Column =
-    transform(tokens(normalizeText(text)), t => polyHash(t))
+    call_function("graft_token_hashes", tokens(normalizeText(text)))
 
   /** Un-normalized embedding from a token-hash array: the codegen'd
     * [[graft.functions.HashEmbed]] expression (one fused tokens × dims
