@@ -52,8 +52,13 @@ object RelationalQueries extends QueryPack {
     // S4 — absolute time-range scan; predicate pushed to the parquet scan.
     QueryDef(
       "q_s4_range_scan",
+      // predicate on the RAW int64 nanos column, not the derived
+      // timestamp: only a raw-column comparison reaches the parquet scan
+      // as a PushedFilter (row-group min/max pruning at 100 TB); a
+      // filter on the computed ts is evaluated post-scan.
       (s, dir) => Tables.events(s, dir)
-        .filter(col("ts") >= to_timestamp(lit("2024-01-15 00:00:00")))
+        .filter(col("ts_ns") >=
+          lit(java.time.Instant.parse("2024-01-15T00:00:00Z").getEpochSecond * 1000000000L))
         .select(
           col("event_id"), col("user_id"), col("event_type"), col("value"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
