@@ -8,16 +8,23 @@ package graft
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse("q_e1_ohlcv_pipeline")
-    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+    val names = if (args.isEmpty) Seq("q_e1_ohlcv_pipeline")
+      else args.filter(_.startsWith("q_")).toSeq
+    val sfDir = args.find(a => !a.startsWith("q_")).getOrElse("/root/testdata/sf0.001")
+    val full = sys.env.get("GRAFT_EXPLAIN_FULL").contains("1")
     val spark = GraftSession.get(4)
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    df.explain("formatted")
-    val plan = df.queryExecution.executedPlan.toString
-    def n(p: String) = p.r.findAllIn(plan).length
-    println(s"[explain] $name: exchanges=${n("Exchange ")} " +
-      s"sorts=${n("\\bSort\\b")} windows=${n("\\bWindow\\b")} " +
-      s"wholeStageCodegen=${n("WholeStageCodegen")}")
+    for (name <- names) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      if (full) df.explain("formatted")
+      val plan = df.queryExecution.executedPlan.toString
+      def n(p: String) = p.r.findAllIn(plan).length
+      val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq.distinct
+      println(s"[explain] $name: exchanges=${n("Exchange ")} " +
+        s"sorts=${n("\\bSort\\b")} windows=${n("\\bWindow\\b")} " +
+        s"broadcasts=${n("BroadcastExchange")} " +
+        s"wholeStageCodegen=${n("\\*\\(\\d+\\)")} " +
+        pushed.mkString(" | "))
+    }
     spark.stop()
   }
 }
