@@ -128,5 +128,72 @@ object PipelineQueries extends QueryPack {
   }
 
   override def queries: Seq[QueryDef] = Seq(
-    QueryDef("q_e1_ohlcv_pipeline", build, None, bench = true))
+    QueryDef("q_e1_ohlcv_pipeline", build, None, bench = true),
+
+    // E3 — the dashboard signal-overlay read path as one plan
+    // (2_OHLC_Signals.py:30-120): relative range scan (S5) over the bar
+    // series → Bollinger band signals (W6+G2) → per-signal boolean
+    // filter (P4) → marker y-positions (P8). Fully frame-expressible,
+    // exact DuckDB oracle.
+    QueryDef(
+      "q_e3_signal_overlay",
+      (s, dir) => {
+        val b = bars(s, dir)
+        val mx = b.agg(max(col("bts")).as("mx_bts"))
+        val withRn = b.withColumn("rn", row_number().over(seriesW))
+        val (_, up, lo) = bollinger(col("close"), col("rn"), 20, 2.0, seriesW)
+        val withBands = withRn
+          .withColumn("bb_up", up)
+          .withColumn("bb_lo", lo)
+          .withColumn("buy", crossBelow(col("close"), col("bb_lo"), seriesW))
+          .withColumn("sell", crossAbove(col("close"), col("bb_up"), seriesW))
+        withBands
+          .crossJoin(broadcast(mx))
+          .filter(col("bts") >= col("mx_bts") - expr("INTERVAL 240 HOURS"))
+          .filter(col("buy") || col("sell"))
+          .select(
+            col("user_id"),
+            date_format(col("bts"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+            col("buy"), col("sell"),
+            round(col("open") - col("open") * 0.01, 6).as("marker_lo"),
+            round(col("close") + col("close") * 0.01, 6).as("marker_hi"))
+          .orderBy("user_id", "bucket")
+      },
+      Some {
+        val overOrd = "(PARTITION BY user_id ORDER BY bts)"
+        val f19 = "(PARTITION BY user_id ORDER BY bts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)"
+        s"""WITH b AS (
+           |  SELECT user_id, date_trunc('hour', ts) AS bts,
+           |         arg_min(value, ts) AS open, max(value) AS high,
+           |         min(value) AS low, arg_max(value, ts) AS close
+           |  FROM events GROUP BY user_id, date_trunc('hour', ts)
+           |), m AS (
+           |  SELECT user_id, bts, open, close,
+           |         row_number() OVER $overOrd AS rn,
+           |         CAST(sum(CAST(close AS DECIMAL(18,6))) OVER $f19 AS DOUBLE)
+           |           / CAST(count(close) OVER $f19 AS DOUBLE) AS mean,
+           |         CAST(sum(CAST(close * close AS DECIMAL(28,10))) OVER $f19 AS DOUBLE)
+           |           / CAST(count(close) OVER $f19 AS DOUBLE) AS meansq
+           |  FROM b
+           |), sig AS (
+           |  SELECT user_id, bts, open, close,
+           |         coalesce(lag(close) OVER $overOrd > lag(bb_lo) OVER $overOrd
+           |                  AND close < bb_lo, false) AS buy,
+           |         coalesce(lag(close) OVER $overOrd < lag(bb_up) OVER $overOrd
+           |                  AND close > bb_up, false) AS sell
+           |  FROM (SELECT user_id, bts, open, close,
+           |               CASE WHEN rn >= 20 THEN mean + 2.0 * sqrt(meansq - mean * mean) END AS bb_up,
+           |               CASE WHEN rn >= 20 THEN mean - 2.0 * sqrt(meansq - mean * mean) END AS bb_lo
+           |        FROM m) t
+           |)
+           |SELECT user_id, strftime(bts, '%Y-%m-%d %H:%M:%S') AS bucket,
+           |       buy, sell,
+           |       round(open - open * 0.01, 6) AS marker_lo,
+           |       round(close + close * 0.01, 6) AS marker_hi
+           |FROM sig
+           |WHERE bts >= (SELECT max(bts) FROM b) - INTERVAL 240 HOUR
+           |  AND (buy OR sell)
+           |ORDER BY user_id, bucket""".stripMargin
+      })
+  )
 }
