@@ -51,7 +51,12 @@ object Bench {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // best-of-3: after 70+ queries the JVM carries GC/cache pressure that
+    // adds multi-second noise to any single measurement
+    def best(f: => Unit): Double = (1 to 3).map(_ => time(f)).min
     val throughput = try {
+      spark.catalog.clearCache()
+      System.gc()
       // frame-kernel probe: SMA30 + Bollinger(20,2) over 20M synthetic
       // rows across 1000 series — one shuffle, windowed aggregates in
       // whole-stage codegen
@@ -61,7 +66,7 @@ object Bench {
           sin(col("id").cast("double") * 1e-3).as("value"))
       val w = Window.partitionBy("user_id").orderBy("ts")
       val f20 = w.rowsBetween(-19, 0)
-      val frameSec = time {
+      val frameSec = best {
         sdf.select(
           avg(col("value")).over(w.rowsBetween(-29, 0)).as("sma"),
           (avg(col("value")).over(f20) + lit(2.0) * stddev_pop(col("value")).over(f20)).as("up"))
@@ -74,7 +79,7 @@ object Bench {
       // after the first shuffle) — isolates kernel throughput from the
       // one-off exchange the shuffled probe above includes
       import spark.implicits._
-      val narrowSec = time {
+      val narrowSec = best {
         spark.range(frameRows)
           .select(sin(col("id").cast("double") * 1e-3).as("value"))
           .as[Double]
@@ -117,7 +122,7 @@ object Bench {
           .filter(col("c_pos").isNotNull)
       }
       scorerPlan(docs.limit(500)).count() // warm codegen/planning
-      val scorerSec = time { scorerPlan(bigDocs).count() }
+      val scorerSec = best { scorerPlan(bigDocs).count() }
       // kNN probe: brute-force top-10 cosine over 1e5 synthetic 64-d
       // vectors; the dot is a codegen'd element_at chain (same left-fold
       // order as the HOF form)
@@ -133,7 +138,7 @@ object Bench {
       def topk() = vecs.withColumn("score", dot)
         .orderBy(desc("score"), col("id")).limit(10).collect()
       topk() // warm codegen + vector generation plan
-      val knnSec = time { topk() }
+      val knnSec = best { topk() }
       Some(
         s""""throughput":{"frame_rows":$frameRows,"frame_sec":$frameSec,""" +
         s""""frame_rows_per_s":${(frameRows / frameSec).toLong},""" +
