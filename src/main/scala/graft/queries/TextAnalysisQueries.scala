@@ -51,6 +51,77 @@ object TextAnalysisQueries extends QueryPack {
               |      FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents) t0) t
               |ORDER BY doc_id""".stripMargin)),
 
+    // N1b — language ID via character-trigram profiles (the classic
+    // n-gram heuristic): score = fraction of the text head's trigrams
+    // found in each language's profile set; argmax wins with a fixed
+    // preference order on ties. Profiles are small fixed literals (the
+    // operator shape — broadcast profile membership over a trigram
+    // stream — is what matters; real profiles would be learned).
+    QueryDef(
+      "q_n1b_lang_id_ngram",
+      (s, dir) => {
+        val profiles: Seq[(String, Seq[String])] = Seq(
+          "en" -> Seq("the", "and", "ing", "ion", "ent", "er ", " th", "he ", "es ", "ta "),
+          "es" -> Seq("que", " de", "de ", "la ", "os ", "ent", "aci", " la", "ar ", "cio"),
+          "de" -> Seq("der", "ein", "sch", "ich", "nde", "die", "und", "ung", "en ", " ge"),
+          "fr" -> Seq("les", " de", "de ", "ent", "ion", "que", " le", "la ", "des", "eur"))
+        // head is MATERIALIZED before the trigram lambda: capturing the
+        // normalize expression inside it would re-run the regexes per
+        // trigram (the HOF-capture trap, see Scorers scaladoc)
+        val nTris = greatest(size(col("tris")), lit(1)).cast("double")
+        val scored = Tables.documents(s, dir)
+          .withColumn("head", substring(normalizeText(col("text")), 1, 240))
+          .withColumn("tris",
+            when(length(col("head")) >= 3,
+              transform(sequence(lit(1), length(col("head")) - 2),
+                i => col("head").substr(i, lit(3))))
+            .otherwise(array().cast("array<string>")))
+          .select(
+            Seq(col("doc_id"), col("lang")) ++
+            profiles.map { case (lg, prof) =>
+              round(size(filter(col("tris"),
+                t => array_contains(typedLit(prof), t))).cast("double") / nTris, 6)
+                .as(s"score_$lg")
+            }: _*)
+        val best = profiles.map(p => col(s"score_${p._1}")).reduce((a, b) => greatest(a, b))
+        scored
+          .withColumn("lang_pred",
+            profiles.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+              case (acc, (lg, _)) =>
+                val cond = col(s"score_$lg") === best
+                Some(acc.map(_.when(cond, lg)).getOrElse(when(cond, lg)))
+            }.get.otherwise("und"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val profiles: Seq[(String, Seq[String])] = Seq(
+          "en" -> Seq("the", "and", "ing", "ion", "ent", "er ", " th", "he ", "es ", "ta "),
+          "es" -> Seq("que", " de", "de ", "la ", "os ", "ent", "aci", " la", "ar ", "cio"),
+          "de" -> Seq("der", "ein", "sch", "ich", "nde", "die", "und", "ung", "en ", " ge"),
+          "fr" -> Seq("les", " de", "de ", "ent", "ion", "que", " le", "la ", "des", "eur"))
+        def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+        val scoreSel = profiles.map { case (lg, prof) =>
+          s"""round(CAST(len(list_filter(tris, t -> list_contains(${lst(prof)}, t))) AS DOUBLE)
+             |  / CAST(greatest(len(tris), 1) AS DOUBLE), 6) AS score_$lg""".stripMargin
+        }.mkString(",\n       ")
+        val bestExpr = profiles.map(p => s"score_${p._1}").reduce((a, b) => s"greatest($a, $b)")
+        val caseExpr = profiles.map { case (lg, _) =>
+          s"WHEN score_$lg = $bestExpr THEN '$lg'"
+        }.mkString(" ")
+        s"""SELECT doc_id, lang, score_en, score_es, score_de, score_fr,
+           |       CASE $caseExpr ELSE 'und' END AS lang_pred
+           |FROM (
+           |  SELECT doc_id, lang, $scoreSel
+           |  FROM (SELECT doc_id, lang,
+           |               list_transform(
+           |                 range(1, greatest(length(head) - 2, 0) + 1),
+           |                 i -> substring(head, CAST(i AS INT), 3)) AS tris
+           |        FROM (SELECT doc_id, lang,
+           |                     substring(${normalizeTextSql("text")}, 1, 240) AS head
+           |              FROM documents) h) t
+           |) s ORDER BY doc_id""".stripMargin
+      }),
+
     // N2 — quality scoring: length, mean token length, punctuation ratio,
     // uppercase ratio, stopword ratio, folded into one bounded score.
     QueryDef(
