@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -37,26 +37,41 @@ object Sinks {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** True iff `e` means "the sink path does not exist" — the ONLY read
+    * failure the sinks may treat as an empty/absent sink. Anything else
+    * (corrupt footer, permission, transient IO) must propagate: silently
+    * degrading to "no history" would recompute from scratch and
+    * permanently corrupt downstream parity (ADVICE r2).
+    */
+  private[graft] def isPathMissing(e: AnalysisException): Boolean = {
+    val cond = Option(e.getCondition).getOrElse("")
+    cond == "PATH_NOT_FOUND" ||
+      Option(e.getMessage).exists(_.toLowerCase.contains("path does not exist"))
+  }
+
   /** K2: merge `incoming` into the keyed sink at `path`: per key keep the
     * highest `versionCol` row (ties: incoming wins via the source rank).
-    * Creates the sink if absent.
+    * Creates the sink if absent; any read failure other than
+    * path-not-found propagates (never silently replaces the sink).
     */
   def upsertByKey(spark: SparkSession, incoming: DataFrame, path: String,
       keys: Seq[String], versionCol: String): Unit = {
     val existing =
       try Some(spark.read.parquet(path).select(incoming.columns.map(col): _*))
-      catch { case _: Throwable => None }
+      catch { case e: AnalysisException if isPathMissing(e) => None }
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(desc(versionCol), desc("__src"))
+    def newestPerKey(df: DataFrame): DataFrame =
+      df.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .drop("__rk", "__src")
     val merged = existing match {
-      case None => incoming.dropDuplicates(keys)
+      // create: same newest-wins rule as the merge path (dropDuplicates
+      // would keep an arbitrary row, not the highest version)
+      case None => newestPerKey(incoming.withColumn("__src", lit(1)))
       case Some(cur) =>
-        val unioned = cur.withColumn("__src", lit(0))
-          .unionByName(incoming.withColumn("__src", lit(1)))
-        val w = Window.partitionBy(keys.map(col): _*)
-          .orderBy(desc(versionCol), desc("__src"))
-        unioned
-          .withColumn("__rk", row_number().over(w))
-          .filter(col("__rk") === 1)
-          .drop("__rk", "__src")
+        newestPerKey(cur.withColumn("__src", lit(0))
+          .unionByName(incoming.withColumn("__src", lit(1))))
     }
     // rewrite atomically enough for a test/demo sink: stage then move
     val staged = path + ".staging"

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,16 +15,24 @@ import graft.sources.Sinks
   * Spark shape: a `foreachBatch` body — each micro-batch of new candles
   * is unioned with the per-series sink tail, enriched with the full
   * frame pack, reduced to the newest row per series, and appended to
-  * the day-partitioned K1 sink. The lookback (299) covers every kernel
-  * warmup (MACD 33, ADX 27, SMA 30 — SURVEY §2.7 X2), which is exactly
-  * why tick outputs equal a full batch recompute (the parity invariant
-  * StreamingSpec asserts; IncrementalTickSpec asserts it end-to-end
-  * through this component).
+  * the day-partitioned K1 sink. The lookback (299 rows / 299 hours)
+  * covers every kernel warmup (MACD 33, ADX 27, SMA 30 — SURVEY §2.7
+  * X2), which is exactly why tick outputs equal a full batch recompute
+  * (the parity invariant StreamingSpec asserts; IncrementalTickSpec
+  * asserts it end-to-end through this component).
   *
-  * Scale: the tail read is a partition-pruned scan of the newest day
-  * partitions + a per-series window tail; state lives in the sink, not
-  * the stream, so executor state is O(0) and recovery = re-reading the
-  * sink. A Delta/Iceberg-backed deployment swaps the append for MERGE.
+  * Scale: the tail read mirrors the reference's Flux
+  * `range(start: last_ts − 298h)` (btc_usdt_etl_dag.py:77-92) — a TIME
+  * bound, not a whole-history scan. The bound is derived from the
+  * incoming batch (min new ts − lookback hours) and applied to BOTH the
+  * `day` partition directory column (so the scan physically prunes to
+  * the newest ⌈lookback/24⌉+1 day partitions — `PartitionFilters` in
+  * the plan, asserted by IncrementalTickSpec) and `ts_ns` (row-exact
+  * bound inside the boundary days). A row_number cap keeps the union
+  * ≤ [[Lookback]] rows per series even when a series has more rows than
+  * hours in the window. State lives in the sink, not the stream, so
+  * executor state is O(0) and recovery = re-reading the sink tail. A
+  * Delta/Iceberg-backed deployment swaps the append for MERGE.
   */
 object IncrementalTick {
 
@@ -46,33 +54,80 @@ object IncrementalTick {
       .drop("rn")
   }
 
+  private val InputCols = Seq("event_id", "ts", "ts_ns", "user_id", "value")
+
+  /** The time-pruned sink slice: all sink rows within `lookbackHours`
+    * of `minNewTsNs`. The day bound is a partition-directory predicate
+    * (ISO yyyy-MM-dd strings compare lexicographically), so only the
+    * boundary-and-newer day partitions are listed/read; `ts_ns` applies
+    * the row-exact bound within them. Exposed for the spec's
+    * `PartitionFilters` plan assertion.
+    */
+  private[graft] def prunedSlice(
+      spark: SparkSession,
+      sinkPath: String,
+      minNewTsNs: Long,
+      lookbackHours: Long): DataFrame = {
+    val boundNs = minNewTsNs - lookbackHours * 3600L * 1000000000L
+    val boundDay = java.time.Instant
+      .ofEpochSecond(Math.floorDiv(boundNs, 1000000000L))
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    Sinks.readPartitioned(spark, sinkPath)
+      .filter(col("day") >= lit(boundDay) && col("ts_ns") >= lit(boundNs))
+  }
+
+  /** The per-series tail over a pruned slice: newest ≤ [[Lookback]]
+    * rows per series (a series can carry more rows than hours). */
+  private def rowCap(slice: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(desc("ts_ns"), desc("event_id"))
+    slice.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= Lookback)
+      .select(InputCols.map(col): _*)
+  }
+
   /** One foreachBatch body: merge `newRows` (schema: event_id, ts,
-    * ts_ns, user_id, value) into the sink at `sinkPath`. */
-  def processBatch(spark: SparkSession, newRows: DataFrame, sinkPath: String): Unit = {
+    * ts_ns, user_id, value) into the sink at `sinkPath`.
+    *
+    * `lookbackHours` sizes the tail's time window (reference: 299
+    * hourly candles ⇒ 299 h). Only a missing sink path reads as "no
+    * history" (first tick); any other read failure propagates so the
+    * micro-batch retries instead of appending rows computed without
+    * lookback (ADVICE r2).
+    *
+    * X5 idempotence: rows whose `event_id` already exists in the sink
+    * slice are anti-joined away before the append, so re-running a
+    * delivered batch (task retry, at-least-once upstream) is a no-op
+    * instead of a double-append.
+    */
+  def processBatch(spark: SparkSession, newRows: DataFrame, sinkPath: String,
+      lookbackHours: Long = Lookback.toLong): Unit = {
     if (newRows.isEmpty) return // X4: empty micro-batch no-op
-    val inputCols = Seq("event_id", "ts", "ts_ns", "user_id", "value")
-    val tail =
-      try {
-        val sink = Sinks.readPartitioned(spark, sinkPath)
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(desc("ts_ns"), desc("event_id"))
-        sink.withColumn("__rk", row_number().over(w))
-          .filter(col("__rk") <= Lookback)
-          .select(inputCols.map(col): _*)
-      } catch { case _: Throwable => spark.emptyDataFrame }
-    val union =
-      if (tail.isEmpty) newRows.select(inputCols.map(col): _*)
-      else tail.unionByName(newRows.select(inputCols.map(col): _*))
+    val minNewTsNs = newRows.agg(min(col("ts_ns"))).first().getLong(0)
+    val slice =
+      try Some(prunedSlice(spark, sinkPath, minNewTsNs, lookbackHours))
+      catch { case e: AnalysisException if Sinks.isPathMissing(e) => None }
+    val union = slice match {
+      case None    => newRows.select(InputCols.map(col): _*)
+      case Some(s) => rowCap(s).unionByName(newRows.select(InputCols.map(col): _*))
+    }
     val enriched = enrich(union)
     // write ONLY rows newer than the previous per-series high-water mark
     val newKeys = newRows.select(col("event_id").as("__new_id")).distinct()
     val out = enriched.join(
       broadcast(newKeys), col("event_id") === col("__new_id"), "leftsemi")
-    Sinks.appendPartitioned(out, "ts", sinkPath)
+    // X5: drop rows already present in the sink (idempotent re-delivery)
+    val guarded = slice match {
+      case None    => out
+      case Some(s) => out.join(s.select(col("event_id").as("__seen")),
+        col("event_id") === col("__seen"), "left_anti")
+    }
+    Sinks.appendPartitioned(guarded, "ts", sinkPath)
   }
 
   /** Drives a sequence of micro-batches (driver-sequenced, the
     * Trigger.ProcessingTime analog for tests/backfills). */
-  def run(spark: SparkSession, batches: Seq[DataFrame], sinkPath: String): Unit =
-    batches.foreach(b => processBatch(spark, b, sinkPath))
+  def run(spark: SparkSession, batches: Seq[DataFrame], sinkPath: String,
+      lookbackHours: Long = Lookback.toLong): Unit =
+    batches.foreach(b => processBatch(spark, b, sinkPath, lookbackHours))
 }

@@ -33,7 +33,10 @@ class IncrementalTickSpec extends AnyFunSuite {
     val tickSize = math.max(1, (ordered.length - cut) / 5)
     val batches = toDf(ordered.take(cut)) +:
       ordered.drop(cut).grouped(tickSize).map(g => toDf(g.toArray)).toSeq
-    IncrementalTick.run(spark, batches, sinkPath)
+    // events are sparse (~1k rows over 30 days): size the time lookback to
+    // cover the whole span so the row-count cap (299/series) is the binding
+    // bound, as in round 2 — the day-pruning path has its own test below
+    IncrementalTick.run(spark, batches, sinkPath, lookbackHours = 24L * 60)
 
     val sink = spark.read.parquet(sinkPath)
       .select("event_id", "sma30", "bb_up", "bb_lo", "buy", "sell")
@@ -52,6 +55,90 @@ class IncrementalTickSpec extends AnyFunSuite {
         (col("s.buy") =!= col("b.buy")) ||
         (col("s.sell") =!= col("b.sell")))
     assert(mismatch.isEmpty)
+  }
+
+  /** Synthetic hourly 2-series frame over `days` days (the reference's
+    * actual cadence — 1h candles), so the 299h default lookback maps to
+    * exactly 299 rows/series and day-partition pruning bites. */
+  private def hourly(days: Int) = {
+    val base = 1704067200L // 2024-01-01T00:00:00Z
+    spark.range(2L * days * 24)
+      .select(
+        col("id").as("event_id"),
+        (col("id") % 2).as("user_id"),
+        (col("id") / 2).cast("long").as("h"))
+      .select(
+        col("event_id"), col("user_id"), col("h"),
+        timestamp_seconds(lit(base) + col("h") * 3600L).as("ts"),
+        ((lit(base) + col("h") * 3600L) * lit(1000000000L)).as("ts_ns"),
+        (sin(col("h").cast("double") * 0.1) + col("user_id")).as("value"))
+  }
+
+  test("X2 pruned tail: multi-day hourly sink, ticks == batch with day partitions dropped") {
+    val sinkPath = Files.createTempDirectory("graft_tickp").toString + "/sink"
+    val all = hourly(40) // 40 days ≫ 299h lookback ⇒ pruning is active
+    val cols = Seq("event_id", "ts", "ts_ns", "user_id", "value")
+    val backfill = all.filter(col("h") < 720)
+    val ticks = (720 until 960 by 48).map(s =>
+      all.filter(col("h") >= s && col("h") < s + 48))
+    IncrementalTick.run(spark, backfill +: ticks, sinkPath) // default 299h
+
+    // the tail read for the last tick must prune old day partitions
+    val lastMin = 1704067200L + 912L * 3600L
+    val slice = IncrementalTick.prunedSlice(
+      spark, sinkPath, lastMin * 1000000000L, IncrementalTick.Lookback.toLong)
+    val plan = slice.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filters in:\n$plan")
+    assert(plan.contains("day"), "day bound not pushed to the sink scan")
+    // 299h before day 38 ⇒ nothing before day ~25 is read
+    val daysRead = slice.select("day").distinct().count()
+    assert(daysRead <= 15, s"slice read $daysRead day partitions, expected <= 15")
+
+    val sink = spark.read.parquet(sinkPath)
+      .select("event_id", "sma30", "bb_up", "bb_lo", "buy", "sell")
+    val batch = IncrementalTick.enrich(all.select(cols.map(col): _*))
+      .select("event_id", "sma30", "bb_up", "bb_lo", "buy", "sell")
+    assert(sink.count() == batch.count())
+    val mismatch = sink.as("s").join(batch.as("b"),
+        col("s.event_id") === col("b.event_id"))
+      .filter(
+        coalesce(abs(col("s.sma30") - col("b.sma30")) > 1e-9,
+          col("s.sma30").isNull =!= col("b.sma30").isNull) ||
+        coalesce(abs(col("s.bb_up") - col("b.bb_up")) > 1e-9,
+          col("s.bb_up").isNull =!= col("b.bb_up").isNull) ||
+        coalesce(abs(col("s.bb_lo") - col("b.bb_lo")) > 1e-9,
+          col("s.bb_lo").isNull =!= col("b.bb_lo").isNull) ||
+        (col("s.buy") =!= col("b.buy")) ||
+        (col("s.sell") =!= col("b.sell")))
+    assert(mismatch.isEmpty)
+  }
+
+  test("X5 idempotence: re-delivering an already-applied batch is a no-op") {
+    val sinkPath = Files.createTempDirectory("graft_ticki").toString + "/sink"
+    val all = hourly(20)
+    val backfill = all.filter(col("h") < 400)
+    val tick = all.filter(col("h") >= 400 && col("h") < 432)
+    IncrementalTick.run(spark, Seq(backfill, tick), sinkPath)
+    val before = spark.read.parquet(sinkPath).count()
+    assert(before == 2L * 432)
+    // task retry / at-least-once upstream: same batch delivered again
+    IncrementalTick.processBatch(spark, tick, sinkPath)
+    val after = spark.read.parquet(sinkPath).count()
+    assert(after == before, s"re-delivery appended ${after - before} dup rows")
+  }
+
+  test("corrupt sink read fails the tick instead of recomputing from empty") {
+    val dir = Files.createTempDirectory("graft_tickc").toString
+    val sinkPath = dir + "/sink"
+    // a sink path that EXISTS but is not readable parquet
+    Files.createDirectories(java.nio.file.Paths.get(sinkPath, "day=2024-01-01"))
+    Files.write(
+      java.nio.file.Paths.get(sinkPath, "day=2024-01-01", "part-0.parquet"),
+      "not a parquet file".getBytes)
+    val tick = hourly(2).filter(col("h") < 4)
+    intercept[Exception] {
+      IncrementalTick.processBatch(spark, tick, sinkPath)
+    }
   }
 
   test("typed model boundary: enriched pipeline rows round-trip as Dataset[OhlcvEnriched]") {
