@@ -65,6 +65,18 @@ object GraftSession {
           (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
             graft.functions.TokenLexCount(children.head)))
         ext.injectFunction((
+          FunctionIdentifier("graft_topk"),
+          new ExpressionInfo(classOf[graft.functions.TopKByScore].getName, "graft_topk"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+            val k = children.lift(2) match {
+              case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+              case None => 10
+              case other => throw new IllegalArgumentException(
+                s"graft_topk(score, id[, k]): k must be an int literal, got $other")
+            }
+            graft.functions.TopKByScore(children(0), children(1), k)
+          }))
+        ext.injectFunction((
           FunctionIdentifier("graft_token_hashes"),
           new ExpressionInfo(classOf[graft.functions.TokenHashes].getName, "graft_token_hashes"),
           (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

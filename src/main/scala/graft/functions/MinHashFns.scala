@@ -8,11 +8,12 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd MinHash signature: given an array of shingle hashes
-  * (int64 in [0, 2³¹−1)), emits the 16-component signature
+  * (int64 in [0, 2³¹−1)), emits the 32-component signature
+  * (4 bands × 8 rows — see the companion's banding doc)
   * sig[i] = min_h (h·aᵢ + bᵢ) mod P with the fixed coefficient set
   * [[MinHashSig.Coeffs]] (seeded LCG, identical literals in the DuckDB
-  * oracle). One fused hashes × 16 loop — the declarative form
-  * (16 × array_min(transform(…))) pays an interpreted lambda step per
+  * oracle). One fused hashes × 32 loop — the declarative form
+  * (32 × array_min(transform(…))) pays an interpreted lambda step per
   * hash per component and dominated the dedup sweep (~6 ms/doc).
   * Empty input ⇒ null (mirrors list_min of an empty list).
   */

@@ -37,6 +37,15 @@ object SeriesKernels {
     def step(in: Array[Double]): Array[Double]
   }
 
+  /** A kernel whose complete state exports/restores as a flat double
+    * vector — the contract the chunked carried-state stitch needs
+    * (SURVEY §7.4, [[ChunkedKernels]]) to split one colossal series
+    * across driver-sequenced chunks without changing any output bit. */
+  trait Checkpointable extends Kernel {
+    def snapshot: Array[Double]
+    def restore(s: Array[Double]): Unit
+  }
+
   /** Binds a kernel factory to input/output column names. */
   final case class KernelSpec(
       inputCols: Seq[String],
@@ -110,12 +119,14 @@ object SeriesKernels {
     * The first observation is itself filtered (reference loops over the
     * full array after seeding x with data[0]).
     */
-  final class KalmanKernel(q: Double = 1e-4, r: Double = 1e-3) extends Kernel {
+  final class KalmanKernel(q: Double = 1e-4, r: Double = 1e-3) extends Checkpointable {
     val arity = 1; val width = 1
     private var init = false
     private var x = 0.0
     private var p = 0.0
     def reset(): Unit = { init = false }
+    def snapshot: Array[Double] = Array(if (init) 1.0 else 0.0, x, p)
+    def restore(s: Array[Double]): Unit = { init = s(0) != 0.0; x = s(1); p = s(2) }
     def step(in: Array[Double]): Array[Double] = {
       val z = in(0)
       if (z.isNaN) return Array(Double.NaN)
@@ -135,12 +146,14 @@ object SeriesKernels {
     * value at t is the one-step-ahead forecast
     * f₀ = x₀, fₜ = α·xₜ₋₁ + (1−α)·fₜ₋₁.
     */
-  final class SesKernel(alpha: Double = 0.2) extends Kernel {
+  final class SesKernel(alpha: Double = 0.2) extends Checkpointable {
     val arity = 1; val width = 1
     private var init = false
     private var f = 0.0
     private var prevX = 0.0
     def reset(): Unit = { init = false }
+    def snapshot: Array[Double] = Array(if (init) 1.0 else 0.0, f, prevX)
+    def restore(s: Array[Double]): Unit = { init = s(0) != 0.0; f = s(1); prevX = s(2) }
     def step(in: Array[Double]): Array[Double] = {
       val z = in(0)
       if (z.isNaN) return Array(Double.NaN)

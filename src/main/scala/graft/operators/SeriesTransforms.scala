@@ -56,20 +56,28 @@ object SeriesTransforms {
 
   /** Gaussian reflect-mode FIR over a series (same weights + left-to-right
     * dot order as [[FirKernels.gaussian]]'s windowed form — results are
-    * bit-identical). */
+    * bit-identical on series longer than the radius). Reflection is
+    * ITERATED (fold into the 2n period, then mirror), matching scipy's
+    * half-sample 'reflect' for series shorter than the support too —
+    * the single-bounce form crashed with an index out of bounds at
+    * n <= radius (ADVICE r2; reachable via E1 on short bar series). */
   def gaussianSeries(values: Array[Double]): Array[Double] = {
     val w = FirKernels.GaussW
     val r = FirKernels.GaussRadius
     val n = values.length
     val out = new Array[Double](n)
+    val period = 2 * n
     var i = 0
     while (i < n) {
       var acc = 0.0
       var j = 0
       while (j < 2 * r + 1) {
         var p = i + j - r
-        if (p < 0) p = -p - 1
-        else if (p > n - 1) p = 2 * n - 1 - p
+        if (n == 1) p = 0
+        else {
+          p = ((p % period) + period) % period
+          if (p >= n) p = period - 1 - p
+        }
         acc += w(j) * values(p)
         j += 1
       }

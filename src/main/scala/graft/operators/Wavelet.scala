@@ -17,14 +17,27 @@ import scala.collection.mutable.ArrayBuffer
   * consequence: series count gives parallelism; one colossal series is
   * inherently a single-task transform (chunking would change results).
   *
-  * DWT scheme (PyWavelets conventions, public sym4 filter bank):
-  * symmetric half-point padding by L−1 samples, correlation with the
-  * analysis filters, downsample by 2; output length ⌊(n+L−1)/2⌋.
-  * Reconstruction is the exact adjoint (transposed-matrix) pass followed
-  * by cropping the pad region, which reconstructs the interior samples
-  * of an orthogonal bank exactly (perfect-reconstruction property is
-  * asserted by WaveletSpec at 1e-10 — no SQL oracle exists for this
-  * operator, so the spec carries the correctness contract).
+  * This is PyWavelets' EXACT convention (r3 — the round-2 implementation
+  * emitted one extra approximation coefficient for even n and used an
+  * adjoint rather than the synthesis bank, deviating from the reference
+  * near boundaries; ADVICE r2):
+  *  - analysis: symmetric half-point extension by L−1 samples, FULL
+  *    convolution with dec_lo/dec_hi restricted to its valid region,
+  *    downsampled at odd phase — output length ⌊(n+L−1)/2⌋
+  *    (`pywt.dwt_coeff_len(n, L, 'symmetric')`);
+  *  - synthesis: zero-upsample, full convolution with rec_lo/rec_hi,
+  *    crop L−2 from each side — output length 2·nc−L+2 (`pywt.idwt`);
+  *  - `waverec` chain: when a reconstructed approximation is one longer
+  *    than the next detail vector (odd lengths), its last sample is
+  *    dropped before the next synthesis level — then truncate to the
+  *    input length, exactly `apply_wavelet_filtering` (filters.py:56-58).
+  *
+  * The convention is pinned by WaveletSpec without pywt in the loop:
+  * the db1 (Haar) golden vectors are published pywt outputs and fix the
+  * downsample phase + filter orientation; sym4 perfect reconstruction at
+  * 1e-10 and the ⌊(n+L−1)/2⌋ length law fix the rest (no SQL oracle
+  * exists for this operator, so the spec carries the correctness
+  * contract).
   */
 object Wavelet {
 
@@ -35,44 +48,49 @@ object Wavelet {
     0.8037387518059161, 0.29785779560527736, -0.09921954357684722,
     -0.012603967262037833, 0.0322231006040427)
 
-  /** Quadrature-mirror high-pass: g[k] = (−1)^k · h[L−1−k]. */
-  val DecHi: Array[Double] = Array.tabulate(DecLo.length) { k =>
-    val v = DecLo(DecLo.length - 1 - k)
-    if (k % 2 == 0) v else -v
-  }
-
   private val L = DecLo.length
   private val Pad = L - 1
 
+  /** Orthogonal-bank filter relations (pywt conventions):
+    * rec_lo = reverse(dec_lo); rec_hi[k] = (−1)^k·rec_lo[L−1−k];
+    * dec_hi = reverse(rec_hi). */
+  val RecLo: Array[Double] = DecLo.reverse
+  val RecHi: Array[Double] = Array.tabulate(L) { k =>
+    if (k % 2 == 0) DecLo(k) else -DecLo(k)
+  }
+  val DecHi: Array[Double] = RecHi.reverse
+
   /** Symmetric (half-point) extension: …x₂x₁x₀ | x | xₙ₋₁xₙ₋₂… */
-  private def symPad(x: Array[Double]): Array[Double] = {
+  private def symPad(x: Array[Double], pad: Int): Array[Double] = {
     val n = x.length
-    val z = new Array[Double](n + 2 * Pad)
+    val z = new Array[Double](n + 2 * pad)
     var i = 0
-    while (i < Pad) { z(i) = x(math.min(Pad - 1 - i, n - 1)); i += 1 }
-    System.arraycopy(x, 0, z, Pad, n)
+    while (i < pad) { z(i) = x(math.min(pad - 1 - i, n - 1)); i += 1 }
+    System.arraycopy(x, 0, z, pad, n)
     i = 0
-    while (i < Pad) { z(Pad + n + i) = x(math.max(n - 1 - i, 0)); i += 1 }
+    while (i < pad) { z(pad + n + i) = x(math.max(n - 1 - i, 0)); i += 1 }
     z
   }
 
-  /** One analysis level: (cA, cD), each of length ⌊(n+L−2)/2⌋ + 1 —
-    * one more than PyWavelets' ⌊(n+L−1)/2⌋ for even n, which is exactly
-    * the redundancy needed for the synthesis pass to cover every sample
-    * of the crop region (perfect reconstruction; see [[idwt]]). */
-  def dwt(x: Array[Double]): (Array[Double], Array[Double]) = {
-    val z = symPad(x)
-    val outLen = (x.length + L - 2) / 2 + 1
+  /** One analysis level with explicit filters (spec uses db1/Haar to pin
+    * the phase against published pywt outputs): valid-region convolution
+    * of the padded signal, downsampled at odd phase —
+    * out[i] = Σₖ f[k]·ext[2i+1+(L−1)−k], length ⌊(n+L−1)/2⌋. */
+  private[graft] def dwtWith(x: Array[Double], decLo: Array[Double],
+      decHi: Array[Double]): (Array[Double], Array[Double]) = {
+    val l = decLo.length
+    val z = symPad(x, l - 1)
+    val outLen = (x.length + l - 1) / 2
     val ca = new Array[Double](outLen)
     val cd = new Array[Double](outLen)
     var i = 0
     while (i < outLen) {
       var a = 0.0; var d = 0.0
       var k = 0
-      while (k < L) {
-        val v = z(2 * i + k)
-        a += DecLo(k) * v
-        d += DecHi(k) * v
+      while (k < l) {
+        val v = z(2 * i + l - k)
+        a += decLo(k) * v
+        d += decHi(k) * v
         k += 1
       }
       ca(i) = a; cd(i) = d
@@ -81,54 +99,63 @@ object Wavelet {
     (ca, cd)
   }
 
-  /** Synthesis of one level back to length n (cD may be null = all-zero,
-    * the denoising path): x̂[m] = Σᵢ h[m−2i]·cA[i] + g[m−2i]·cD[i] in
-    * padded coordinates, then crop the pad region. For an orthonormal
-    * bank this reconstructs every sample m with a complete contribution
-    * range, i.e. m ∈ [L−2, 2·(outLen−1)+1]; the crop window
-    * [L−1, L−1+n) sits inside it by construction of [[dwt]]'s outLen —
-    * no boundary folding needed.
-    */
-  def idwt(ca: Array[Double], cd: Array[Double], n: Int): Array[Double] = {
-    val zLen = n + 2 * Pad
-    val z = new Array[Double](zLen)
-    val outLen = ca.length
+  /** One analysis level: (cA, cD), pywt lengths ⌊(n+L−1)/2⌋. */
+  def dwt(x: Array[Double]): (Array[Double], Array[Double]) =
+    dwtWith(x, DecLo, DecHi)
+
+  /** pywt `idwt`: zero-upsample, full convolution with the synthesis
+    * filters, crop L−2 each side → length 2·nc−L+2. cD null = all-zero
+    * (the denoising path). */
+  private[graft] def idwtWith(ca: Array[Double], cd: Array[Double],
+      recLo: Array[Double], recHi: Array[Double]): Array[Double] = {
+    val l = recLo.length
+    val nc = ca.length
+    val full = new Array[Double](2 * nc + l - 2)
     var i = 0
-    while (i < outLen) {
+    while (i < nc) {
       var k = 0
-      while (k < L) {
-        val m = 2 * i + k
-        if (m < zLen) {
-          z(m) += DecLo(k) * ca(i)
-          if (cd != null) z(m) += DecHi(k) * cd(i)
-        }
+      while (k < l) {
+        val j = 2 * i + k
+        full(j) += recLo(k) * ca(i)
+        if (cd != null) full(j) += recHi(k) * cd(i)
         k += 1
       }
       i += 1
     }
-    val out = new Array[Double](n)
-    System.arraycopy(z, Pad, out, 0, n)
+    val outLen = 2 * nc - l + 2
+    val out = new Array[Double](outLen)
+    System.arraycopy(full, l - 2, out, 0, outLen)
     out
   }
 
-  /** The reference operator: 2-level sym4 decomposition, details zeroed,
-    * reconstruct, truncate to input length. */
+  /** Synthesis of one level, truncated to length n (pywt returns n for
+    * even input lengths and n+1 for odd; callers pass the target n). */
+  def idwt(ca: Array[Double], cd: Array[Double], n: Int): Array[Double] =
+    java.util.Arrays.copyOf(idwtWith(ca, cd, RecLo, RecHi), n)
+
+  /** The reference operator: `wavedec(x, 'sym4', level=levels)` with all
+    * detail coefficients zeroed, `waverec`, truncate to input length —
+    * bit-for-bit the pywt pipeline of filters.py:38-60. */
   def denoise(x: Array[Double], levels: Int = 2): Array[Double] = {
     var cur = x
-    val lengths = new ArrayBuffer[Int]
+    val detailLens = new ArrayBuffer[Int]
     var lvl = 0
     while (lvl < levels) {
-      lengths += cur.length
-      cur = dwt(cur)._1 // details are discarded (zeroed)
+      val (ca, cd) = dwt(cur)
+      detailLens += cd.length
+      cur = ca // details are discarded (zeroed)
       lvl += 1
     }
     var rec = cur
     var back = levels - 1
     while (back >= 0) {
-      rec = idwt(rec, null, lengths(back))
+      // pywt waverec: drop the odd-length surplus sample before idwt
+      if (rec.length == detailLens(back) + 1)
+        rec = java.util.Arrays.copyOf(rec, detailLens(back))
+      rec = idwtWith(rec, null, RecLo, RecHi)
       back -= 1
     }
-    rec
+    java.util.Arrays.copyOf(rec, x.length)
   }
 
   /** Runs a whole-series transform per key: buffers each complete series

@@ -31,7 +31,7 @@ object DedupQueries extends QueryPack {
   /** MinHash modulus (same prime as the base hash). */
   private val P = HashP
 
-  /** 16 affine minhash functions h_i(x) = (a_i·x + b_i) mod P — the
+  /** 32 affine minhash functions h_i(x) = (a_i·x + b_i) mod P — the
     * coefficient set baked into the codegen'd
     * [[graft.functions.MinHashSig]] expression; the oracle SQL embeds
     * the same values as literals. */

@@ -17,12 +17,23 @@ import graft.streaming.StreamingOps.Ev
   */
 object StreamingQueries extends QueryPack {
 
-  /** Deterministic event sample for the streams: every 7th event keeps
-    * the memory-source volume reasonable at any SF. */
+  /** Deterministic FIXED-SIZE event sample for the streams: every 7th
+    * event, capped at [[SampleCap]] rows. The cap keeps the memory-source
+    * harness (a driver-side collect is unavoidable for `MemoryStream`)
+    * constant-cost at any SF — at sf0.1 the uncapped sample was ~14k rows
+    * and the collect+stream plumbing dominated the whole bench run
+    * (VERDICT r2 finding #4). The REAL ingest boundary is exercised by
+    * StreamingSpec's file-source test; these queries gate stream/batch
+    * semantics, not ingest throughput.
+    */
+  val SampleCap = 2000
+
   private def sample(s: SparkSession, dir: String): Seq[Ev] = {
     import s.implicits._
     Tables.events(s, dir)
       .filter(col("event_id") % 7 === 0)
+      .orderBy("event_id")
+      .limit(SampleCap)
       // integer div: epoch-nanos exceed double mantissa range, so a
       // float division here would drop the low microsecond digit
       .select(col("event_id"),
@@ -34,7 +45,8 @@ object StreamingQueries extends QueryPack {
       .toSeq
   }
 
-  private val sampleSql = "SELECT * FROM events WHERE event_id % 7 = 0"
+  private val sampleSql =
+    s"SELECT * FROM events WHERE event_id % 7 = 0 ORDER BY event_id LIMIT $SampleCap"
 
   override def queries: Seq[QueryDef] = Seq(
 

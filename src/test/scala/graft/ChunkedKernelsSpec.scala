@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ChunkedKernels, SeriesKernels}
+import graft.operators.SeriesKernels.{KalmanKernel, KernelSpec, SesKernel}
+
+/** SURVEY §7.4 escape hatch: a series processed in driver-sequenced
+  * chunks with carried kernel state must equal the unchunked sequential
+  * pass BIT-FOR-BIT (restoring the snapshot replays the identical
+  * floating-point sequence).
+  */
+class ChunkedKernelsSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.get(4)
+
+  test("chunked SES + Kalman equal the unchunked pass bit-for-bit") {
+    val n = 5000
+    val df = spark.range(2L * n)
+      .select(
+        (col("id") % 2).as("user_id"),
+        (col("id") / 2).as("ts"),
+        (sin(col("id").cast("double") * 0.01) * 50.0).as("value"))
+    val specs = Seq(
+      KernelSpec(Seq("value"), Seq("ses"), () => new SesKernel(0.2)),
+      KernelSpec(Seq("value"), Seq("kalman"), () => new KalmanKernel()))
+    val whole = SeriesKernels.applyKernels(df, Seq("user_id"), Seq("ts"), specs)
+
+    // uneven chunk bounds, including a single-row chunk (2500..2501)
+    val bounds = Seq(0, 700, 1100, 2500, 2501, 4000, 4999, n)
+    val chunks = bounds.sliding(2).collect { case Seq(a, b) =>
+      df.filter(col("ts") >= a && col("ts") < b)
+    }.toSeq
+    val stitched = ChunkedKernels
+      .applyChunked(chunks, Seq("user_id"), Seq("ts"), specs)
+      .reduce(_ unionByName _)
+
+    assert(stitched.count() == whole.count())
+    val joined = whole.as("w").join(stitched.as("s"),
+      col("w.user_id") === col("s.user_id") && col("w.ts") === col("s.ts"))
+    val bad = joined.filter(
+      (col("w.ses") =!= col("s.ses")) || (col("w.kalman") =!= col("s.kalman")))
+    assert(bad.isEmpty, s"${bad.count()} rows differ from the unchunked pass")
+  }
+
+  test("a series absent from intermediate chunks resumes from its carried state") {
+    val mk = () => new SesKernel(0.2)
+    val specs = Seq(KernelSpec(Seq("value"), Seq("ses"), mk))
+    import spark.implicits._
+    // user 0 present in chunks 1 and 3 only; user 1 in all three
+    val rows = Seq(
+      (0L, 0L, 10.0), (0L, 1L, 12.0), (1L, 0L, 5.0), // chunk 1
+      (1L, 1L, 6.0), (1L, 2L, 7.0),                  // chunk 2
+      (0L, 2L, 14.0), (1L, 3L, 8.0))                 // chunk 3
+    val dfs = Seq(rows.take(3), rows.slice(3, 5), rows.drop(5))
+      .map(_.toDF("user_id", "ts", "value"))
+    val whole = SeriesKernels.applyKernels(
+      rows.toDF("user_id", "ts", "value"), Seq("user_id"), Seq("ts"), specs)
+    val stitched = ChunkedKernels
+      .applyChunked(dfs, Seq("user_id"), Seq("ts"), specs)
+      .reduce(_ unionByName _)
+    val joined = whole.as("w").join(stitched.as("s"),
+      col("w.user_id") === col("s.user_id") && col("w.ts") === col("s.ts"))
+    assert(joined.count() == 7)
+    assert(joined.filter(col("w.ses") =!= col("s.ses")).isEmpty)
+  }
+}

@@ -54,4 +54,20 @@ class FirKernelsSpec extends AnyFunSuite {
       assert(math.abs(fit - quartic(i.toDouble)) < 1e-6, s"row $i: $fit vs ${quartic(i.toDouble)}")
     }
   }
+
+  test("gaussianSeries survives series shorter than the kernel radius (iterated reflection)") {
+    // single-bounce reflection indexed out of bounds at n <= 13 (ADVICE
+    // r2; reachable via E1 on short bar series) — iterated reflection is
+    // scipy's actual 'reflect' semantics for any n
+    for (n <- Seq(1, 2, 3, 5, 13)) {
+      val xs = Array.tabulate(n)(i => 1.0 + i)
+      val out = graft.operators.SeriesTransforms.gaussianSeries(xs)
+      assert(out.length == n)
+      assert(out.forall(v => !v.isNaN && v >= 1.0 - 1e-9 && v <= n + 1e-9),
+        s"n=$n out=${out.mkString(",")}")
+    }
+    // constant series stay exactly constant under any reflection
+    val const = graft.operators.SeriesTransforms.gaussianSeries(Array.fill(4)(7.0))
+    assert(const.forall(v => math.abs(v - 7.0) < 1e-12))
+  }
 }

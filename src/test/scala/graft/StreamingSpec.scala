@@ -88,4 +88,37 @@ class StreamingSpec extends AnyFunSuite {
       spark, rows, rows.take(10), StreamingOps.dedupStream, "append")
     assert(out.count() == 20)
   }
+
+  test("X1 ingest boundary: file-source stream (3 micro-batches) equals batch aggregation") {
+    // the real ingest boundary (S1/S6 in a deployment): a watched
+    // directory of parquet files, one micro-batch per file — no
+    // driver-side collect anywhere in the data path
+    import spark.implicits._
+    val watch = java.nio.file.Files.createTempDirectory("graft_filesrc")
+    val stage = java.nio.file.Files.createTempDirectory("graft_filesrc_stage")
+    val rows = (1 to 300).map(i =>
+      Ev(i.toLong, 1704067200000000L + i.toLong * 60000000L, (i % 3).toLong, i * 1.0))
+    // far-future sentinel advances the watermark so append mode flushes
+    val sentinel = Ev(-1L, 1704067200000000L + 365L * 24 * 3600 * 1000000L, -1L, 0.0)
+    val parts = Seq(rows.take(100), rows.slice(100, 200), rows.drop(200) :+ sentinel)
+    parts.zipWithIndex.foreach { case (g, i) =>
+      val tmp = s"$stage/b$i"
+      g.toDF().coalesce(1).write.parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, watch.resolve(s"f$i.parquet"))
+    }
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Ev]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch.toString)
+    val sinkName = "graft_filesrc_sink"
+    val q = StreamingOps.tumblingBars(stream)
+      .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(sinkName).filter(col("user_id") >= 0)
+    val want = StreamingOps.tumblingBars(rows.toDF()) // withWatermark no-ops on batch
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }

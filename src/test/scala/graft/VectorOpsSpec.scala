@@ -57,4 +57,27 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(hyperplanes(3, 8, 42L) != hyperplanes(3, 8, 43L))
     assert(hyperplanes(2, 5, 1L).flatten.forall(v => v > -1.0 && v < 1.0))
   }
+
+  test("graft_topk equals the window row_number top-k (incl. score ties)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // scores with deliberate ties (mod 17) across 3 groups, 5k rows,
+    // many partitions — exercises partial heaps + merge + tie-breaks
+    val df = spark.range(5000).repartition(16)
+      .select(
+        (col("id") % 3).as("g"),
+        col("id").as("vec_id"),
+        ((col("id") * 37 % 17).cast("double") / 17.0).as("score"))
+    val viaAgg = df.groupBy("g")
+      .agg(call_function("graft_topk", col("score"), col("vec_id"), lit(7)).as("nbrs"))
+      .select(col("g"), posexplode(col("nbrs")))
+      .select(col("g"), (col("pos") + 1).as("rank"),
+        col("col.vec_id").as("vec_id"), col("col.score").as("score"))
+    val w = Window.partitionBy("g").orderBy(desc("score"), col("vec_id"))
+    val viaWindow = df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 7)
+      .select(col("g"), col("rank"), col("vec_id"), col("score"))
+    assert(viaAgg.count() == 21)
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
+  }
 }

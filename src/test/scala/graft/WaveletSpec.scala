@@ -22,6 +22,38 @@ class WaveletSpec extends AnyFunSuite {
     assert(math.abs(dot(g, g, 2)) < 1e-9)
   }
 
+  test("db1 (Haar) analysis+synthesis match published pywt outputs — pins phase/orientation") {
+    val s = 1.0 / math.sqrt(2.0)
+    val decLo = Array(s, s)
+    val decHi = Array(-s, s) // pywt Wavelet('db1').dec_hi
+    val x = Array(1.0, 2.0, 3.0, 4.0)
+    val (ca, cd) = Wavelet.dwtWith(x, decLo, decHi)
+    // pywt.dwt([1,2,3,4], 'db1', mode='symmetric') — published outputs
+    val caExp = Array(2.1213203435596424, 4.949747468305833)
+    val cdExp = Array(-0.7071067811865476, -0.7071067811865476)
+    assert(ca.length == 2 && cd.length == 2)
+    for (i <- 0 until 2) {
+      assert(math.abs(ca(i) - caExp(i)) < 1e-12, s"cA($i)=${ca(i)}")
+      assert(math.abs(cd(i) - cdExp(i)) < 1e-12, s"cD($i)=${cd(i)}")
+    }
+    // synthesis bank: rec_lo=[s,s], rec_hi=[s,-s]; idwt(cA,cD) == x
+    val back = Wavelet.idwtWith(ca, cd, Array(s, s), Array(s, -s))
+    assert(back.length == 4)
+    for (i <- 0 until 4) assert(math.abs(back(i) - x(i)) < 1e-12)
+    // denoised (cD zeroed) Haar = pairwise means — the canonical example
+    val den = Wavelet.idwtWith(ca, null, Array(s, s), Array(s, -s))
+    val denExp = Array(1.5, 1.5, 3.5, 3.5)
+    for (i <- 0 until 4) assert(math.abs(den(i) - denExp(i)) < 1e-12)
+  }
+
+  test("coefficient length law matches pywt: floor((n+L-1)/2)") {
+    for (n <- Seq(1, 2, 9, 10, 11, 100, 299, 300)) {
+      val (ca, cd) = Wavelet.dwt(Array.tabulate(n)(_.toDouble))
+      assert(ca.length == (n + 7) / 2, s"n=$n len=${ca.length}")
+      assert(cd.length == ca.length)
+    }
+  }
+
   test("one-level perfect reconstruction at 1e-10") {
     for (n <- Seq(16, 49, 57, 86, 100)) {
       val r = rng(n)
