@@ -83,6 +83,56 @@ object VectorOps {
       when(dotConst(v, hp) > 0.0, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** The per-row IVF cell assignment over a literal centroid set: argmax
+    * of cosine similarity, ties to the smallest centroid id — one narrow
+    * projection, zero exchanges (struct ordering does the argmax). */
+  def nearestCentroid(v: Column, cents: Seq[Seq[Double]]): Column = {
+    val packed = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cid"), typedLit(c).as("cvec"))
+    }: _*)
+    val best = array_max(transform(packed, c =>
+      struct(cosine(v, c.getField("cvec")).as("sim"),
+        (-c.getField("cid")).as("nid"))))
+    -best.getField("nid")
+  }
+
+  /** Lloyd-refined IVF coarse quantizer (the index-BUILD step the
+    * reference delegates to Qdrant, init_qdrant.py:38-58; k-means-refined
+    * centroids are standard IVF practice — cells get balanced, probe
+    * recall rises vs sampled centroids).
+    *
+    * Scale shape per iteration: cell assignment is the narrow
+    * [[nearestCentroid]] projection; the update is ONE partial-aggregated
+    * `groupBy(cell)` with per-dimension decimal-exact means (order
+    * independent ⇒ deterministic for any partitioning); the k×dim result
+    * (a few KB) collects to the driver — the only driver-side state is
+    * the index itself, never data. Empty cells keep their previous
+    * centroid.
+    */
+  def kmeansCentroids(
+      e: org.apache.spark.sql.DataFrame,
+      vecCol: String,
+      init: Seq[Seq[Double]],
+      iters: Int): Seq[Seq[Double]] = {
+    val dim = init.head.length
+    var cents = init
+    for (_ <- 0 until iters) {
+      val cell = nearestCentroid(col(vecCol), cents)
+      val dims = (0 until dim).map { dIdx =>
+        (sum(element_at(col(vecCol), dIdx + 1).cast("decimal(28,12)")) /
+          count(lit(1))).cast("double").as(s"m$dIdx")
+      }
+      val updated = e.withColumn("__cell", cell)
+        .groupBy("__cell")
+        .agg(dims.head, dims.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> (1 to dim).map(r.getDouble).toSeq)
+        .toMap
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
   def lshBucketSql(v: String, hps: Seq[Seq[Double]]): String =
     hps.zipWithIndex.map { case (hp, k) =>
       s"(CASE WHEN (${dotConstSql(v, hp)}) > 0.0 THEN ${1L << k} ELSE 0 END)"

@@ -56,4 +56,57 @@ class SinksSpec extends AnyFunSuite {
     Sinks.upsertByKey(spark, v, dir, Seq("id"), "version")
     assert(spark.read.parquet(dir).count() == 2)
   }
+
+  /** All parquet file paths under the sink, grouped by bucket directory. */
+  private def bucketFiles(dir: String): Map[String, Set[String]] = {
+    val root = java.nio.file.Paths.get(dir)
+    val out = scala.collection.mutable.Map[String, Set[String]]()
+    java.nio.file.Files.list(root).forEach { d =>
+      val name = d.getFileName.toString
+      if (name.startsWith("__bucket=")) {
+        val files = java.nio.file.Files.list(d)
+          .filter(f => f.toString.endsWith(".parquet"))
+          .map[String](_.getFileName.toString)
+          .toArray.map(_.toString).toSet
+        out(name) = files
+      }
+    }
+    out.toMap
+  }
+
+  test("K2 bucketed: merge rewrites ONLY touched bucket directories, same semantics") {
+    val dir = Files.createTempDirectory("graft_k2b").toString + "/sink"
+    import spark.implicits._
+    val v1 = (0L until 100L).map(i => (i, s"p$i", 1L)).toDF("id", "payload", "version")
+    Sinks.upsertByKeyBucketed(spark, v1, dir, Seq("id"), "version", nBuckets = 8)
+    val before = bucketFiles(dir)
+    assert(before.nonEmpty)
+
+    // update 10 keys (newer version) + 1 new key
+    val v2 = ((0L until 10L).map(i => (i, s"P$i", 2L)) :+ (100L, "new", 1L))
+      .toDF("id", "payload", "version")
+    val touched = v2
+      .select(pmod(hash(col("id")), lit(8)).as("b")).distinct()
+      .collect().map(r => s"__bucket=${r.getInt(0)}").toSet
+    Sinks.upsertByKeyBucketed(spark, v2, dir, Seq("id"), "version", nBuckets = 8)
+    val after = bucketFiles(dir)
+
+    // untouched bucket directories keep their exact file sets
+    for ((b, files) <- before if !touched(b))
+      assert(after(b) == files, s"untouched $b was rewritten")
+    // touched buckets were rewritten (file names change with the new job)
+    assert(touched.exists(b => before.get(b) != after.get(b)))
+
+    // merge semantics identical to the unbucketed path
+    val state = spark.read.parquet(dir)
+      .select("id", "payload", "version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val expect = ((10L until 100L).map(i => (i, s"p$i", 1L)) ++
+      (0L until 10L).map(i => (i, s"P$i", 2L)) :+ (100L, "new", 1L)).toSet
+    assert(state == expect)
+
+    // idempotent re-delivery
+    Sinks.upsertByKeyBucketed(spark, v2, dir, Seq("id"), "version", nBuckets = 8)
+    assert(spark.read.parquet(dir).count() == 101)
+  }
 }

@@ -6,14 +6,18 @@ Usage: time_duckdb.py <sfDir> <oracle_sql.json> [namePrefix ...]
 
 Registers the parquet tables in <sfDir> by bare name, runs each SQL whose
 name starts with one of the prefixes (default: all), best-of-3 wall time
-per query, prints ONE JSON line {"name": seconds, ...} on stdout
-(-1.0 = query errored).
+per query (single run when the first run is slow), prints ONE JSON line
+{"name": seconds, ...} on stdout. -1.0 = query errored or exceeded the
+per-query budget (TIMEOUT_S, interrupt-enforced so one pathological plan
+cannot wedge the whole bench — a window-heavy SQL did exactly that at
+sf0.1).
 
 This is benchmark tooling only (invoked by graft.Bench as a subprocess
 when available) — the engine itself is pure Scala/Spark.
 """
 import json
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -21,6 +25,22 @@ import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+TIMEOUT_S = 30.0   # per-query hard budget
+REPEAT_UNDER_S = 2.0  # best-of-3 only for queries faster than this
+
+
+def timed_run(con, sql, budget):
+    timer = threading.Timer(budget, con.interrupt)
+    timer.start()
+    t0 = time.perf_counter()
+    try:
+        con.execute(sql).fetchall()
+        return time.perf_counter() - t0
+    except Exception:
+        return None
+    finally:
+        timer.cancel()
 
 
 def main():
@@ -36,16 +56,17 @@ def main():
     for name, sql in sorted(oracle.items()):
         if prefixes and not name.startswith(prefixes):
             continue
-        try:
-            best = None
-            for _ in range(3):
-                t0 = time.perf_counter()
-                con.execute(sql).fetchall()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            out[name] = round(best, 4)
-        except Exception:
+        first = timed_run(con, sql, TIMEOUT_S)
+        if first is None:
             out[name] = -1.0
+            continue
+        best = first
+        if first < REPEAT_UNDER_S:
+            for _ in range(2):
+                t = timed_run(con, sql, TIMEOUT_S)
+                if t is not None:
+                    best = min(best, t)
+        out[name] = round(best, 4)
     print(json.dumps(out))
 
 
