@@ -202,14 +202,17 @@ object Bench {
           val pair = """"([^"]+)":\s*(-?[0-9.eE+]+)""".r
           val duckSec = pair.findAllMatchIn(outS)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          // warm-vs-warm: the duck numbers are best-of-3 on a warm
-          // process, so re-time the compared Spark queries warm
-          // (best-of-2; the cold first-run numbers stay in `queries`)
+          // warm-vs-warm AND materialization-vs-materialization: the duck
+          // side executes the full SQL and fetchall()s, so the Spark side
+          // must collect() too — a count() lets Catalyst prune final
+          // projections and drop ORDER BYs, biasing the ratio in Spark's
+          // favor (ADVICE r3). Best-of-2; cold first-run numbers stay in
+          // `queries`.
           val warmSec = duckSec.keys.toSeq.sorted.flatMap { n =>
             SparkEntry.queries.get(n).map { fn =>
               val t = (1 to 2).map { _ =>
                 val t0 = System.nanoTime()
-                fn(spark, sfDir).count()
+                fn(spark, sfDir).collect()
                 (System.nanoTime() - t0) / 1e9
               }.min
               n -> t
@@ -219,8 +222,17 @@ object Bench {
             case (n, d) if d > 0 && warmSec.getOrElse(n, -1.0) > 0 =>
               n -> warmSec(n) / d
           }.sortBy(_._1)
-          val sortedR = ratios.map(_._2).sorted
-          val median = if (sortedR.isEmpty) -1.0 else sortedR(sortedR.size / 2)
+          def medianOf(rs: Seq[Double]): Double = {
+            val s = rs.sorted
+            if (s.isEmpty) -1.0 else s(s.size / 2)
+          }
+          val median = medianOf(ratios.map(_._2))
+          // the execution-dominated subset: where DuckDB itself does
+          // >= 50 ms of work, both engines are measuring execution, not
+          // Spark's fixed ~0.1 s planning/scheduling floor — this is the
+          // number that predicts relative cost at scale
+          val heavy = ratios.filter { case (n, _) => duckSec(n) >= 0.05 }
+          val medianHeavy = medianOf(heavy.map(_._2))
           val over = ratios.filter(_._2 > 2.0).map(_._1)
           val warmJson = warmSec.toSeq.sortBy(_._1)
             .map { case (k, v) => s"${jstr(k)}:${f"$v%.4f"}" }.mkString("{", ",", "}")
@@ -228,11 +240,18 @@ object Bench {
             s""""duckdb":{"duck_sec":$outS,"spark_warm_sec":$warmJson,""" +
             s""""n_compared":${ratios.size},""" +
             f""""median_ratio":$median%.3f,""" +
+            s""""n_heavy":${heavy.size},""" +
+            f""""median_ratio_heavy":$medianHeavy%.3f,""" +
+            s""""heavy":[${heavy.map(_._1).map(jstr).mkString(",")}],""" +
             s""""over_2x":[${over.map(jstr).mkString(",")}],""" +
             jstr("note") + ":" + jstr(
-              "per-query wall times at test SF are fixed-overhead-dominated " +
-              "(planning+scheduling ~0.1-0.5s vs DuckDB's ms-scale embedded " +
-              "execution); steady-state throughput is in the throughput block") +
+              "both sides fully materialize (collect/fetchall), warm, " +
+              "best-of-N. median_ratio spans all compared queries and is " +
+              "dominated by Spark's fixed ~0.1-0.5s planning/scheduling " +
+              "floor against DuckDB's ms-scale embedded execution on tiny " +
+              "inputs; median_ratio_heavy restricts to queries where " +
+              "DuckDB itself runs >= 50ms, where both engines measure " +
+              "execution — the scale-relevant ratio") +
             "}")
         }
       }

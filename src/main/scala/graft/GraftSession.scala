@@ -19,6 +19,27 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *    to micros in [[graft.sources.Tables.events]].
   */
 object GraftSession {
+  /** Folds a constant integral argument of a graft_* SQL function to an
+    * Int: accepts any integral literal width (INT, BIGINT, SMALLINT,
+    * TINYINT — e.g. `graft_topk(s, id, CAST(5 AS BIGINT))`) and any
+    * foldable integral expression (`2 + 3`), keeping a clear error for
+    * truly non-constant or non-integral arguments (ADVICE r3).
+    */
+  private def constInt(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Int = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val ok = e.foldable &&
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(e.dataType)
+    if (!ok) throw new IllegalArgumentException(
+      s"$what must be a constant integer expression, got $e")
+    e.eval() match {
+      case n: java.lang.Number => java.lang.Math.toIntExact(n.longValue)
+      case other => throw new IllegalArgumentException(
+        s"$what must be a constant integer expression, got $other")
+    }
+  }
+
   def builder(cores: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cores]")
@@ -34,12 +55,8 @@ object GraftSession {
           FunctionIdentifier("graft_hash_embed"),
           new ExpressionInfo(classOf[graft.functions.HashEmbed].getName, "graft_hash_embed"),
           (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-            val dim = children.lift(1) match {
-              case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
-              case None => 16
-              case other => throw new IllegalArgumentException(
-                s"graft_hash_embed(th[, dim]): dim must be an int literal, got $other")
-            }
+            val dim = children.lift(1)
+              .map(constInt(_, "graft_hash_embed(th[, dim]): dim")).getOrElse(16)
             graft.functions.HashEmbed(children.head, dim)
           }))
         ext.injectFunction((
@@ -51,12 +68,8 @@ object GraftSession {
           FunctionIdentifier("graft_shingle_hash"),
           new ExpressionInfo(classOf[graft.functions.ShingleHash].getName, "graft_shingle_hash"),
           (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-            val n = children.lift(1) match {
-              case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
-              case None => 3
-              case other => throw new IllegalArgumentException(
-                s"graft_shingle_hash(toks[, n]): n must be an int literal, got $other")
-            }
+            val n = children.lift(1)
+              .map(constInt(_, "graft_shingle_hash(toks[, n]): n")).getOrElse(3)
             graft.functions.ShingleHash(children.head, n)
           }))
         ext.injectFunction((
@@ -68,12 +81,8 @@ object GraftSession {
           FunctionIdentifier("graft_topk"),
           new ExpressionInfo(classOf[graft.functions.TopKByScore].getName, "graft_topk"),
           (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-            val k = children.lift(2) match {
-              case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
-              case None => 10
-              case other => throw new IllegalArgumentException(
-                s"graft_topk(score, id[, k]): k must be an int literal, got $other")
-            }
+            val k = children.lift(2)
+              .map(constInt(_, "graft_topk(score, id[, k]): k")).getOrElse(10)
             graft.functions.TopKByScore(children(0), children(1), k)
           }))
         ext.injectFunction((

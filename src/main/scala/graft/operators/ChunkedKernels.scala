@@ -28,9 +28,12 @@ import SeriesKernels.{Checkpointable, KernelSpec}
   * Correctness contract: chunks are non-overlapping, each holds a
   * contiguous time range per series, and chunks arrive in ascending time
   * order — exactly what a day-partitioned sink or a micro-batch sequence
-  * already guarantees. Kernels must implement [[Checkpointable]]
-  * (SES + Kalman here; the remaining Wilder/EMA kernels are the same
-  * few-doubles pattern, listed in SURVEY §2.5b).
+  * already guarantees. Kernels must implement [[Checkpointable]] —
+  * every §2.5b recursive kernel does (SES, Kalman, RSI, MACD, EMA, ADX;
+  * the wavelet is a global whole-series transform and stays out of
+  * scope, SURVEY §7.4). Non-checkpointable specs are rejected up front
+  * with a driver-side error naming the offender, not a mid-job executor
+  * ClassCastException (ADVICE r3).
   */
 object ChunkedKernels {
 
@@ -45,6 +48,10 @@ object ChunkedKernels {
       keyCols: Seq[String],
       orderCols: Seq[String],
       specs: Seq[KernelSpec]): Seq[DataFrame] = {
+    val bad = specs.filterNot(_.make().isInstanceOf[Checkpointable])
+    require(bad.isEmpty,
+      "ChunkedKernels.applyChunked: kernels must be Checkpointable; " +
+        s"offending specs (by output cols): ${bad.map(_.outputCols.mkString("/")).mkString(", ")}")
     var carried: Map[Seq[Any], Seq[Array[Double]]] = Map.empty
     chunks.map { chunk =>
       val (enriched, tails) = runChunk(chunk, keyCols, orderCols, specs, carried)

@@ -171,7 +171,7 @@ object SeriesKernels {
     * RSI = 100·gain/(gain+loss), 0 when the denominator is 0. First
     * `period` rows are null.
     */
-  final class RsiKernel(period: Int = 14) extends Kernel {
+  final class RsiKernel(period: Int = 14) extends Checkpointable {
     val arity = 1; val width = 1
     private var t = 0
     private var prev = 0.0
@@ -180,6 +180,10 @@ object SeriesKernels {
     private var ag = 0.0
     private var al = 0.0
     def reset(): Unit = { t = 0; sumG = 0.0; sumL = 0.0 }
+    def snapshot: Array[Double] = Array(t.toDouble, prev, sumG, sumL, ag, al)
+    def restore(s: Array[Double]): Unit = {
+      t = s(0).toInt; prev = s(1); sumG = s(2); sumL = s(3); ag = s(4); al = s(5)
+    }
     def step(in: Array[Double]): Array[Double] = {
       val z = in(0)
       if (z.isNaN) return Array(Double.NaN)
@@ -209,7 +213,7 @@ object SeriesKernels {
     * SMA-seeded over macd rows 26..34. All three outputs (macd, signal,
     * hist) are null before row 34 (33-row warmup).
     */
-  final class MacdKernel(fast: Int = 12, slow: Int = 26, sig: Int = 9) extends Kernel {
+  final class MacdKernel(fast: Int = 12, slow: Int = 26, sig: Int = 9) extends Checkpointable {
     val arity = 1; val width = 3
     private val kFast = 2.0 / (fast + 1).toDouble
     private val kSlow = 2.0 / (slow + 1).toDouble
@@ -222,6 +226,13 @@ object SeriesKernels {
     private var sumSig = 0.0
     private var signal = 0.0
     def reset(): Unit = { t = 0; sumSlow = 0.0; sumSig = 0.0 }
+    def snapshot: Array[Double] =
+      Array(t.toDouble, sumSlow, emaF, emaS, sumSig, signal) ++ ring
+    def restore(s: Array[Double]): Unit = {
+      t = s(0).toInt; sumSlow = s(1); emaF = s(2); emaS = s(3)
+      sumSig = s(4); signal = s(5)
+      System.arraycopy(s, 6, ring, 0, fast)
+    }
     def step(in: Array[Double]): Array[Double] = {
       val z = in(0)
       if (z.isNaN) return Array(Double.NaN, Double.NaN, Double.NaN)
@@ -253,7 +264,7 @@ object SeriesKernels {
     * ema = (x − prev)·k + prev with k = 2/(period+1). Used for the PPO
     * signal line (reference ta_signals.py:47: talib.EMA(ppo, 9)).
     */
-  final class EmaKernel(period: Int = 9) extends Kernel {
+  final class EmaKernel(period: Int = 9) extends Checkpointable {
     val arity = 1; val width = 1
     private val k = 2.0 / (period + 1).toDouble
     private var n = 0
@@ -261,6 +272,11 @@ object SeriesKernels {
     private var ema = 0.0
     private var seeded = false
     def reset(): Unit = { n = 0; sum = 0.0; seeded = false }
+    def snapshot: Array[Double] =
+      Array(n.toDouble, sum, ema, if (seeded) 1.0 else 0.0)
+    def restore(s: Array[Double]): Unit = {
+      n = s(0).toInt; sum = s(1); ema = s(2); seeded = s(3) != 0.0
+    }
     def step(in: Array[Double]): Array[Double] = {
       val z = in(0)
       if (z.isNaN) return Array(Double.NaN)
@@ -282,7 +298,7 @@ object SeriesKernels {
     * row 28 as the mean of the first 14 DX values, then Wilder recursion
     * (prev·13 + DX)/14. Warmups: ±DI 14 rows, ADX 27 rows.
     */
-  final class AdxKernel(period: Int = 14) extends Kernel {
+  final class AdxKernel(period: Int = 14) extends Checkpointable {
     val arity = 3; val width = 3
     private var t = 0
     private var ph = 0.0; private var pl = 0.0; private var pc = 0.0
@@ -290,6 +306,12 @@ object SeriesKernels {
     private var sumDX = 0.0
     private var adx = 0.0
     def reset(): Unit = { t = 0; smTR = 0.0; smP = 0.0; smM = 0.0; sumDX = 0.0 }
+    def snapshot: Array[Double] =
+      Array(t.toDouble, ph, pl, pc, smTR, smP, smM, sumDX, adx)
+    def restore(s: Array[Double]): Unit = {
+      t = s(0).toInt; ph = s(1); pl = s(2); pc = s(3)
+      smTR = s(4); smP = s(5); smM = s(6); sumDX = s(7); adx = s(8)
+    }
     def step(in: Array[Double]): Array[Double] = {
       val h = in(0); val l = in(1); val c = in(2)
       if (h.isNaN || l.isNaN || c.isNaN) return Array(Double.NaN, Double.NaN, Double.NaN)

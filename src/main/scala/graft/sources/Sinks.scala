@@ -100,6 +100,35 @@ object Sinks {
     * swaps. (VERDICT r2 "What's wrong" #6: upsertByKey rewrote the whole
     * table per merge.)
     */
+  /** The bucketed sink's layout contract, persisted at creation: keys
+    * hash into `__bucket` dirs ONLY under the nBuckets the sink was
+    * built with. A merge under a different nBuckets would look up keys
+    * in the wrong directories, miss their old rows, and leave stale
+    * duplicates — so the count is written to `_graft_sink_meta` on
+    * create and validated on every merge (ADVICE r3).
+    */
+  private def metaPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_sink_meta")
+
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, nBuckets: Int): Unit = {
+    val out = fs.create(metaPath(path), true)
+    try out.write(s"""{"nBuckets":$nBuckets}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readMetaBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[Int] = {
+    val p = metaPath(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      """"nBuckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+    }
+  }
+
   def upsertByKeyBucketed(spark: SparkSession, incoming: DataFrame,
       path: String, keys: Seq[String], versionCol: String,
       nBuckets: Int = 64): Unit = {
@@ -117,7 +146,18 @@ object Sinks {
     if (!fs.exists(root)) {
       newestPerKey(inB.withColumn("__src", lit(1)))
         .write.partitionBy("__bucket").parquet(path)
+      writeMeta(fs, path, nBuckets)
       return
+    }
+    readMetaBuckets(fs, path) match {
+      case Some(have) => require(have == nBuckets,
+        s"upsertByKeyBucketed: sink at $path was built with nBuckets=$have, " +
+          s"merge called with nBuckets=$nBuckets — keys would hash into " +
+          "different bucket dirs and stale rows would survive the merge")
+      case None => throw new IllegalStateException(
+        s"upsertByKeyBucketed: sink at $path has no _graft_sink_meta — " +
+          "not a bucketed sink created by this API (or the metadata was " +
+          "deleted); refusing to merge blind")
     }
     val touched = inB.select("__bucket").distinct()
       .collect().map(_.getInt(0)).sorted
@@ -133,8 +173,23 @@ object Sinks {
     touched.foreach { b =>
       val src = new org.apache.hadoop.fs.Path(s"$staged/__bucket=$b")
       val dst = new org.apache.hadoop.fs.Path(s"$path/__bucket=$b")
-      fs.delete(dst, true)
-      if (fs.exists(src)) fs.rename(src, dst)
+      // a touched bucket always has incoming rows, so its staged dir must
+      // exist — verify BEFORE removing the live dir, and swap via a
+      // rename-aside so a failed rename can't lose the bucket (ADVICE r3)
+      if (!fs.exists(src)) throw new IllegalStateException(
+        s"upsertByKeyBucketed: staged dir missing for touched bucket $b " +
+          s"($src) — aborting swap, live sink untouched")
+      val old = new org.apache.hadoop.fs.Path(s"$path/__bucket=$b.old")
+      fs.delete(old, true)
+      val hadLive = fs.exists(dst)
+      if (hadLive && !fs.rename(dst, old)) throw new IllegalStateException(
+        s"upsertByKeyBucketed: could not move live bucket $b aside")
+      if (!fs.rename(src, dst)) {
+        if (hadLive) fs.rename(old, dst) // restore
+        throw new IllegalStateException(
+          s"upsertByKeyBucketed: could not swap in staged bucket $b")
+      }
+      fs.delete(old, true)
     }
     fs.delete(stagedP, true)
   }

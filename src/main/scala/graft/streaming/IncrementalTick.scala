@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -63,17 +63,60 @@ object IncrementalTick {
     * the row-exact bound within them. Exposed for the spec's
     * `PartitionFilters` plan assertion.
     */
+  private def boundDayOf(boundNs: Long): String = java.time.Instant
+    .ofEpochSecond(Math.floorDiv(boundNs, 1000000000L))
+    .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+
   private[graft] def prunedSlice(
       spark: SparkSession,
       sinkPath: String,
       minNewTsNs: Long,
       lookbackHours: Long): DataFrame = {
     val boundNs = minNewTsNs - lookbackHours * 3600L * 1000000000L
-    val boundDay = java.time.Instant
-      .ofEpochSecond(Math.floorDiv(boundNs, 1000000000L))
-      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    val boundDay = boundDayOf(boundNs)
     Sinks.readPartitioned(spark, sinkPath)
       .filter(col("day") >= lit(boundDay) && col("ts_ns") >= lit(boundNs))
+  }
+
+  /** A slice guaranteed to cover each new-row series' [[Lookback]]-row
+    * tail: starts at `lookbackHours` and DOUBLES the window until every
+    * series in `newRows` has ≥ Lookback sink rows inside it, or the
+    * window reaches the sink's oldest `day` partition (then the slice IS
+    * the series' whole history and the row cap binds exactly as the
+    * reference's newest-299-rows read). A fixed time bound silently
+    * under-covered series sparser than hourly — fewer tail rows than
+    * kernel warmup diverges tick output from the full-batch recompute
+    * (ADVICE r3). The common dense case stays one pruned read; only
+    * sparse series pay extra widening reads. `minDay` is the oldest
+    * partition directory name (driver-side metadata, not data).
+    */
+  private def coveredSlice(
+      spark: SparkSession,
+      sinkPath: String,
+      newRows: DataFrame,
+      minNewTsNs: Long,
+      lookbackHours: Long,
+      minDay: Option[String]): DataFrame = {
+    val newSeries = newRows.select("user_id").distinct()
+    var hours = lookbackHours
+    var rounds = 0
+    while (rounds < 64) {
+      val slice = prunedSlice(spark, sinkPath, minNewTsNs, hours)
+      val boundDay = boundDayOf(minNewTsNs - hours * 3600L * 1000000000L)
+      // strict <: the ts_ns bound can clip rows inside the boundary day
+      val wholeHistory = minDay.forall(boundDay < _)
+      if (wholeHistory) return slice
+      val counts = slice.groupBy("user_id").count()
+      val deficient = newSeries.join(counts, Seq("user_id"), "left")
+        .filter(coalesce(col("count"), lit(0L)) < Lookback)
+      if (deficient.isEmpty) return slice
+      hours *= 2
+      rounds += 1
+    }
+    throw new IllegalStateException(
+      s"coveredSlice: window did not converge after $rounds doublings " +
+        s"(sink=$sinkPath, start=$lookbackHours h) — sink partition layout " +
+        "is inconsistent with its row timestamps")
   }
 
   /** The per-series tail over a pruned slice: newest ≤ [[Lookback]]
@@ -89,8 +132,10 @@ object IncrementalTick {
   /** One foreachBatch body: merge `newRows` (schema: event_id, ts,
     * ts_ns, user_id, value) into the sink at `sinkPath`.
     *
-    * `lookbackHours` sizes the tail's time window (reference: 299
-    * hourly candles ⇒ 299 h). Only a missing sink path reads as "no
+    * `lookbackHours` seeds the tail's time window (reference: 299
+    * hourly candles ⇒ 299 h); [[coveredSlice]] widens it automatically
+    * for series sparser than hourly, so tick-vs-batch parity holds at
+    * ANY series cadence. Only a missing sink path reads as "no
     * history" (first tick); any other read failure propagates so the
     * micro-batch retries instead of appending rows computed without
     * lookback (ADVICE r2).
@@ -104,9 +149,20 @@ object IncrementalTick {
       lookbackHours: Long = Lookback.toLong): Unit = {
     if (newRows.isEmpty) return // X4: empty micro-batch no-op
     val minNewTsNs = newRows.agg(min(col("ts_ns"))).first().getLong(0)
+    // only a MISSING sink path reads as "no history" (first tick); once
+    // the path exists any read failure propagates (corrupt sink ≠ empty)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(sinkPath)
     val slice =
-      try Some(prunedSlice(spark, sinkPath, minNewTsNs, lookbackHours))
-      catch { case e: AnalysisException if Sinks.isPathMissing(e) => None }
+      if (!fs.exists(root)) None
+      else {
+        val days = fs.listStatus(root).map(_.getPath.getName)
+          .filter(_.startsWith("day=")).map(_.stripPrefix("day="))
+        val minDay = if (days.isEmpty) None else Some(days.min)
+        Some(coveredSlice(spark, sinkPath, newRows, minNewTsNs,
+          lookbackHours, minDay))
+      }
     val union = slice match {
       case None    => newRows.select(InputCols.map(col): _*)
       case Some(s) => rowCap(s).unionByName(newRows.select(InputCols.map(col): _*))

@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{ChunkedKernels, SeriesKernels}
-import graft.operators.SeriesKernels.{KalmanKernel, KernelSpec, SesKernel}
+import graft.operators.SeriesKernels.{AdxKernel, EmaKernel, KalmanKernel,
+  Kernel, KernelSpec, MacdKernel, RsiKernel, SesKernel}
 
 /** SURVEY §7.4 escape hatch: a series processed in driver-sequenced
   * chunks with carried kernel state must equal the unchunked sequential
@@ -42,6 +43,58 @@ class ChunkedKernelsSpec extends AnyFunSuite {
     val bad = joined.filter(
       (col("w.ses") =!= col("s.ses")) || (col("w.kalman") =!= col("s.kalman")))
     assert(bad.isEmpty, s"${bad.count()} rows differ from the unchunked pass")
+  }
+
+  test("every §2.5b recursive kernel stitches bit-for-bit across chunks") {
+    val n = 3000
+    val df = spark.range(2L * n)
+      .select(
+        (col("id") % 2).as("user_id"),
+        (col("id") / 2).as("ts"),
+        (sin(col("id").cast("double") * 0.013) * 40.0 + 100.0).as("close"))
+      .withColumn("high", col("close") + abs(sin(col("ts") * 0.7)) * 2.0)
+      .withColumn("low", col("close") - abs(cos(col("ts") * 0.9)) * 2.0)
+    val specs = Seq(
+      KernelSpec(Seq("close"), Seq("rsi"), () => new RsiKernel(14)),
+      KernelSpec(Seq("close"), Seq("macd", "macd_sig", "macd_hist"),
+        () => new MacdKernel()),
+      KernelSpec(Seq("close"), Seq("ema9"), () => new EmaKernel(9)),
+      KernelSpec(Seq("high", "low", "close"), Seq("pdi", "mdi", "adx"),
+        () => new AdxKernel(14)))
+    val outCols = specs.flatMap(_.outputCols)
+    val whole = SeriesKernels.applyKernels(df, Seq("user_id"), Seq("ts"), specs)
+    // chunk boundaries inside every warmup region (RSI 14, MACD 33, ADX 27)
+    val bounds = Seq(0, 7, 20, 30, 100, 1777, 2999, n)
+    val chunks = bounds.sliding(2).collect { case Seq(a, b) =>
+      df.filter(col("ts") >= a && col("ts") < b)
+    }.toSeq
+    val stitched = ChunkedKernels
+      .applyChunked(chunks, Seq("user_id"), Seq("ts"), specs)
+      .reduce(_ unionByName _)
+    assert(stitched.count() == whole.count())
+    val joined = whole.as("w").join(stitched.as("s"),
+      col("w.user_id") === col("s.user_id") && col("w.ts") === col("s.ts"))
+    val anyDiff = outCols
+      .map(c => col(s"w.$c") =!= col(s"s.$c") ||
+        (col(s"w.$c").isNull =!= col(s"s.$c").isNull))
+      .reduce(_ || _)
+    val bad = joined.filter(anyDiff)
+    assert(bad.isEmpty, s"${bad.count()} rows differ from the unchunked pass")
+  }
+
+  test("non-checkpointable kernels are rejected up front, naming the offender") {
+    val stateless = new Kernel {
+      val arity = 1; val width = 1
+      def reset(): Unit = ()
+      def step(in: Array[Double]): Array[Double] = in
+    }
+    import spark.implicits._
+    val chunk = Seq((0L, 0L, 1.0)).toDF("user_id", "ts", "value")
+    val e = intercept[IllegalArgumentException] {
+      ChunkedKernels.applyChunked(Seq(chunk), Seq("user_id"), Seq("ts"),
+        Seq(KernelSpec(Seq("value"), Seq("identity_out"), () => stateless)))
+    }
+    assert(e.getMessage.contains("identity_out"))
   }
 
   test("a series absent from intermediate chunks resumes from its carried state") {

@@ -33,10 +33,11 @@ class IncrementalTickSpec extends AnyFunSuite {
     val tickSize = math.max(1, (ordered.length - cut) / 5)
     val batches = toDf(ordered.take(cut)) +:
       ordered.drop(cut).grouped(tickSize).map(g => toDf(g.toArray)).toSeq
-    // events are sparse (~1k rows over 30 days): size the time lookback to
-    // cover the whole span so the row-count cap (299/series) is the binding
-    // bound, as in round 2 — the day-pruning path has its own test below
-    IncrementalTick.run(spark, batches, sinkPath, lookbackHours = 24L * 60)
+    // events are sparse (~1k rows over 30 days), far sparser than hourly:
+    // the DEFAULT 299h window under-covers every series, so this exercises
+    // the adaptive widening (coveredSlice doubles the window until each
+    // series' 299-row tail is in it or the oldest day partition is reached)
+    IncrementalTick.run(spark, batches, sinkPath)
 
     val sink = spark.read.parquet(sinkPath)
       .select("event_id", "sma30", "bb_up", "bb_lo", "buy", "sell")

@@ -108,5 +108,12 @@ class SinksSpec extends AnyFunSuite {
     // idempotent re-delivery
     Sinks.upsertByKeyBucketed(spark, v2, dir, Seq("id"), "version", nBuckets = 8)
     assert(spark.read.parquet(dir).count() == 101)
+
+    // layout contract: merging with a different nBuckets would hash keys
+    // into the wrong dirs and keep stale rows — must be refused loudly
+    val mismatch = intercept[IllegalArgumentException] {
+      Sinks.upsertByKeyBucketed(spark, v2, dir, Seq("id"), "version", nBuckets = 16)
+    }
+    assert(mismatch.getMessage.contains("nBuckets=8"))
   }
 }
