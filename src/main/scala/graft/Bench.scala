@@ -171,7 +171,8 @@ object Bench {
       }
       Some(s""""ann_recall":{"v4b_lsh":${meanRecall("q_v4b_recall")},""" +
         s""""v6b_ivf":${meanRecall("q_v6b_recall")},""" +
-        s""""v6d_ivf_kmeans":${meanRecall("q_v6d_ivf_kmeans_recall")}}""")
+        s""""v6d_ivf_kmeans":${meanRecall("q_v6d_ivf_kmeans_recall")},""" +
+        s""""v8b_nsw":${meanRecall("q_v8b_nsw_recall")}}""")
     } catch {
       case e: Throwable =>
         errors("__recall") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

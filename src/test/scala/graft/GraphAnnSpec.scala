@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GraphAnn
+import graft.operators.GraphAnn.Params
+import graft.operators.VectorOps.cosine
+import graft.sources.Tables
+
+/** Contract of the per-shard NSW graph index (the HNSW-analog — no SQL
+  * oracle exists for a pointer-graph walk, so this spec is the
+  * correctness artifact for q_v8_nsw_ann / q_v8b_nsw_recall):
+  * determinism across runs, measured recall vs the exact scan, and the
+  * beam-width↔recall tradeoff the reference buys with ef (HNSW) where
+  * IVF buys it with nprobe (q_v6c).
+  */
+class GraphAnnSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.get(4)
+  private val sf = "/root/testdata/sf0.01"
+
+  private lazy val corpus = Tables.embeddings(spark, sf)
+
+  /** Exact top-k ids for a query vector (self excluded). */
+  private def exactIds(qid: Long, qv: Seq[Double], k: Int): Seq[Long] =
+    corpus.filter(col("vec_id") =!= qid)
+      .withColumn("score", cosine(col("embedding"), typedLit(qv)))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+      .collect().map(_.getLong(0)).toSeq
+
+  private lazy val queryPoints: Seq[(Long, Seq[Double])] =
+    corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+      .sortBy(_._1)
+
+  private def meanRecall(params: Params, k: Int = 5): Double = {
+    val ann = GraphAnn
+      .searchShards(corpus, "vec_id", "embedding", queryPoints, k + 1, params)
+      .filter(col("vec_id") =!= col("qid"))
+    val annIds = ann.collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+        .take(k).map(_.getLong(1)).toSet)
+      .toMap
+    val recalls = queryPoints.map { case (qid, qv) =>
+      val exact = exactIds(qid, qv, k).toSet
+      annIds.getOrElse(qid, Set.empty).count(exact).toDouble / k
+    }
+    recalls.sum / recalls.size
+  }
+
+  test("NSW search is deterministic across runs") {
+    val run = () => SparkEntry.queries("q_v8_nsw_ann")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(run() == run())
+  }
+
+  test("NSW recall vs exact top-5 is high at the default beam") {
+    val r = meanRecall(Params())
+    info(f"mean NSW recall@5 over 8 query points: $r%.3f")
+    assert(r >= 0.8, f"NSW recall $r%.3f below 0.8 — graph search is lost")
+  }
+
+  test("recall rises with the search beam (the HNSW ef tradeoff)") {
+    val narrow = meanRecall(Params(efSearch = 2))
+    val wide = meanRecall(Params(efSearch = 64))
+    info(f"recall ef=2: $narrow%.3f, ef=64: $wide%.3f")
+    assert(wide >= narrow,
+      f"widening the beam must not lose recall ($narrow%.3f -> $wide%.3f)")
+    assert(wide >= 0.95, f"ef=64 recall $wide%.3f below 0.95")
+  }
+
+  test("single-shard stress: sparse graph, narrow vs wide beam (real walk, not exhaustive scan)") {
+    // one shard of 4000 24-d vectors drawn from 50 clusters (center +
+    // small per-id jitter — the manifold structure real embedding
+    // corpora have; uniformly RANDOM vectors are graph-ANN's known
+    // degenerate case and measure nothing): the single large graph
+    // makes the walk real, unlike the tiny per-shard graphs above
+    // where any beam is near-exhaustive
+    val dim = 24
+    val n = 4000
+    val nClusters = 50
+    def centerCol(d: Int) = sin((col("id") % nClusters).cast("double") * (2.17 + d) + lit(d * 0.91))
+    val vecs = spark.range(n).select(
+      col("id").as("vec_id"),
+      array((0 until dim).map(d =>
+        centerCol(d) + sin(col("id").cast("double") * (5.3 + d)) * 0.15): _*)
+        .as("embedding"))
+    // queries: jittered cluster centers (in-distribution, off-corpus)
+    val qs = (0L until 8L).map { qid =>
+      val r = new java.util.Random(qid)
+      val c = qid * 6 % nClusters
+      qid -> (0 until dim).map(d =>
+        math.sin(c.toDouble * (2.17 + d) + d * 0.91) + (r.nextDouble() - 0.5) * 0.1).toSeq
+    }
+    def recallAt(params: Params): Double = {
+      val ann = GraphAnn.searchShards(vecs, "vec_id", "embedding", qs,
+        kPerShard = 5, params, numShards = 1)
+      val annIds = ann.collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val rs = qs.map { case (qid, qv) =>
+        val exact = vecs
+          .withColumn("score", cosine(col("embedding"), typedLit(qv)))
+          .orderBy(desc("score"), col("vec_id")).limit(5)
+          .collect().map(_.getLong(0)).toSet
+        annIds.getOrElse(qid, Set.empty).count(exact).toDouble / 5.0
+      }
+      rs.sum / rs.size
+    }
+    val narrow = recallAt(Params(m = 8, efConstruction = 16, efSearch = 5))
+    val wide = recallAt(Params(m = 8, efConstruction = 16, efSearch = 256))
+    info(f"4000x1-shard sparse-graph recall@5 — ef=5: $narrow%.3f, ef=256: $wide%.3f")
+    assert(wide >= narrow, "widening the beam must not lose recall")
+    assert(wide >= 0.7, f"wide-beam recall $wide%.3f collapsed on one shard")
+  }
+
+  test("corpus smaller than k returns every row, ranked") {
+    val tiny = corpus.filter(col("vec_id") < 3)
+    val got = GraphAnn.searchTopK(tiny, "vec_id", "embedding",
+      VectorQueriesTestAccess.queryVec, k = 10).collect()
+    assert(got.length == 3)
+    val scores = got.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+}
+
+/** Exposes the fixed query vector without widening VectorQueries' API. */
+object VectorQueriesTestAccess {
+  def queryVec: Seq[Double] = graft.queries.VectorQueries.QueryVec
+}
