@@ -139,7 +139,12 @@ object PipelineQueries extends QueryPack {
       "q_e3_signal_overlay",
       (s, dir) => {
         val b = bars(s, dir)
-        val mx = b.agg(max(col("bts")).as("mx_bts"))
+        // max bar bucket == hour-trunc of the max raw timestamp: a
+        // column-pruned scan with partial max per partition — no reason
+        // to recompute the whole bar aggregation (it cost this plan a
+        // second groupBy exchange subtree)
+        val mx = Tables.events(s, dir)
+          .agg(date_trunc("HOUR", max(col("ts"))).as("mx_bts"))
         val withRn = b.withColumn("rn", row_number().over(seriesW))
         val (_, up, lo) = bollinger(col("close"), col("rn"), 20, 2.0, seriesW)
         val withBands = withRn

@@ -114,6 +114,52 @@ class IncrementalTickSpec extends AnyFunSuite {
     assert(mismatch.isEmpty)
   }
 
+  test("X2 through a REAL writeStream.foreachBatch over a file source") {
+    // the full Structured Streaming loop the scaladoc promises: a parquet
+    // file source (one file per micro-batch, mod-time ordered), the tick
+    // component as the foreachBatch body, checkpointed, AvailableNow
+    val dir = Files.createTempDirectory("graft_tickfs").toString
+    val srcPath = dir + "/src"
+    val sinkPath = dir + "/sink"
+    val all = hourly(20)
+    val ranges = Seq((0, 300), (300, 360), (360, 420), (420, 480))
+    ranges.foreach { case (a, b) =>
+      all.filter(col("h") >= a && col("h") < b)
+        .coalesce(1).write.mode("append").parquet(srcPath)
+      Thread.sleep(60) // distinct mod-times => deterministic batch order
+    }
+    val stream = spark.readStream
+      .schema(all.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcPath)
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        IncrementalTick.processBatch(spark, df.toDF(), sinkPath)
+      }
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive, "stream did not drain within 2 min")
+
+    val sink = spark.read.parquet(sinkPath)
+      .select("event_id", "sma30", "bb_up", "bb_lo", "buy", "sell")
+    val batch = IncrementalTick.enrich(
+        all.select("event_id", "ts", "ts_ns", "user_id", "value"))
+      .select("event_id", "sma30", "bb_up", "bb_lo", "buy", "sell")
+    assert(sink.count() == 2L * 480)
+    val mismatch = sink.as("s").join(batch.as("b"),
+        col("s.event_id") === col("b.event_id"))
+      .filter(
+        coalesce(abs(col("s.sma30") - col("b.sma30")) > 1e-9,
+          col("s.sma30").isNull =!= col("b.sma30").isNull) ||
+        coalesce(abs(col("s.bb_up") - col("b.bb_up")) > 1e-9,
+          col("s.bb_up").isNull =!= col("b.bb_up").isNull) ||
+        (col("s.buy") =!= col("b.buy")) ||
+        (col("s.sell") =!= col("b.sell")))
+    assert(mismatch.isEmpty)
+  }
+
   test("X5 idempotence: re-delivering an already-applied batch is a no-op") {
     val sinkPath = Files.createTempDirectory("graft_ticki").toString + "/sink"
     val all = hourly(20)
