@@ -296,6 +296,88 @@ object VectorQueries extends QueryPack {
                 |ORDER BY q.qid""".stripMargin)
       }),
 
+    // V4c — band-layout ↔ recall tradeoff for sign-bit LSH, ORACLED
+    // (the LSH counterpart of q_v6c's nprobe sweep): the SAME 16
+    // hyperplanes sliced as 16×1 / 8×2 / 4×4 / 2×8 (bands × bits) —
+    // shallow bands admit more candidates (higher recall, more scanned),
+    // deep bands prune harder. Mean recall@5 over the 8 query points per
+    // layout: the number a user needs to size the blocking scheme, and
+    // the honest context for q_v4's fixed 4×4 choice.
+    QueryDef(
+      "q_v4c_band_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir)
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val exact = exactTopK(e, q, 5)
+          .select(col("qid"), explode(col("nbrs.vec_id")).as("vec_id"))
+        val layouts = Seq((16, 1), (8, 2), (4, 4), (2, 8))
+        def slicePlanes(b: Int, bits: Int): Seq[Seq[Double]] =
+          Planes.slice(b * bits, (b + 1) * bits)
+        val swept = layouts.map { case (nb, bits) =>
+          val shares = (0 until nb).map { b =>
+            lshBucket(col("embedding"), slicePlanes(b, bits)) ===
+              lshBucket(col("qvec"), slicePlanes(b, bits))
+          }.reduce(_ || _)
+          e.crossJoin(broadcast(q))
+            .filter(col("vec_id") =!= col("qid") && shares)
+            .withColumn("score", cosine(col("embedding"), col("qvec")))
+            .groupBy("qid")
+            .agg(call_function("graft_topk", col("score"), col("vec_id"), lit(5)).as("nbrs"))
+            .select(lit(nb).as("n_bands"), lit(bits).as("bits"),
+              col("qid"), explode(col("nbrs.vec_id")).as("vec_id"))
+        }.reduce(_ unionByName _)
+        val common = swept.join(exact, Seq("qid", "vec_id"))
+          .groupBy("n_bands", "bits").agg(count(lit(1)).as("n"))
+        layouts.toDF("n_bands", "bits")
+          .join(common, Seq("n_bands", "bits"), "left")
+          .select(col("n_bands"), col("bits"),
+            round(coalesce(col("n"), lit(0L)) / lit(40.0), 6).as("mean_recall"))
+          .orderBy("n_bands")
+      },
+      {
+        def slicePlanes(b: Int, bits: Int): Seq[Seq[Double]] =
+          Planes.slice(b * bits, (b + 1) * bits)
+        def shareCond(nb: Int, bits: Int): String =
+          (0 until nb).map { b =>
+            s"(${lshBucketSql("e.embedding", slicePlanes(b, bits))}) = " +
+              s"(${lshBucketSql("q.qvec", slicePlanes(b, bits))})"
+          }.mkString(" OR ")
+        val layoutAnns = Seq((16, 1), (8, 2), (4, 4), (2, 8)).map { case (nb, bits) =>
+          s"""SELECT $nb AS n_bands, $bits AS bits, qid, vec_id FROM (
+             |  SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+             |    ORDER BY ${cosineSql("e.embedding", "q.qvec")} DESC, e.vec_id) AS rk
+             |  FROM embeddings e, q
+             |  WHERE e.vec_id <> q.qid AND (${shareCond(nb, bits)})) t
+             |WHERE rk <= 5""".stripMargin
+        }.mkString("\n  UNION ALL\n")
+        Some(s"""WITH q AS (
+                |  SELECT vec_id AS qid, embedding AS qvec
+                |  FROM embeddings WHERE vec_id < 8
+                |), exact AS (
+                |  SELECT qid, vec_id FROM (
+                |    SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+                |      ORDER BY ${cosineSql("e.embedding", "q.qvec")} DESC, e.vec_id) AS rk
+                |    FROM embeddings e, q WHERE e.vec_id <> q.qid) t
+                |  WHERE rk <= 5
+                |), swept AS (
+                |  $layoutAnns
+                |), common AS (
+                |  SELECT swept.n_bands, swept.bits, count(*) AS n
+                |  FROM swept JOIN exact
+                |    ON swept.qid = exact.qid AND swept.vec_id = exact.vec_id
+                |  GROUP BY swept.n_bands, swept.bits
+                |), layouts AS (
+                |  SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4), (2, 8)) AS v(n_bands, bits)
+                |)
+                |SELECT layouts.n_bands, layouts.bits,
+                |       round(COALESCE(n, 0) / 40.0, 6) AS mean_recall
+                |FROM layouts LEFT JOIN common
+                |  ON layouts.n_bands = common.n_bands AND layouts.bits = common.bits
+                |ORDER BY layouts.n_bands""".stripMargin)
+      }),
+
     // V6 — IVF-style ANN: a coarse quantizer of 16 centroids (sampled
     // deterministically from the corpus — IVF-flat with sampled
     // centroids), every vector assigned to its nearest centroid cell,
