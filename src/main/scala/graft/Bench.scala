@@ -207,11 +207,11 @@ object Bench {
           // side executes the full SQL and fetchall()s, so the Spark side
           // must collect() too — a count() lets Catalyst prune final
           // projections and drop ORDER BYs, biasing the ratio in Spark's
-          // favor (ADVICE r3). Best-of-2; cold first-run numbers stay in
-          // `queries`.
+          // favor (ADVICE r3). Best-of-3, same as the duck side; cold
+          // first-run numbers stay in `queries`.
           val warmSec = duckSec.keys.toSeq.sorted.flatMap { n =>
             SparkEntry.queries.get(n).map { fn =>
-              val t = (1 to 2).map { _ =>
+              val t = (1 to 3).map { _ =>
                 val t0 = System.nanoTime()
                 fn(spark, sfDir).collect()
                 (System.nanoTime() - t0) / 1e9

@@ -23,9 +23,15 @@ object FirKernelQueries extends QueryPack {
     // (smoothers.py:7-16).
     QueryDef(
       "q_w2_gaussian",
-      (s, dir) => FirKernels.gaussian(
+      // Spark side runs the series-buffered fused pass (mapPartitions
+      // ring buffer — WindowExec is not codegen'd and the 27-tap
+      // lag/lead projection measured ~2.5x DuckDB warm; the buffered
+      // form is bit-identical to the windowed one, FirKernelsSpec).
+      // The windowed declarative builder stays in FirKernels, mirrored
+      // by this oracle.
+      (s, dir) => graft.operators.SeriesTransforms.applyAll(
         Tables.events(s, dir), Seq("user_id"), Seq("ts_ns", "event_id"),
-        "value", "gauss")
+        Seq(graft.operators.SeriesTransforms.gaussianSpec("value", "gauss")))
         .select(col("event_id"), round(col("gauss"), 6).as("gauss"))
         .orderBy("event_id"),
       Some {
@@ -42,9 +48,11 @@ object FirKernelQueries extends QueryPack {
     // W3 — Savitzky–Golay(21, 4), mode 'interp' (filters.py:30-35).
     QueryDef(
       "q_w3_savgol",
-      (s, dir) => FirKernels.savgol(
+      // series-buffered fused pass, bit-identical to the 41-tap
+      // windowed form (FirKernelsSpec) — same rationale as q_w2
+      (s, dir) => graft.operators.SeriesTransforms.applyAll(
         Tables.events(s, dir), Seq("user_id"), Seq("ts_ns", "event_id"),
-        "value", "savgol")
+        Seq(graft.operators.SeriesTransforms.savgolSpec("value", "savgol")))
         .select(col("event_id"), round(col("savgol"), 6).as("savgol"))
         .orderBy("event_id"),
       Some {
