@@ -80,4 +80,29 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(viaAgg.count() == 21)
     assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
   }
+
+  test("banded ANN table: candidate lookup is partition pruning, not a scan") {
+    // the scale claim behind q_v4 (VectorQueries scaladoc): written
+    // partitioned by a band's bucket id, the per-query candidate read
+    // prunes to the query's bucket directory — PartitionFilters in the
+    // plan, same candidates as the in-memory filter
+    import graft.queries.VectorQueries.{Planes, QueryVec}
+    val dir = java.nio.file.Files.createTempDirectory("graft_banded").toString + "/t"
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val band0 = Planes.take(4)
+    e.withColumn("b0", lshBucket(col("embedding"), band0))
+      .write.partitionBy("b0").parquet(dir)
+    val qb = band0.zipWithIndex.map { case (hp, k) =>
+      val dot = hp.zip(QueryVec).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+      if (dot > 0.0) 1L << k else 0L
+    }.sum
+    val pruned = spark.read.parquet(dir).filter(col("b0") === lit(qb))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("b0"),
+      s"bucket predicate not pushed to partition pruning:\n$plan")
+    val expected = e.filter(lshBucket(col("embedding"), band0) === lit(qb))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = pruned.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected && got.nonEmpty)
+  }
 }
