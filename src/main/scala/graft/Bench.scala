@@ -33,17 +33,6 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch {
-          case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"'  => "\\\""
@@ -52,15 +41,17 @@ object Bench {
         case c => c.toString
       } + "\""
     // ---- steady-state throughput probes against BASELINE.md's explicit
-    // targets (the per-query timings above carry ~0.5-1 s of fixed
+    // targets (the per-query timings below carry ~0.5-1 s of fixed
     // planning cost each, which swamps rows/s at testdata scale):
     //   frame kernels >= 1M rows/s/core; scoring >= 10k docs/s;
     //   kNN over 1e5 x 64-d < 1 s.
+    // The probes run FIRST (r4): after the 85-query sweep the JVM carries
+    // GC/heap pressure that degraded the final-run numbers 2-5x versus
+    // the same probes on a clean JVM (r2 and r3 both hit this) — probe
+    // order was the remaining noise source best-of-3 couldn't fix.
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    // best-of-3: after 70+ queries the JVM carries GC/cache pressure that
-    // adds multi-second noise to any single measurement
     def best(f: => Unit): Double = (1 to 3).map(_ => time(f)).min
     val throughput = try {
       spark.catalog.clearCache()
@@ -159,6 +150,19 @@ object Bench {
       case e: Throwable =>
         errors("__throughput") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         None
+    }
+    // ---- the full query sweep (timed cold-ish: first execution of each
+    // plan in this JVM; the probes above warmed tables and codegen only)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // ---- measured ANN recall (VERDICT r2 missing #1): mean over the 8
     // query points of |ANN top-5 ∩ exact top-5| / 5, for the LSH and IVF

@@ -145,11 +145,12 @@ object PipelineQueries extends QueryPack {
         // second groupBy exchange subtree)
         val mx = Tables.events(s, dir)
           .agg(date_trunc("HOUR", max(col("ts"))).as("mx_bts"))
-        val withRn = b.withColumn("rn", row_number().over(seriesW))
-        val (_, up, lo) = bollinger(col("close"), col("rn"), 20, 2.0, seriesW)
-        val withBands = withRn
-          .withColumn("bb_up", up)
-          .withColumn("bb_lo", lo)
+        // bands via the O(1)-per-row decimal ring kernel (bit-identical
+        // to the windowed form, DecFrameParitySpec); lags stay windowed
+        val withBands = SeriesKernels.applyKernels(
+            b, Seq("user_id"), Seq("bts"),
+            Seq(KernelSpec(Seq("close"), Seq("bb_mid", "bb_up", "bb_lo"),
+              () => new graft.operators.DecFrameKernels.BollingerKernel(20, 2.0))))
           .withColumn("buy", crossBelow(col("close"), col("bb_lo"), seriesW))
           .withColumn("sell", crossAbove(col("close"), col("bb_up"), seriesW))
         withBands

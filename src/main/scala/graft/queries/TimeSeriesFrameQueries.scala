@@ -3,7 +3,10 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.operators.DecFrameKernels.{BollingerKernel, SmaDecKernel}
 import graft.operators.FrameKernels._
+import graft.operators.SeriesKernels
+import graft.operators.SeriesKernels.KernelSpec
 import graft.sources.Tables
 
 /** Frame-expressible time-series kernels over the per-user `events.value`
@@ -42,9 +45,13 @@ object TimeSeriesFrameQueries extends QueryPack {
     // W1 — SMA(30), min_periods=1 (reference smoothers.py:19-24).
     QueryDef(
       "q_w1_sma",
-      (s, dir) => Tables.events(s, dir)
-        .withColumn("sma30", round(sma(col("value"), 30, seriesW), 6))
-        .select(col("event_id"), col("sma30"))
+      // executes as the O(1)-per-row decimal ring kernel — WindowExec
+      // re-sums the sliding decimal frame per row (DecFrameKernels
+      // scaladoc); bit-identical per DecFrameParitySpec, same oracle
+      (s, dir) => SeriesKernels.applyKernels(
+        Tables.events(s, dir), Seq("user_id"), Seq("ts_ns", "event_id"),
+        Seq(KernelSpec(Seq("value"), Seq("sma"), () => new SmaDecKernel(30))))
+        .select(col("event_id"), round(col("sma"), 6).as("sma30"))
         .orderBy("event_id"),
       Some(s"""SELECT event_id,
               |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER $frame29 AS DOUBLE)
@@ -68,18 +75,17 @@ object TimeSeriesFrameQueries extends QueryPack {
     // first 19 rows of each series null (TA-Lib warmup, ta_signals.py:17-25).
     QueryDef(
       "q_w6_bbands",
-      (s, dir) => {
-        val rn = row_number().over(seriesW)
-        val (mid, up, lo) = bollinger(col("value"), col("rn"), 20, 2.0, seriesW)
-        Tables.events(s, dir)
-          .withColumn("rn", rn)
-          .select(
-            col("event_id"),
-            round(mid, 6).as("bb_mid"),
-            round(up, 6).as("bb_up"),
-            round(lo, 6).as("bb_lo"))
-          .orderBy("event_id")
-      },
+      // decimal ring kernel execution (bit-identical, DecFrameParitySpec)
+      (s, dir) => SeriesKernels.applyKernels(
+        Tables.events(s, dir), Seq("user_id"), Seq("ts_ns", "event_id"),
+        Seq(KernelSpec(Seq("value"), Seq("mid", "up", "lo"),
+          () => new BollingerKernel(20, 2.0))))
+        .select(
+          col("event_id"),
+          round(col("mid"), 6).as("bb_mid"),
+          round(col("up"), 6).as("bb_up"),
+          round(col("lo"), 6).as("bb_lo"))
+        .orderBy("event_id"),
       Some(s"""SELECT event_id,
               |       round(CASE WHEN rn >= 20 THEN mean END, 6) AS bb_mid,
               |       round(CASE WHEN rn >= 20 THEN mean + 2.0 * sqrt(meansq - mean * mean) END, 6) AS bb_up,
@@ -91,18 +97,17 @@ object TimeSeriesFrameQueries extends QueryPack {
     // upper; warmup rows are false (pandas NaN-compare semantics).
     QueryDef(
       "q_g2_bbands_signal",
-      (s, dir) => {
-        val rn = row_number().over(seriesW)
-        val (_, up, lo) = bollinger(col("value"), col("rn"), 20, 2.0, seriesW)
-        Tables.events(s, dir)
-          .withColumn("rn", rn)
-          .withColumn("bb_up", up)
-          .withColumn("bb_lo", lo)
-          .withColumn("buy", crossBelow(col("value"), col("bb_lo"), seriesW))
-          .withColumn("sell", crossAbove(col("value"), col("bb_up"), seriesW))
-          .select(col("event_id"), col("buy"), col("sell"))
-          .orderBy("event_id")
-      },
+      // bands from the ring kernel; the crossover lags stay windowed
+      // (offset frames are O(1) per row in WindowExec — only the sliding
+      // decimal aggregation was the hot spot)
+      (s, dir) => SeriesKernels.applyKernels(
+        Tables.events(s, dir), Seq("user_id"), Seq("ts_ns", "event_id"),
+        Seq(KernelSpec(Seq("value"), Seq("mid", "bb_up", "bb_lo"),
+          () => new BollingerKernel(20, 2.0))))
+        .withColumn("buy", crossBelow(col("value"), col("bb_lo"), seriesW))
+        .withColumn("sell", crossAbove(col("value"), col("bb_up"), seriesW))
+        .select(col("event_id"), col("buy"), col("sell"))
+        .orderBy("event_id"),
       Some(s"""SELECT event_id,
               |       coalesce(lag(value, 1) OVER $overOrd > lag(bb_lo, 1) OVER $overOrd
               |                AND value < bb_lo, false) AS buy,

@@ -296,18 +296,20 @@ object VectorQueries extends QueryPack {
                 |ORDER BY q.qid""".stripMargin)
       }),
 
-    // V4c — band-layout ↔ recall tradeoff for sign-bit LSH, ORACLED
-    // (the LSH counterpart of q_v6c's nprobe sweep): the SAME 16
+    // V4c — band-layout ↔ recall ↔ scan-cost tradeoff for sign-bit LSH,
+    // ORACLED (the LSH counterpart of q_v6c's nprobe sweep): the SAME 16
     // hyperplanes sliced as 16×1 / 8×2 / 4×4 / 2×8 (bands × bits) —
-    // shallow bands admit more candidates (higher recall, more scanned),
-    // deep bands prune harder. Mean recall@5 over the 8 query points per
-    // layout: the number a user needs to size the blocking scheme, and
-    // the honest context for q_v4's fixed 4×4 choice.
+    // shallow bands admit more candidates (higher recall, more corpus
+    // scanned), deep bands prune harder. Per layout: mean recall@5 over
+    // the 8 query points AND the mean admitted-candidate fraction (the
+    // cost axis — recall alone is meaningless without what it scans).
+    // This is the honest context for q_v4's fixed 4×4 choice.
     QueryDef(
       "q_v4c_band_sweep",
       (s, dir) => {
         import s.implicits._
         val e = Tables.embeddings(s, dir)
+        val n = e.count()
         val q = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val exact = exactTopK(e, q, 5)
@@ -315,25 +317,35 @@ object VectorQueries extends QueryPack {
         val layouts = Seq((16, 1), (8, 2), (4, 4), (2, 8))
         def slicePlanes(b: Int, bits: Int): Seq[Seq[Double]] =
           Planes.slice(b * bits, (b + 1) * bits)
-        val swept = layouts.map { case (nb, bits) =>
-          val shares = (0 until nb).map { b =>
-            lshBucket(col("embedding"), slicePlanes(b, bits)) ===
-              lshBucket(col("qvec"), slicePlanes(b, bits))
-          }.reduce(_ || _)
+        def sharesFor(nb: Int, bits: Int) = (0 until nb).map { b =>
+          lshBucket(col("embedding"), slicePlanes(b, bits)) ===
+            lshBucket(col("qvec"), slicePlanes(b, bits))
+        }.reduce(_ || _)
+        val cands = layouts.map { case (nb, bits) =>
           e.crossJoin(broadcast(q))
-            .filter(col("vec_id") =!= col("qid") && shares)
-            .withColumn("score", cosine(col("embedding"), col("qvec")))
-            .groupBy("qid")
-            .agg(call_function("graft_topk", col("score"), col("vec_id"), lit(5)).as("nbrs"))
+            .filter(col("vec_id") =!= col("qid") && sharesFor(nb, bits))
             .select(lit(nb).as("n_bands"), lit(bits).as("bits"),
-              col("qid"), explode(col("nbrs.vec_id")).as("vec_id"))
+              col("qid"), col("vec_id"), col("embedding"), col("qvec"))
         }.reduce(_ unionByName _)
-        val common = swept.join(exact, Seq("qid", "vec_id"))
+        val swept = cands
+          .withColumn("score", cosine(col("embedding"), col("qvec")))
+          .groupBy("n_bands", "bits", "qid")
+          .agg(
+            call_function("graft_topk", col("score"), col("vec_id"), lit(5)).as("nbrs"),
+            count(lit(1)).as("n_cand"))
+        val hits = swept
+          .select(col("n_bands"), col("bits"), col("qid"),
+            explode(col("nbrs.vec_id")).as("vec_id"))
+          .join(exact, Seq("qid", "vec_id"))
           .groupBy("n_bands", "bits").agg(count(lit(1)).as("n"))
+        val frac = swept.groupBy("n_bands", "bits")
+          .agg((sum(col("n_cand")) / lit(8.0 * (n - 1))).as("cf"))
         layouts.toDF("n_bands", "bits")
-          .join(common, Seq("n_bands", "bits"), "left")
+          .join(hits, Seq("n_bands", "bits"), "left")
+          .join(frac, Seq("n_bands", "bits"), "left")
           .select(col("n_bands"), col("bits"),
-            round(coalesce(col("n"), lit(0L)) / lit(40.0), 6).as("mean_recall"))
+            round(coalesce(col("n"), lit(0L)) / lit(40.0), 6).as("mean_recall"),
+            round(coalesce(col("cf"), lit(0.0)), 6).as("mean_cand_frac"))
           .orderBy("n_bands")
       },
       {
@@ -344,13 +356,11 @@ object VectorQueries extends QueryPack {
             s"(${lshBucketSql("e.embedding", slicePlanes(b, bits))}) = " +
               s"(${lshBucketSql("q.qvec", slicePlanes(b, bits))})"
           }.mkString(" OR ")
-        val layoutAnns = Seq((16, 1), (8, 2), (4, 4), (2, 8)).map { case (nb, bits) =>
-          s"""SELECT $nb AS n_bands, $bits AS bits, qid, vec_id FROM (
-             |  SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
-             |    ORDER BY ${cosineSql("e.embedding", "q.qvec")} DESC, e.vec_id) AS rk
-             |  FROM embeddings e, q
-             |  WHERE e.vec_id <> q.qid AND (${shareCond(nb, bits)})) t
-             |WHERE rk <= 5""".stripMargin
+        val layoutCands = Seq((16, 1), (8, 2), (4, 4), (2, 8)).map { case (nb, bits) =>
+          s"""SELECT $nb AS n_bands, $bits AS bits, q.qid, e.vec_id,
+             |       ${cosineSql("e.embedding", "q.qvec")} AS score
+             |FROM embeddings e, q
+             |WHERE e.vec_id <> q.qid AND (${shareCond(nb, bits)})""".stripMargin
         }.mkString("\n  UNION ALL\n")
         Some(s"""WITH q AS (
                 |  SELECT vec_id AS qid, embedding AS qvec
@@ -361,20 +371,34 @@ object VectorQueries extends QueryPack {
                 |      ORDER BY ${cosineSql("e.embedding", "q.qvec")} DESC, e.vec_id) AS rk
                 |    FROM embeddings e, q WHERE e.vec_id <> q.qid) t
                 |  WHERE rk <= 5
-                |), swept AS (
-                |  $layoutAnns
+                |), cands AS (
+                |  $layoutCands
+                |), topk AS (
+                |  SELECT n_bands, bits, qid, vec_id FROM (
+                |    SELECT n_bands, bits, qid, vec_id, row_number() OVER
+                |      (PARTITION BY n_bands, bits, qid
+                |       ORDER BY score DESC, vec_id) AS rk
+                |    FROM cands) t
+                |  WHERE rk <= 5
                 |), common AS (
-                |  SELECT swept.n_bands, swept.bits, count(*) AS n
-                |  FROM swept JOIN exact
-                |    ON swept.qid = exact.qid AND swept.vec_id = exact.vec_id
-                |  GROUP BY swept.n_bands, swept.bits
+                |  SELECT topk.n_bands, topk.bits, count(*) AS n
+                |  FROM topk JOIN exact
+                |    ON topk.qid = exact.qid AND topk.vec_id = exact.vec_id
+                |  GROUP BY topk.n_bands, topk.bits
+                |), cf AS (
+                |  SELECT n_bands, bits,
+                |         count(*) / (8.0 * ((SELECT count(*) FROM embeddings) - 1)) AS cf
+                |  FROM cands GROUP BY n_bands, bits
                 |), layouts AS (
                 |  SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4), (2, 8)) AS v(n_bands, bits)
                 |)
                 |SELECT layouts.n_bands, layouts.bits,
-                |       round(COALESCE(n, 0) / 40.0, 6) AS mean_recall
+                |       round(COALESCE(n, 0) / 40.0, 6) AS mean_recall,
+                |       round(COALESCE(cf, 0.0), 6) AS mean_cand_frac
                 |FROM layouts LEFT JOIN common
                 |  ON layouts.n_bands = common.n_bands AND layouts.bits = common.bits
+                |LEFT JOIN cf
+                |  ON layouts.n_bands = cf.n_bands AND layouts.bits = cf.bits
                 |ORDER BY layouts.n_bands""".stripMargin)
       }),
 
