@@ -55,37 +55,44 @@ object PipelineQueries extends QueryPack {
         count(lit(1)).cast("double").as("volume"))
 
   def build(s: SparkSession, dir: String): DataFrame = {
-    // ---- window pack: row number, SMA30, Bollinger(20,2), PPO line
-    val f12 = seriesW.rowsBetween(-11, 0)
-    val f26 = seriesW.rowsBetween(-25, 0)
-    val sma12 = decSum(col("close"), f12) / 12.0
-    val sma26 = decSum(col("close"), f26) / 26.0
-    val withWindows = bars(s, dir)
-      .withColumn("rn", row_number().over(seriesW))
-      .withColumn("close_sma", sma(col("close"), 30, seriesW))
-      .withColumn("ppo", when(col("rn") >= 26, (sma12 - sma26) / sma26 * 100.0))
-    val (bbMid, bbUp, bbLo) = bollinger(col("close"), col("rn"), 20, 2.0, seriesW)
-    val withBb = withWindows
-      .withColumn("bb_mid", bbMid)
-      .withColumn("bb_up", bbUp)
-      .withColumn("bb_lo", bbLo)
-
-    // ---- ONE fused object-land pass: all six O(1)-state kernels + the
-    // three whole-series smoothers (Gaussian, SavGol, wavelet) run over
-    // each buffered series in a single shuffle+sort (interleaving them
-    // with window stages would re-exchange on user_id at every
-    // serialize fence — measured 11 exchanges vs 4 for this plan).
+    // ---- ONE fused object-land pass: every series computation — the six
+    // O(1)-state recursive kernels, the decimal frame kernels (SMA30,
+    // Bollinger(20,2), PPO line — r4: formerly a WindowExec pack whose
+    // sliding decimal aggregates re-summed each frame per row, the
+    // pipeline's hottest stage; the ring kernels are bit-identical per
+    // DecFrameParitySpec), and the three whole-series smoothers
+    // (Gaussian, SavGol, wavelet) — runs over each buffered series in a
+    // single shuffle+sort. Interleaving these as separate window/
+    // mapPartitions stages re-exchanges on user_id at every serialize
+    // fence (measured 11 exchanges vs 4 for this plan). Only the
+    // crossover lag algebra stays windowed (offset frames are O(1)).
+    import graft.operators.DecFrameKernels.{BollingerKernel, PpoLineKernel, SmaDecKernel}
     import graft.operators.SeriesTransforms
     import graft.operators.SeriesTransforms._
+    // PPO + its EMA(9) signal chained inside one composite spec (the EMA
+    // consumes the PPO array directly — kernel outputs aren't visible as
+    // input columns within a single fused pass)
+    val ppoWithSignal = SeriesTransformSpec(Seq("close"), Seq("ppo", "ppo_ema"), { ins =>
+      val ppoK = new PpoLineKernel()
+      ppoK.reset()
+      val ppo = ins(0).map(z => ppoK.step(Array(z))(0))
+      val emaK = new EmaKernel(9)
+      emaK.reset()
+      val ema = ppo.map(p => emaK.step(Array(p))(0))
+      Array(ppo, ema)
+    })
     val withWavelet = SeriesTransforms.applyAll(
-      withBb, Seq("user_id"), Seq("bts"),
+      bars(s, dir), Seq("user_id"), Seq("bts"),
       Seq(
         fromKernel(KernelSpec(Seq("close"), Seq("close_kalman"), () => new KalmanKernel())),
         fromKernel(KernelSpec(Seq("close"), Seq("close_ses"), () => new SesKernel())),
         fromKernel(KernelSpec(Seq("close"), Seq("rsi"), () => new RsiKernel())),
         fromKernel(KernelSpec(Seq("close"), Seq("macd", "macd_sig", "macd_hist"),
           () => new MacdKernel())),
-        fromKernel(KernelSpec(Seq("ppo"), Seq("ppo_ema"), () => new EmaKernel(9))),
+        fromKernel(KernelSpec(Seq("close"), Seq("close_sma"), () => new SmaDecKernel(30))),
+        fromKernel(KernelSpec(Seq("close"), Seq("bb_mid", "bb_up", "bb_lo"),
+          () => new BollingerKernel(20, 2.0))),
+        ppoWithSignal,
         fromKernel(KernelSpec(Seq("high", "low", "close"),
           Seq("plus_di", "minus_di", "adx"), () => new AdxKernel())),
         gaussianSpec("close", "close_gauss"),
