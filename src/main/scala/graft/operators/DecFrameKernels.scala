@@ -121,6 +121,39 @@ object DecFrameKernels {
     }
   }
 
+  /** W4 — exact rolling median over the trailing n-row frame
+    * (min_periods=1, reference init_influxdb.py:68-71): sorted middle
+    * pick over the frame's NON-NULL values (nulls occupy a frame slot
+    * but are skipped, like collect_list). Plain double arithmetic —
+    * mirrors `FrameKernels.rollingMedian`'s element_at picks exactly
+    * ((lo+hi)/2.0 for even counts). */
+  final class MedianKernel(n: Int) extends Kernel {
+    val arity = 1; val width = 1
+    private val ring = new Array[Double](n)
+    private val present = new Array[Boolean](n)
+    private val tmp = new Array[Double](n)
+    private var t = 0L
+    def reset(): Unit = { t = 0L; java.util.Arrays.fill(present, false) }
+    def step(in: Array[Double]): Array[Double] = {
+      val z = in(0)
+      val slot = (t % n).toInt
+      t += 1
+      present(slot) = !java.lang.Double.isNaN(z)
+      ring(slot) = z
+      var cnt = 0
+      var i = 0
+      while (i < n) {
+        if (present(i)) { tmp(cnt) = ring(i); cnt += 1 }
+        i += 1
+      }
+      if (cnt == 0) return Array(Double.NaN)
+      java.util.Arrays.sort(tmp, 0, cnt)
+      Array(
+        if (cnt % 2 == 1) tmp((cnt + 1) / 2 - 1)
+        else (tmp(cnt / 2 - 1) + tmp(cnt / 2)) / 2.0)
+    }
+  }
+
   /** The PPO line (reference ta_signals.py:40-47, matype=0): PPO =
     * (SMA12 − SMA26) / SMA26 · 100 from row 26, where each SMA is the
     * decimal frame sum divided by the CONSTANT period (TA-Lib SMA — the

@@ -304,25 +304,17 @@ object RelationalQueries extends QueryPack {
     // A2/W4 — rolling-median null fill over a 5-row trailing frame.
     QueryDef(
       "q_a2_median_fill",
-      (s, dir) => {
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts_ns"), col("event_id"))
-          .rowsBetween(-4, 0)
-        // Spark disallows median() with an explicit window frame; an exact
-        // frame median is a sorted collect_list + middle pick (nulls are
-        // skipped by collect_list, matching SQL aggregate null semantics).
-        val arr = array_sort(collect_list(col("v")).over(w))
-        val n = size(arr)
-        val med = when(n === 0, lit(null).cast("double"))
-          .when(n % 2 === 1, element_at(arr, ((n + 1) / 2).cast("int")))
-          .otherwise((element_at(arr, (n / 2).cast("int"))
-            + element_at(arr, (n / 2).cast("int") + 1)) / 2.0)
-        Tables.events(s, dir)
-          .withColumn("v", nulledValue)
-          .withColumn("v_filled", round(coalesce(col("v"), med), 6))
-          .select(col("event_id"), col("v_filled"))
-          .orderBy("event_id")
-      },
+      // r4: the 5-row frame median runs as an O(frame)-state ring kernel
+      // (the windowed form materializes + sorts a collect_list per row in
+      // WindowExec; same middle-pick arithmetic, DecFrameParitySpec)
+      (s, dir) => graft.operators.SeriesKernels.applyKernels(
+        Tables.events(s, dir).withColumn("v", nulledValue),
+        Seq("user_id"), Seq("ts_ns", "event_id"),
+        Seq(graft.operators.SeriesKernels.KernelSpec(Seq("v"), Seq("med"),
+          () => new graft.operators.DecFrameKernels.MedianKernel(5))))
+        .withColumn("v_filled", round(coalesce(col("v"), col("med")), 6))
+        .select(col("event_id"), col("v_filled"))
+        .orderBy("event_id"),
       Some(s"""SELECT event_id,
                      round(coalesce(v, median(v) OVER (
                         PARTITION BY user_id ORDER BY ts, event_id

@@ -46,13 +46,22 @@ class DecFrameParitySpec extends AnyFunSuite {
       .withColumn("bb_mid_w", mid)
       .withColumn("bb_up_w", up)
       .withColumn("bb_lo_w", lo)
+    val arr5 = array_sort(collect_list(col("value")).over(w.rowsBetween(-4, 0)))
+    val sz = size(arr5)
+    val wMed = wAll.withColumn("med_w",
+      when(sz === 0, lit(null).cast("double"))
+        .when(sz % 2 === 1, element_at(arr5, ((sz + 1) / 2).cast("int")))
+        .otherwise((element_at(arr5, (sz / 2).cast("int"))
+          + element_at(arr5, (sz / 2).cast("int") + 1)) / 2.0))
     SeriesKernels.applyKernels(
-      wAll, Seq("user_id"), Seq("ts"),
+      wMed, Seq("user_id"), Seq("ts"),
       Seq(
         KernelSpec(Seq("value"), Seq("sma_k"), () => new SmaDecKernel(30)),
         KernelSpec(Seq("value"), Seq("bb_mid_k", "bb_up_k", "bb_lo_k"),
           () => new BollingerKernel(20, 2.0)),
-        KernelSpec(Seq("value"), Seq("ppo_k"), () => new PpoLineKernel())))
+        KernelSpec(Seq("value"), Seq("ppo_k"), () => new PpoLineKernel()),
+        KernelSpec(Seq("value"), Seq("med_k"),
+          () => new DecFrameKernels.MedianKernel(5))))
       .cache()
   }
 
@@ -74,5 +83,9 @@ class DecFrameParitySpec extends AnyFunSuite {
 
   test("PPO line ring == windowed, bit-exact incl. nulls") {
     assertIdentical("ppo_w", "ppo_k")
+  }
+
+  test("rolling median(5) ring == windowed collect_list, bit-exact incl. nulls") {
+    assertIdentical("med_w", "med_k")
   }
 }
