@@ -138,6 +138,16 @@ object Bench {
         .orderBy(desc("score"), col("id")).limit(10).collect()
       topk() // warm codegen + vector generation plan
       val knnSec = best { topk() }
+      // graph-ANN probe over the SAME 1e5 x 64-d corpus: per-shard NSW
+      // build + search end-to-end (the index path a user takes when a
+      // brute scan per query is too expensive; build amortizes across
+      // queries — this times the worst case, build included)
+      val nswSec = best {
+        graft.operators.GraphAnn.searchTopK(
+          vecs.withColumnRenamed("id", "vec_id").withColumnRenamed("v", "embedding"),
+          "vec_id", "embedding", qv, k = 10,
+          numShards = Runtime.getRuntime.availableProcessors()).collect()
+      }
       Some(
         s""""throughput":{"frame_rows":$frameRows,"frame_sec":$frameSec,""" +
         s""""frame_rows_per_s":${(frameRows / frameSec).toLong},""" +
@@ -145,7 +155,8 @@ object Bench {
         s""""frame_narrow_rows_per_s":${(frameRows / narrowSec).toLong},""" +
         s""""scorer_docs":$scoredDocs,"scorer_sec":$scorerSec,""" +
         s""""scorer_docs_per_s":${(scoredDocs / scorerSec).toLong},""" +
-        s""""knn_vectors":$knnN,"knn_sec":$knnSec}""")
+        s""""knn_vectors":$knnN,"knn_sec":$knnSec,""" +
+        s""""nsw_build_search_sec":$nswSec}""")
     } catch {
       case e: Throwable =>
         errors("__throughput") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

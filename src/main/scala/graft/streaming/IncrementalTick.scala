@@ -186,4 +186,27 @@ object IncrementalTick {
   def run(spark: SparkSession, batches: Seq[DataFrame], sinkPath: String,
       lookbackHours: Long = Lookback.toLong): Unit =
     batches.foreach(b => processBatch(spark, b, sinkPath, lookbackHours))
+
+  /** The production entry point: attaches [[processBatch]] as the
+    * foreachBatch body of a streaming source (file dir, Kafka, rate…)
+    * and starts the checkpointed query. The reference's hourly cadence
+    * is `Trigger.ProcessingTime("1 hour")`; tests use AvailableNow
+    * (IncrementalTickSpec drives a parquet file source through this).
+    */
+  def startStream(
+      source: DataFrame,
+      sinkPath: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger,
+      lookbackHours: Long = Lookback.toLong)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(source.isStreaming, "startStream needs a streaming DataFrame")
+    source.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        processBatch(df.sparkSession, df.toDF(), sinkPath, lookbackHours)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
 }

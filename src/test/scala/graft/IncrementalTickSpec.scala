@@ -132,13 +132,8 @@ class IncrementalTickSpec extends AnyFunSuite {
       .schema(all.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcPath)
-    val q = stream.writeStream
-      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        IncrementalTick.processBatch(spark, df.toDF(), sinkPath)
-      }
-      .option("checkpointLocation", dir + "/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = IncrementalTick.startStream(stream, sinkPath, dir + "/ckpt",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
     q.awaitTermination(120000)
     assert(!q.isActive, "stream did not drain within 2 min")
 
