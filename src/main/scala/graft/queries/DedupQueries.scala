@@ -71,6 +71,77 @@ object DedupQueries extends QueryPack {
 
   /** Perturbed near-dup copies: ids + 1e6, a marker phrase appended. */
   private val Marker = " zq near duplicate marker tail"
+  /** Second perturbed generation (ids + 2e6) — gives D5's component step
+    * real transitive work: orig↔copy1 and orig↔copy2 pairs must merge
+    * into ONE cluster even when copy1↔copy2 never collide in a band. */
+  private val Marker2 = " zq second variant marker tail"
+
+  /** LSH candidate pairs (id_a < id_b, est_jaccard) from a signature
+    * table — the banded equi-join carries ONLY (band, bucket, doc_id):
+    * candidate pairs dedupe on two longs, and the 32-long signatures
+    * rejoin afterwards via broadcast (the signature table is tiny
+    * relative to the corpus — the classic LSH join layout; shuffling sig
+    * arrays through every band hit + distinct was 123 s at sf0.1, this
+    * shape is ~8 s). */
+  private def lshPairs(sigs: DataFrame): DataFrame = {
+    val banded = sigs.select(
+      col("doc_id"),
+      explode(array((0 until NumBands).map { bd =>
+        struct(lit(bd).as("band"),
+          concat_ws(",", (0 until RowsPerBand).map(r =>
+            element_at(col("sig"), bd * RowsPerBand + r + 1).cast("string")): _*)
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    pairs
+      .join(broadcast(sigs.select(col("doc_id").as("id_a"), col("sig").as("sa"))), Seq("id_a"))
+      .join(broadcast(sigs.select(col("doc_id").as("id_b"), col("sig").as("sb"))), Seq("id_b"))
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          b => b)).cast("double") / MinhashCoeffs.length.toDouble, 6))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Signature table over a (doc_id, text) universe; persisted — it is
+    * consumed three times (banding + two broadcast lookups). */
+  private def sigTable(u: DataFrame): DataFrame = u
+    .withColumn("hashes", shingleHashes(col("text")))
+    .filter(size(col("hashes")) > 0)
+    .withColumn("sig", minhashSig(col("hashes")))
+    .select(col("doc_id"), col("sig"))
+    .persist()
+
+  /** The sigs→banded→pairs CTE chain of the oracle SQL, shared by D1 and
+    * D5; `uSql` must define a CTE named u(doc_id, text). */
+  private def pairsSqlCtes: String =
+    s"""sigs AS (
+       |  SELECT doc_id, ${minhashSigSql("hashes")} AS sig
+       |  FROM (SELECT doc_id, ${shingleHashesSql("text")} AS hashes FROM u) h
+       |  WHERE len(hashes) > 0
+       |), banded AS (
+       |  SELECT doc_id, sig, band,
+       |         list_aggregate(list_transform([1,2,3,4,5,6,7,8],
+       |           i -> CAST(sig[band * 8 + i] AS VARCHAR)),
+       |           'string_agg', ',') AS bucket
+       |  FROM (SELECT doc_id, sig,
+       |               CAST(unnest([0,1,2,3]) AS INT) AS band
+       |        FROM sigs)
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         a.sig AS sa, b.sig AS sb
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |   AND a.doc_id < b.doc_id
+       |)""".stripMargin
 
   override def queries: Seq[QueryDef] = Seq(
 
@@ -86,47 +157,8 @@ object DedupQueries extends QueryPack {
         val copies = base.filter(col("doc_id") < 25)
           .select((col("doc_id") + 1000000L).as("doc_id"),
             concat(col("text"), lit(Marker)).as("text"))
-        // persist: the signature table is consumed three times (banding +
-        // two broadcast lookups); without it the whole tokenize/hash
-        // pipeline re-runs per consumer. ~32 longs/doc — negligible RAM.
-        val sigs = base.unionByName(copies)
-          .withColumn("hashes", shingleHashes(col("text")))
-          .filter(size(col("hashes")) > 0)
-          .withColumn("sig", minhashSig(col("hashes")))
-          .select(col("doc_id"), col("sig"))
-          .persist()
-        // The banded join carries ONLY (band, bucket, doc_id): candidate
-        // pairs dedupe on two longs, and the 32-long signatures rejoin
-        // afterwards via broadcast (the signature table is tiny relative
-        // to the corpus — the classic LSH join layout; shuffling sig
-        // arrays through every band hit + distinct was 123 s at sf0.1,
-        // this shape is ~8 s).
-        val banded = sigs.select(
-          col("doc_id"),
-          explode(array((0 until NumBands).map { bd =>
-            struct(lit(bd).as("band"),
-              concat_ws(",", (0 until RowsPerBand).map(r =>
-                element_at(col("sig"), bd * RowsPerBand + r + 1).cast("string")): _*)
-                .as("bucket"))
-          }: _*)).as("bb"))
-          .select(col("doc_id"),
-            col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-        val a = banded.as("a")
-        val b = banded.as("b")
-        val pairs = a.join(b,
-            col("a.band") === col("b.band") &&
-            col("a.bucket") === col("b.bucket") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .distinct()
-        pairs
-          .join(broadcast(sigs.select(col("doc_id").as("id_a"), col("sig").as("sa"))), Seq("id_a"))
-          .join(broadcast(sigs.select(col("doc_id").as("id_b"), col("sig").as("sb"))), Seq("id_b"))
-          .withColumn("est_jaccard",
-            round(size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
-              b => b)).cast("double") / MinhashCoeffs.length.toDouble, 6))
+        lshPairs(sigTable(base.unionByName(copies)))
           .filter(col("est_jaccard") >= 0.5)
-          .select(col("id_a"), col("id_b"), col("est_jaccard"))
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH u AS (
@@ -134,25 +166,7 @@ object DedupQueries extends QueryPack {
               |  UNION ALL
               |  SELECT doc_id + 1000000, text || '$Marker'
               |  FROM documents WHERE doc_id < 25
-              |), sigs AS (
-              |  SELECT doc_id, ${minhashSigSql("hashes")} AS sig
-              |  FROM (SELECT doc_id, ${shingleHashesSql("text")} AS hashes FROM u) h
-              |  WHERE len(hashes) > 0
-              |), banded AS (
-              |  SELECT doc_id, sig, band,
-              |         list_aggregate(list_transform([1,2,3,4,5,6,7,8],
-              |           i -> CAST(sig[band * 8 + i] AS VARCHAR)),
-              |           'string_agg', ',') AS bucket
-              |  FROM (SELECT doc_id, sig,
-              |               CAST(unnest([0,1,2,3]) AS INT) AS band
-              |        FROM sigs)
-              |), pairs AS (
-              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-              |         a.sig AS sa, b.sig AS sb
-              |  FROM banded a JOIN banded b
-              |    ON a.band = b.band AND a.bucket = b.bucket
-              |   AND a.doc_id < b.doc_id
-              |)
+              |), $pairsSqlCtes
               |SELECT id_a, id_b,
               |       round(CAST(len(list_filter(list_zip(sa, sb),
               |                    p -> p[1] = p[2])) AS DOUBLE) / 32.0, 6)
@@ -161,6 +175,59 @@ object DedupQueries extends QueryPack {
               |WHERE len(list_filter(list_zip(sa, sb), p -> p[1] = p[2])) >= 16
               |ORDER BY id_a, id_b""".stripMargin),
       bench = true),
+
+    // D5 — duplicate-CLUSTER canonicalization: connected components over
+    // the LSH near-dup pair graph (alternating large-star/small-star),
+    // yielding one canonical keeper (= min doc_id) per duplicate group.
+    // Two perturbed copy generations are injected so transitivity does
+    // real work: orig↔copy1 and orig↔copy2 band collisions must merge
+    // into one 3-member cluster even if copy1↔copy2 never collide.
+    // Oracle: DuckDB recursive-CTE transitive closure over the same edge
+    // set, rep = least(id, min reachable id).
+    QueryDef(
+      "q_d5_dup_clusters",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 25)
+          .select(col("doc_id"), col("text"))
+        val copies1 = base
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(Marker)).as("text"))
+        val copies2 = base
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(Marker2)).as("text"))
+        val edges = lshPairs(sigTable(
+            base.unionByName(copies1).unionByName(copies2)))
+          .filter(col("est_jaccard") >= 0.5)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        graft.operators.ConnectedComponents.labels(edges)
+          .select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
+            (col("id") === col("rep")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE u AS (
+              |  SELECT doc_id, text FROM documents WHERE doc_id < 25
+              |  UNION ALL
+              |  SELECT doc_id + 1000000, text || '$Marker'
+              |  FROM documents WHERE doc_id < 25
+              |  UNION ALL
+              |  SELECT doc_id + 2000000, text || '$Marker2'
+              |  FROM documents WHERE doc_id < 25
+              |), $pairsSqlCtes, edges AS (
+              |  SELECT id_a AS a, id_b AS b FROM pairs
+              |  WHERE len(list_filter(list_zip(sa, sb), p -> p[1] = p[2])) >= 16
+              |  UNION
+              |  SELECT id_b, id_a FROM pairs
+              |  WHERE len(list_filter(list_zip(sa, sb), p -> p[1] = p[2])) >= 16
+              |), reach(a, b) AS (
+              |  SELECT a, b FROM edges
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+              |)
+              |SELECT a AS doc_id,
+              |       least(a, min(b)) AS cluster_rep,
+              |       a = least(a, min(b)) AS keep
+              |FROM reach GROUP BY a
+              |ORDER BY doc_id""".stripMargin)),
 
     // D2 — SimHash fingerprints: 16-bit sign-aggregated token-hash
     // fingerprint; hamming(orig, perturbed copy) via xor + bit_count.
