@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed left as-of join: for every left row, attach the newest
+  * right row whose `ts` is <= the left row's `ts` within the same `key`
+  * (the financial tick↔quote / price↔news-sentiment merge).
+  *
+  * Shape (the 100 TB story): instead of a range join — which Spark plans
+  * as a per-key cross product with a post-filter, quadratic in per-key
+  * row counts — both sides are UNIONed with a side tag and processed by
+  * ONE window pass: hash-partition on `key`, sort by (ts, side), and
+  * `last(payload, ignoreNulls)` carries the newest right payload forward
+  * into each left row. One exchange + one sort, O(1) state per row, no
+  * fan-out; skew behavior is that of any per-key window (a key's rows
+  * sort within one partition, payloads stay narrow).
+  *
+  * Tie semantics: a right row at exactly left's `ts` sorts BEFORE the
+  * left row (side 0 < 1), so equal timestamps match — the same >=
+  * inclusive rule as DuckDB's `ASOF LEFT JOIN ... ON l.ts >= r.ts`,
+  * which is the oracle for `q_j2_asof_join`.
+  *
+  * `right` must be unique per (key, ts) — pre-aggregate if it is not —
+  * otherwise "the" as-of row is ill-defined in any engine.
+  */
+object AsofJoin {
+
+  /** @param payload right columns to carry; each emitted as `asof_<name>`,
+    *                 null where the left row has no prior right row. */
+  def leftAsof(left: DataFrame, right: DataFrame,
+               key: String, ts: String, payload: Seq[String]): DataFrame = {
+    val r = right.select(col(key), col(ts),
+      struct(payload.map(col): _*).as("__p"))
+    val pType = r.schema("__p").dataType
+    val lCols = left.columns
+    val l = left.select(
+      Seq(col(key), col(ts), lit(1).as("__side"),
+        struct(lCols.map(col).toIndexedSeq: _*).as("__l"),
+        lit(null).cast(pType).as("__p")): _*)
+    val rTagged = r.select(
+      Seq(col(key), col(ts), lit(0).as("__side"),
+        lit(null).cast(l.schema("__l").dataType).as("__l"),
+        col("__p")): _*)
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(rTagged)
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(lCols.map(c => col(s"__l.$c").as(c)).toIndexedSeq ++
+        payload.map(p => col(s"__asof.$p").as(s"asof_$p")): _*)
+  }
+}

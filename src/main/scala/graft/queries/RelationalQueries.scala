@@ -254,6 +254,45 @@ object RelationalQueries extends QueryPack {
               GROUP BY r_name ORDER BY r_name"""),
       bench = true),
 
+    // J2 — left as-of join: every 'view' event picks up the newest
+    // prior-or-equal 'purchase' value of the same user — the financial
+    // tick↔quote merge. One exchange + one sort via the union +
+    // last-non-null window shape (operators/AsofJoin) instead of a
+    // per-key cross-product range join; oracle is DuckDB's native
+    // ASOF LEFT JOIN with the same >= tie rule.
+    QueryDef(
+      "q_j2_asof_join",
+      (s, dir) => {
+        // micro-floored epoch (DuckDB reads the TIMESTAMP_NS parquet at
+        // microsecond precision, so the as-of ordering must live there).
+        val ev = Tables.events(s, dir)
+          .withColumn("ts_us", expr("(ts_ns - pmod(ts_ns, 1000)) div 1000"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts_us"))
+          .agg(max(col("value")).as("p_val"))
+        graft.operators.AsofJoin
+          .leftAsof(views, purchases, "user_id", "ts_us", Seq("ts_us", "p_val"))
+          .orderBy("event_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT event_id, user_id,
+             |         epoch_us(date_trunc('microseconds', ts)) AS ts_us, value
+             |  FROM events WHERE event_type = 'view'
+             |), p AS (
+             |  SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS ts_us,
+             |         max(value) AS p_val
+             |  FROM events WHERE event_type = 'purchase'
+             |  GROUP BY 1, 2
+             |)
+             |SELECT v.event_id, v.user_id, v.ts_us, v.value,
+             |       p.ts_us AS asof_ts_us, p.p_val AS asof_p_val
+             |FROM v ASOF LEFT JOIN p
+             |  ON v.user_id = p.user_id AND v.ts_us >= p.ts_us
+             |ORDER BY v.event_id""".stripMargin),
+      bench = true),
+
     // U1 — union (append rows), then aggregate.
     QueryDef(
       "q_u1_union",
