@@ -293,6 +293,43 @@ object RelationalQueries extends QueryPack {
              |ORDER BY v.event_id""".stripMargin),
       bench = true),
 
+    // J3 — left interval join: per 'view' event, COUNT of same-user
+    // 'error' events in the trailing hour. Bucketed (key, ts div W)
+    // blocking with bounded 2x right fan-out (operators/RangeJoin) —
+    // never the per-key cross product Spark plans for a raw range
+    // predicate; oracle is the plain BETWEEN left join.
+    QueryDef(
+      "q_j3_range_count",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("ts_us", expr("(ts_ns - pmod(ts_ns, 1000)) div 1000"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts_us"))
+        graft.operators.RangeJoin
+          .leftPairsInWindow(views, errors, "user_id", "ts_us", "ts_us",
+            3600000000L, Seq("ts_us"))
+          .groupBy(col("event_id"), col("user_id"), col("ts_us"))
+          .agg(count(col("win_ts_us")).as("n_err_1h"))
+          .orderBy("event_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT event_id, user_id,
+             |         epoch_us(date_trunc('microseconds', ts)) AS ts_us
+             |  FROM events WHERE event_type = 'view'
+             |), e AS (
+             |  SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS e_ts
+             |  FROM events WHERE event_type = 'error'
+             |)
+             |SELECT v.event_id, v.user_id, v.ts_us, count(e.e_ts) AS n_err_1h
+             |FROM v LEFT JOIN e
+             |  ON v.user_id = e.user_id
+             | AND e.e_ts > v.ts_us - 3600000000
+             | AND e.e_ts <= v.ts_us
+             |GROUP BY 1, 2, 3
+             |ORDER BY v.event_id""".stripMargin)),
+
     // U1 — union (append rows), then aggregate.
     QueryDef(
       "q_u1_union",
