@@ -472,6 +472,56 @@ object RelationalQueries extends QueryPack {
                      count(*) AS n_trades
               FROM events GROUP BY user_id, date_trunc('hour', ts)
               ORDER BY user_id, bucket"""),
-      bench = true)
+      bench = true),
+
+    // X9 — gap-based sessionization (30-min inactivity closes a session):
+    // the lag→gap-flag→running-sum assignment, then per-session rollup.
+    // Both shuffles key on user_id (window, then (user_id, session));
+    // per-row state is O(1) — the standard scalable sessionize, no
+    // session_window state store needed for the batch path.
+    QueryDef(
+      "q_x9_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ns"), col("event_id"))
+        val gapUs = 1800000000L // 30 min in micros
+        Tables.events(s, dir)
+          .withColumn("ts_us", expr("(ts_ns - pmod(ts_ns, 1000)) div 1000"))
+          .withColumn("new_sess",
+            when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L)
+              .otherwise(0L))
+          .withColumn("sess_id",
+            sum(col("new_sess")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts_us")).as("start_us"),
+            max(col("ts_us")).as("end_us"))
+          .withColumn("dur_us", col("end_us") - col("start_us"))
+          .orderBy("user_id", "sess_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id,
+             |         epoch_us(date_trunc('microseconds', ts)) AS ts_us
+             |  FROM events
+             |), flagged AS (
+             |  SELECT user_id, ts_us,
+             |         CASE WHEN ts_us - lag(ts_us) OVER
+             |                (PARTITION BY user_id ORDER BY ts_us, event_id)
+             |              > 1800000000 THEN 1 ELSE 0 END AS new_sess
+             |  FROM e
+             |), assigned AS (
+             |  SELECT user_id, ts_us,
+             |         sum(new_sess) OVER
+             |           (PARTITION BY user_id ORDER BY ts_us
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |           AS sess_id
+             |  FROM flagged
+             |)
+             |SELECT user_id, sess_id, count(*) AS n_events,
+             |       min(ts_us) AS start_us, max(ts_us) AS end_us,
+             |       max(ts_us) - min(ts_us) AS dur_us
+             |FROM assigned GROUP BY user_id, sess_id
+             |ORDER BY user_id, sess_id""".stripMargin))
   )
 }
