@@ -207,6 +207,88 @@ object TextAnalysisQueries extends QueryPack {
               |       md5(norm) AS fp_md5,
               |       ${polyHashSql("norm")} % 64 AS shard
               |FROM (SELECT doc_id, ${normalizeTextSql("text")} AS norm FROM documents) t
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // N5 — deterministic train/val/test split: content-hash bucket mod
+    // 100 → 80/10/10. Hash-based (not random) so the split is stable
+    // across reruns, engines, and partitionings — the reproducibility
+    // contract a training pipeline needs; narrow per-row at any scale.
+    QueryDef(
+      "q_n5_split",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("bucket", pmod(polyHash(normalizeText(col("text"))), lit(100L)))
+        .select(
+          col("doc_id"), col("bucket"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, bucket,
+              |       CASE WHEN bucket < 80 THEN 'train'
+              |            WHEN bucket < 90 THEN 'val'
+              |            ELSE 'test' END AS split
+              |FROM (SELECT doc_id,
+              |             ((${polyHashSql(normalizeTextSql("text"))} % 100) + 100) % 100
+              |               AS bucket
+              |      FROM documents) t
+              |ORDER BY doc_id""".stripMargin)),
+
+    // N6 — BM25 relevance scoring against a fixed query-term set: df per
+    // term and (N, avgdl) via ONE tiny global aggregate cross-joined
+    // back (broadcast — scalars, not a shuffle of the corpus); per-doc
+    // tf/dl are narrow HOF counts. The operator shape of any corpus-
+    // statistics scorer at 100 TB: one pass for stats, one map for
+    // scores.
+    QueryDef(
+      "q_n6_bm25",
+      (s, dir) => {
+        val terms = Seq("vector", "hash", "stream")
+        val k1 = 1.2
+        val b = 0.75
+        val base = Tables.documents(s, dir)
+          .withColumn("toks", tokens(normalizeText(col("text"))))
+          .withColumn("dl", size(col("toks")).cast("double"))
+        val aggCols =
+          count(lit(1)).cast("double").as("n_docs") ::
+          avg(col("dl")).as("avgdl") ::
+          terms.zipWithIndex.map { case (t, i) =>
+            sum(array_contains(col("toks"), t).cast("long")).cast("double").as(s"df_$i")
+          }.toList
+        val stats = base.agg(aggCols.head, aggCols.tail: _*)
+        val scored = base.crossJoin(broadcast(stats))
+        val score = terms.zipWithIndex.map { case (t, i) =>
+          val tf = size(filter(col("toks"), x => x === t)).cast("double")
+          val idf = log(lit(1.0) +
+            (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))
+          val norm = lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")
+          idf * tf * lit(k1 + 1.0) / (tf + lit(k1) * norm)
+        }.reduce(_ + _)
+        scored.select(col("doc_id"), round(score, 6).as("bm25"))
+          .orderBy("doc_id")
+      },
+      {
+        val terms = Seq("vector", "hash", "stream")
+        val tokensExpr = tokensSql(normalizeTextSql("text"))
+        val dfCols = terms.zipWithIndex.map { case (t, i) =>
+          s"CAST(sum(CAST(list_contains(toks, '$t') AS BIGINT)) AS DOUBLE) AS df_$i"
+        }.mkString(", ")
+        val scoreSql = terms.zipWithIndex.map { case (t, i) =>
+          s"""(ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5))
+             | * CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) * (1.2 + 1.0)
+             | / (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)
+             |    + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))""".stripMargin
+        }.mkString("(", " + ", ")")
+        Some(s"""WITH base AS (
+                |  SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl
+                |  FROM (SELECT doc_id, $tokensExpr AS toks FROM documents) t
+                |), stats AS (
+                |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+                |         $dfCols
+                |  FROM base
+                |)
+                |SELECT doc_id, round($scoreSql, 6) AS bm25
+                |FROM base CROSS JOIN stats
+                |ORDER BY doc_id""".stripMargin)
+      })
   )
 }
