@@ -171,26 +171,78 @@ object Sinks {
     fs.delete(stagedP, true)
     merged.write.partitionBy("__bucket").parquet(staged)
     touched.foreach { b =>
-      val src = new org.apache.hadoop.fs.Path(s"$staged/__bucket=$b")
-      val dst = new org.apache.hadoop.fs.Path(s"$path/__bucket=$b")
-      // a touched bucket always has incoming rows, so its staged dir must
-      // exist — verify BEFORE removing the live dir, and swap via a
-      // rename-aside so a failed rename can't lose the bucket (ADVICE r3)
-      if (!fs.exists(src)) throw new IllegalStateException(
-        s"upsertByKeyBucketed: staged dir missing for touched bucket $b " +
-          s"($src) — aborting swap, live sink untouched")
-      val old = new org.apache.hadoop.fs.Path(s"$path/__bucket=$b.old")
-      fs.delete(old, true)
-      val hadLive = fs.exists(dst)
-      if (hadLive && !fs.rename(dst, old)) throw new IllegalStateException(
-        s"upsertByKeyBucketed: could not move live bucket $b aside")
-      if (!fs.rename(src, dst)) {
-        if (hadLive) fs.rename(old, dst) // restore
-        throw new IllegalStateException(
-          s"upsertByKeyBucketed: could not swap in staged bucket $b")
-      }
-      fs.delete(old, true)
+      swapDir(fs, s"$staged/__bucket=$b", s"$path/__bucket=$b",
+        s"upsertByKeyBucketed bucket $b")
     }
     fs.delete(stagedP, true)
+  }
+
+  /** Rename-aside directory swap: verify the staged dir exists BEFORE
+    * touching the live dir, move live aside, swap staged in, restore on
+    * failure — a failed rename can never lose the live data (ADVICE r3).
+    */
+  private def swapDir(fs: org.apache.hadoop.fs.FileSystem,
+      stagedDir: String, liveDir: String, what: String): Unit = {
+    val src = new org.apache.hadoop.fs.Path(stagedDir)
+    val dst = new org.apache.hadoop.fs.Path(liveDir)
+    if (!fs.exists(src)) throw new IllegalStateException(
+      s"$what: staged dir missing ($src) — aborting swap, live data untouched")
+    val old = new org.apache.hadoop.fs.Path(liveDir + ".old")
+    fs.delete(old, true)
+    val hadLive = fs.exists(dst)
+    if (hadLive && !fs.rename(dst, old)) throw new IllegalStateException(
+      s"$what: could not move live dir aside")
+    if (!fs.rename(src, dst)) {
+      if (hadLive) fs.rename(old, dst) // restore
+      throw new IllegalStateException(s"$what: could not swap in staged dir")
+    }
+    fs.delete(old, true)
+  }
+
+  /** K1 maintenance: small-file compaction. Hourly streaming appends
+    * leave one (or more) tiny parquet files per trigger; at 100 TB the
+    * resulting millions of small files dominate scan planning and NN/S3
+    * metadata load. Each `day=` partition holding more than
+    * `maxFilesPerPartition` files is rewritten into
+    * ceil(bytes / targetBytes) files and swapped in atomically
+    * (rename-aside, same guarantees as the bucketed merge) — readers see
+    * the old or the new layout, never a partial one. Rows, schema, and
+    * the partition layout (so pruning keeps working) are unchanged;
+    * compaction is idempotent and restartable per-partition (a crash
+    * leaves untouched partitions for the next run). Run as a single
+    * maintenance job per sink — concurrent appends to a partition being
+    * compacted would be dropped by the swap.
+    *
+    * Returns (day, filesBefore, filesAfter) per compacted partition.
+    */
+  def compactPartitioned(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      maxFilesPerPartition: Int = 4): Seq[(String, Int, Int)] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return Seq.empty
+    val dayDirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+    dayDirs.flatMap { d =>
+      val dataFiles = fs.listStatus(d.getPath).toSeq.filter { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      val bytes = dataFiles.map(_.getLen).sum
+      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (dataFiles.length <= math.max(nOut, maxFilesPerPartition)) None
+      else {
+        val staged = d.getPath.toString + ".compact-staging"
+        fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+        spark.read.parquet(d.getPath.toString)
+          .coalesce(nOut)
+          .write.parquet(staged)
+        swapDir(fs, staged, d.getPath.toString,
+          s"compactPartitioned ${d.getPath.getName}")
+        Some((d.getPath.getName, dataFiles.length, nOut))
+      }
+    }
   }
 }

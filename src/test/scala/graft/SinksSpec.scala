@@ -116,4 +116,48 @@ class SinksSpec extends AnyFunSuite {
     }
     assert(mismatch.getMessage.contains("nBuckets=8"))
   }
+
+  test("K1 compaction: fewer files, identical rows, pruning intact, idempotent") {
+    val dir = Files.createTempDirectory("graft_k1c").toString + "/sink"
+    val events = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "value")
+    // 6 tiny appends → ≥6 files per day partition
+    (0 until 6).foreach { i =>
+      Sinks.appendPartitioned(events.filter(col("event_id") % 6 === i), "ts", dir)
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def filesPerDay: Map[String, Int] = fs.listStatus(
+        new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+      .map { d =>
+        d.getPath.getName -> fs.listStatus(d.getPath).count { f =>
+          f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith(".")
+        }
+      }.toMap
+    val before = filesPerDay
+    assert(before.values.forall(_ >= 6))
+    val preRows = Sinks.readPartitioned(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+
+    val done = Sinks.compactPartitioned(spark, dir,
+      targetBytes = 1L << 30, maxFilesPerPartition = 2)
+    assert(done.nonEmpty && done.forall(_._3 == 1),
+      s"everything fits one 1GiB target file: $done")
+    val after = filesPerDay
+    assert(after.keySet == before.keySet, "partition layout must survive")
+    assert(after.values.forall(_ == 1), s"uncompacted partitions remain: $after")
+
+    val back = Sinks.readPartitioned(spark, dir)
+    assert(back.collect().map(_.toString).sorted.toSeq == preRows,
+      "compaction must not change a single row")
+    val plan = back.filter(col("day") === "2024-01-05")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day"))
+
+    assert(Sinks.compactPartitioned(spark, dir,
+      targetBytes = 1L << 30, maxFilesPerPartition = 2).isEmpty,
+      "second compaction must be a no-op")
+  }
 }
