@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an edge list — the clustering
@@ -16,14 +17,15 @@ import org.apache.spark.sql.functions._
   *  - small-star(u): orient edges to the larger endpoint, then connect
   *    every smaller neighbor (and u itself) to m = min(N(u)).
   *
-  * Scale shape (the 100 TB story): each half-round is one hash aggregation
-  * (`groupBy(a).min(b)`) plus one co-partitioned join back on the same
-  * key — edge payloads are two longs regardless of document size, and
-  * both shuffles key on the node id, so AQE reuses the exchange. Hub
-  * nodes need no special casing: a large-star round rewires a hub's
-  * neighbors directly to the component minimum, so star sizes shrink
-  * geometrically. `localCheckpoint` after every round truncates lineage,
-  * keeping plan size constant across iterations.
+  * Scale shape (the 100 TB story): each half-round is ONE shuffle keyed
+  * on the node id (a partition-window min computes each node's group
+  * minimum in the same pass that rewrites the edges — no groupBy+join
+  * echo of the same exchange), plus small-star's dedup; edge payloads
+  * are two longs regardless of document size. Hub nodes need no special
+  * casing: a large-star round rewires a hub's neighbors directly to the
+  * component minimum, so star sizes shrink geometrically.
+  * `localCheckpoint` after every round truncates lineage, keeping plan
+  * size constant across iterations.
   *
   * The fixpoint is a star forest: every edge is (member, componentMin).
   * Convergence is detected by an order-independent checksum
@@ -34,27 +36,33 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** One large-star round: edges out are (v, m) with v > m. */
+  /** One large-star round: edges out are (v, m) with v > m.
+    *
+    * `m` is computed with a partition-window min over the grouping key —
+    * ONE shuffle per half-round — instead of the groupBy+join-back shape
+    * (two shuffles of the same data on the same key). Output dedup is
+    * deferred to small-star's distinct: intermediate multiplicity is
+    * bounded by node degree, which the star contraction itself shrinks
+    * geometrically round over round. */
   private[operators] def largeStar(e: DataFrame): DataFrame = {
     val und = e.select(col("a"), col("b"))
       .union(e.select(col("b").as("a"), col("a").as("b")))
-    val mins = und.groupBy("a").agg(min("b").as("mn"))
-      .select(col("a"), least(col("mn"), col("a")).as("m"))
-    und.join(mins, "a")
+    val w = Window.partitionBy(col("a"))
+    und
+      .withColumn("m", least(min(col("b")).over(w), col("a")))
       .filter(col("b") > col("a"))
       .select(col("b").as("a"), col("m").as("b"))
-      .distinct()
   }
 
   /** One small-star round over larger-endpoint-oriented edges. */
   private[operators] def smallStar(e: DataFrame): DataFrame = {
     val or = e.select(greatest(col("a"), col("b")).as("a"),
       least(col("a"), col("b")).as("b"))
-    val mins = or.groupBy("a").agg(min("b").as("m"))
-    val j = or.join(mins, "a")
-    j.filter(col("b") =!= col("m"))
+    val w = Window.partitionBy(col("a"))
+    val withM = or.withColumn("m", min(col("b")).over(w))
+    withM.filter(col("b") =!= col("m"))
       .select(col("b").as("a"), col("m").as("b"))
-      .union(j.select(col("a"), col("m").as("b")))
+      .union(withM.select(col("a"), col("m").as("b")))
       .distinct()
   }
 
