@@ -306,6 +306,38 @@ object DedupQueries extends QueryPack {
               |      FROM documents WHERE doc_id < 50) t
               |ORDER BY doc_id""".stripMargin)),
 
+    // D6 — benchmark decontamination: flag training docs sharing any
+    // distinct 3-shingle with the benchmark set (docs 0-9 stand in for
+    // an eval suite). Benchmark shingle set is tiny → broadcast; the
+    // train side joins on bare int64 shingle hashes (at extreme scale
+    // the broadcast set becomes a bloom filter — same shape). The
+    // overlap COUNT is reported so thresholding is the caller's policy.
+    QueryDef(
+      "q_d6_contamination",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val bench = docs.filter(col("doc_id") < 10)
+          .select(explode(shingleHashes(col("text"))).as("h"))
+          .distinct()
+        val train = docs.filter(col("doc_id") >= 10)
+          .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
+        train.join(broadcast(bench), Seq("h"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH bench AS (
+              |  SELECT DISTINCT unnest(${shingleHashesSql("text")}) AS h
+              |  FROM documents WHERE doc_id < 10
+              |), train AS (
+              |  SELECT doc_id, unnest(${shingleHashesSql("text")}) AS h
+              |  FROM documents WHERE doc_id >= 10
+              |)
+              |SELECT t.doc_id, count(*) AS n_shared
+              |FROM train t JOIN bench b USING (h)
+              |GROUP BY t.doc_id
+              |ORDER BY t.doc_id""".stripMargin)),
+
     // D4 — exact dedup by content fingerprint (hash-groupBy): exact copies
     // of the first 50 docs are injected; group by md5(normalized text),
     // keep min(doc_id), report groups with duplicates. Shuffle keys are

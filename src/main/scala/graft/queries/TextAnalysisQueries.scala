@@ -233,6 +233,38 @@ object TextAnalysisQueries extends QueryPack {
               |      FROM documents) t
               |ORDER BY doc_id""".stripMargin)),
 
+    // N7 — weighted mixture sampling: per-source inclusion weights
+    // (0.25/0.5/0.75/1.0 by source index mod 4) applied via a
+    // DETERMINISTIC content-hash threshold — reproducible across reruns,
+    // engines, and partitionings (rand() is none of those). Integer
+    // thresholds (weight*1000) keep the cut exact in both engines.
+    // Narrow per-row + one small aggregate at any scale.
+    QueryDef(
+      "q_n7_weighted_sample",
+      (s, dir) => {
+        val idx = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+        val hmod = pmod(polyHash(normalizeText(col("text"))), lit(1000L))
+        Tables.documents(s, dir)
+          .withColumn("thr", ((pmod(idx, lit(4)) + lit(1)) * lit(250)).cast("long"))
+          .withColumn("keep", hmod < col("thr"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(col("keep").cast("long")).as("n_kept"),
+            max(col("thr")).as("thr"))
+          .orderBy("source")
+      },
+      Some(s"""SELECT source, count(*) AS n_total,
+              |       CAST(sum(CASE WHEN ((h % 1000) + 1000) % 1000 <
+              |                (CAST(idx AS BIGINT) % 4 + 1) * 250
+              |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |       (CAST(idx AS BIGINT) % 4 + 1) * 250 AS thr
+              |FROM (SELECT source,
+              |             CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INT) AS idx,
+              |             ${polyHashSql(normalizeTextSql("text"))} AS h
+              |      FROM documents) t
+              |GROUP BY source, idx
+              |ORDER BY source""".stripMargin)),
+
     // N6 — BM25 relevance scoring against a fixed query-term set: df per
     // term and (N, avgdl) via ONE tiny global aggregate cross-joined
     // back (broadcast — scalars, not a shuffle of the corpus); per-doc
