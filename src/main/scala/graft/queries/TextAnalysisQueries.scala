@@ -265,6 +265,130 @@ object TextAnalysisQueries extends QueryPack {
               |GROUP BY source, idx
               |ORDER BY source""".stripMargin)),
 
+    // N8 — repetition signals (Gopher-style quality rules, Rae et al.
+    // 2021 §A1.1): duplicate-line fraction and the frequency share of
+    // the most common word 2-gram. Narrow per-row: the top-bigram count
+    // runs as ONE O(n log n) pass per document — sort the bigram array,
+    // then a single `aggregate` fold tracking the longest equal-neighbor
+    // run (no nested HOF, which would re-expand the bigram array per
+    // distinct element). At 100 TB this stays a map stage over the scan.
+    QueryDef(
+      "q_n8_repetition",
+      (s, dir) => {
+        val emptyArr = array().cast("array<string>")
+        val base = Tables.documents(s, dir)
+          .withColumn("lines", split(col("text"), "\n"))
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("bg", when(size(col("toks")) >= 2,
+            transform(sequence(lit(1), size(col("toks")) - 1),
+              i => concat_ws(" ", element_at(col("toks"), i),
+                element_at(col("toks"), i + 1))))
+            .otherwise(emptyArr))
+          .withColumn("sbg", array_sort(col("bg")))
+        val topRun = aggregate(
+          col("sbg"),
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc("best"), run).as("best"))
+          },
+          acc => acc("best"))
+        base.withColumn("top_bigram_n", topRun)
+          .select(
+            col("doc_id"),
+            size(col("lines")).as("n_lines"),
+            round(lit(1.0) -
+              size(array_distinct(col("lines"))).cast("double") /
+              greatest(size(col("lines")), lit(1)).cast("double"), 6)
+              .as("dup_line_frac"),
+            col("top_bigram_n"),
+            round(col("top_bigram_n").cast("double") /
+              greatest(size(col("bg")), lit(1)).cast("double"), 6)
+              .as("top_bigram_frac"))
+          .orderBy("doc_id")
+      },
+      // oracle computes the same max bigram multiplicity relationally
+      // (unnest + group) — same values, different engine-appropriate plan
+      Some(s"""WITH base AS (
+              |  SELECT doc_id,
+              |         string_split(text, chr(10)) AS lines,
+              |         ${tokensSql("text")} AS toks
+              |  FROM documents
+              |), bg AS (
+              |  SELECT doc_id,
+              |         CASE WHEN len(toks) >= 2 THEN
+              |           list_transform(range(1, len(toks)),
+              |             i -> toks[i] || ' ' || toks[i + 1])
+              |         ELSE CAST([] AS VARCHAR[]) END AS bigrams
+              |  FROM base
+              |), counts AS (
+              |  SELECT doc_id, max(cnt) AS top_n
+              |  FROM (SELECT doc_id, g, count(*) AS cnt
+              |        FROM (SELECT doc_id, unnest(bigrams) AS g FROM bg) x
+              |        GROUP BY doc_id, g) c
+              |  GROUP BY doc_id
+              |)
+              |SELECT base.doc_id,
+              |       len(lines) AS n_lines,
+              |       round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+              |             / CAST(greatest(len(lines), 1) AS DOUBLE), 6) AS dup_line_frac,
+              |       CAST(coalesce(counts.top_n, 0) AS BIGINT) AS top_bigram_n,
+              |       round(CAST(coalesce(counts.top_n, 0) AS DOUBLE)
+              |             / CAST(greatest(len(bg.bigrams), 1) AS DOUBLE), 6) AS top_bigram_frac
+              |FROM base
+              |JOIN bg ON bg.doc_id = base.doc_id
+              |LEFT JOIN counts ON counts.doc_id = base.doc_id
+              |ORDER BY base.doc_id""".stripMargin)),
+
+    // N9 — greedy sequence packing (GreedyPackKernel scaladoc): fill
+    // documents into 2048-token packs in (shard, doc_id) order; shard =
+    // content-hash mod 16, tokens = the q_n3 chars/4 estimate. One
+    // shuffle on shard, O(1)-state fill per shard. Oracle: per-shard
+    // recursive CTE advancing the same recurrence.
+    QueryDef(
+      "q_n9_seq_pack",
+      (s, dir) => {
+        val budget = 2048L
+        val base = Tables.documents(s, dir)
+          .withColumn("shard", pmod(polyHash(normalizeText(col("text"))), lit(16L)))
+          .withColumn("tok",
+            ceil(length(col("text")).cast("double") / 4.0).cast("double"))
+          .select("doc_id", "shard", "tok")
+        graft.operators.SeriesKernels.applyKernels(
+          base, Seq("shard"), Seq("doc_id"),
+          Seq(graft.operators.SeriesKernels.KernelSpec(
+            Seq("tok"), Seq("pack_d", "cum_d"),
+            () => new graft.operators.PackKernels.GreedyPackKernel(budget))))
+          .select(
+            col("doc_id"), col("shard"),
+            col("tok").cast("long").as("tok"),
+            col("pack_d").cast("long").as("pack_id"),
+            col("cum_d").cast("long").as("cum_tok"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE d AS (
+              |  SELECT doc_id, shard, tok,
+              |         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+              |  FROM (SELECT doc_id,
+              |               ((${polyHashSql(normalizeTextSql("text"))} % 16) + 16) % 16 AS shard,
+              |               CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS tok
+              |        FROM documents) t
+              |), rec AS (
+              |  SELECT doc_id, shard, tok, rn,
+              |         CAST(0 AS BIGINT) AS pack_id, tok AS cum_tok
+              |  FROM d WHERE rn = 1
+              |  UNION ALL
+              |  SELECT d.doc_id, d.shard, d.tok, d.rn,
+              |         CASE WHEN r.cum_tok > 0 AND r.cum_tok + d.tok > 2048
+              |              THEN r.pack_id + 1 ELSE r.pack_id END,
+              |         CASE WHEN r.cum_tok > 0 AND r.cum_tok + d.tok > 2048
+              |              THEN d.tok ELSE r.cum_tok + d.tok END
+              |  FROM rec r JOIN d ON d.shard = r.shard AND d.rn = r.rn + 1
+              |)
+              |SELECT doc_id, shard, tok, pack_id, cum_tok
+              |FROM rec ORDER BY doc_id""".stripMargin)),
+
     // N6 — BM25 relevance scoring against a fixed query-term set: df per
     // term and (N, avgdl) via ONE tiny global aggregate cross-joined
     // back (broadcast — scalars, not a shuffle of the corpus); per-doc

@@ -252,6 +252,55 @@ object TextQueries extends QueryPack {
                      CAST(n_chars AS VARCHAR) AS chars_s,
                      CAST('0.' || lpad(CAST(n_chars % 100 AS VARCHAR), 2, '0') AS DOUBLE)
                        AS parsed_score
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    // T10 — PII redaction (training-data cleaning pass, builder brief):
+    // mask emails and long digit runs before a corpus ships to training.
+    // Patterns stay in the RE2 ∩ java.util.regex common subset so the
+    // Spark plan and the DuckDB oracle run the IDENTICAL expression.
+    // Narrow per-row regex work inside WholeStageCodegen; documents carry
+    // no real PII, so deterministic synthetic contacts are injected per
+    // row (same construction both engines) and then must be fully masked.
+    QueryDef(
+      "q_t10_pii_redact",
+      (s, dir) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val longNum = "[0-9]{9,}"
+        Tables.documents(s, dir)
+          .withColumn("raw",
+            concat(col("text"), lit(" contact: user"),
+              col("doc_id").cast("string"), lit("@mail.example.org tel "),
+              lpad((col("doc_id") * 37 % 1000000000L).cast("string"), 9, "8")))
+          .withColumn("redacted",
+            regexp_replace(regexp_replace(col("raw"), email, "<EMAIL>"),
+              longNum, "<NUM>"))
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("raw"), lit(email), lit(0))).as("n_emails"),
+            size(regexp_extract_all(col("raw"), lit(longNum), lit(0))).as("n_longnums"),
+            (length(col("raw")) - length(col("redacted"))).as("chars_removed"),
+            col("redacted").substr(length(col("text")) + 1, lit(60)).as("tail"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id, text,
+             |         concat(text, ' contact: user', CAST(doc_id AS VARCHAR),
+             |                '@mail.example.org tel ',
+             |                lpad(CAST((doc_id * 37) % 1000000000 AS VARCHAR), 9, '8'))
+             |           AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |       len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             |         AS n_emails,
+             |       len(regexp_extract_all(raw, '[0-9]{9,}')) AS n_longnums,
+             |       length(raw) - length(
+             |         regexp_replace(regexp_replace(raw,
+             |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |           '[0-9]{9,}', '<NUM>', 'g')) AS chars_removed,
+             |       substring(regexp_replace(regexp_replace(raw,
+             |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |           '[0-9]{9,}', '<NUM>', 'g'),
+             |         length(text) + 1, 60) AS tail
+             |FROM raw ORDER BY doc_id""".stripMargin))
   )
 }
