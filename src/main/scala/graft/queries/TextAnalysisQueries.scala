@@ -389,6 +389,98 @@ object TextAnalysisQueries extends QueryPack {
               |SELECT doc_id, shard, tok, pack_id, cum_tok
               |FROM rec ORDER BY doc_id""".stripMargin)),
 
+    // N10 — document chunking for context assembly (RAG / long-doc
+    // training): fixed 256-char windows on a 224-char stride (32-char
+    // overlap), one output row per chunk. The explode is NARROW — chunk
+    // rows are generated inside the scan stage, no shuffle — so a 100 TB
+    // corpus chunks as a pure map; only the presentation ORDER BY sorts.
+    QueryDef(
+      "q_n10_chunk",
+      (s, dir) => {
+        val win = 256
+        val stride = 224
+        val nChunks = greatest(
+          ceil(length(col("text")).cast("double") / stride.toDouble).cast("int"),
+          lit(1))
+        Tables.documents(s, dir)
+          .withColumn("chunk_idx",
+            explode(sequence(lit(0), nChunks - 1)))
+          .withColumn("chunk",
+            col("text").substr(col("chunk_idx") * stride + 1, lit(win)))
+          .select(
+            col("doc_id"), col("chunk_idx"),
+            length(col("chunk")).as("chunk_len"),
+            md5(col("chunk").cast("binary")).as("chunk_fp"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""SELECT doc_id,
+             |       CAST(i AS INT) AS chunk_idx,
+             |       length(substring(text, CAST(i AS INT) * 224 + 1, 256)) AS chunk_len,
+             |       md5(substring(text, CAST(i AS INT) * 224 + 1, 256)) AS chunk_fp
+             |FROM (SELECT doc_id, text,
+             |             unnest(range(0, greatest(CAST(ceil(CAST(length(text) AS DOUBLE) / 224.0) AS BIGINT), 1))) AS i
+             |      FROM documents) t
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // N11 — unigram-LM log-probability scoring (the perplexity-filter
+    // shape, Wenzek et al. CCNet 2019, with a unigram stand-in for the
+    // KenLM 5-gram): vocabulary = top-1000 corpus tokens by frequency
+    // (count desc, token asc tie-break); per-doc score = mean over tokens
+    // of ln((count(tok)+1)/(corpus_tokens+|V|)) with OOV smoothing.
+    // Plan shape at 100 TB: ONE token-count aggregation (map-side
+    // partial combine on token), top-1000 into a single map row that
+    // broadcast-cross-joins back, then a narrow per-doc fold — the
+    // corpus never shuffles for scoring.
+    QueryDef(
+      "q_n11_unigram_logprob",
+      (s, dir) => {
+        val vSize = 1000
+        val base = Tables.documents(s, dir)
+          .withColumn("toks", tokens(normalizeText(col("text"))))
+        val vocab = base
+          .select(explode(col("toks")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val totalToks = vocab.agg(sum(col("cnt")).as("total"))
+        val topV = vocab.orderBy(desc("cnt"), asc("tok")).limit(vSize)
+          .agg(map_from_arrays(collect_list(col("tok")), collect_list(col("cnt")))
+            .as("vmap"))
+        val scored = base
+          .crossJoin(broadcast(topV))
+          .crossJoin(broadcast(totalToks))
+        val denom = (col("total") + lit(vSize)).cast("double")
+        val sumLog = aggregate(
+          col("toks"),
+          lit(0.0),
+          (acc, t) => acc +
+            log((coalesce(element_at(col("vmap"), t), lit(0L)) + lit(1L))
+              .cast("double") / denom))
+        scored.select(
+          col("doc_id"),
+          size(col("toks")).as("n_tok"),
+          round(sumLog / greatest(size(col("toks")), lit(1)).cast("double"), 6)
+            .as("mean_logprob"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, ${tokensSql(normalizeTextSql("text"))} AS toks FROM documents
+              |), cnts AS (
+              |  SELECT tok, count(*) AS cnt
+              |  FROM (SELECT unnest(toks) AS tok FROM base) u GROUP BY tok
+              |), tot AS (SELECT sum(cnt) AS total FROM cnts),
+              |topv AS (
+              |  SELECT map(list(tok ORDER BY cnt DESC, tok ASC),
+              |             list(cnt ORDER BY cnt DESC, tok ASC)) AS vmap
+              |  FROM (SELECT tok, cnt FROM cnts ORDER BY cnt DESC, tok ASC LIMIT 1000) v
+              |)
+              |SELECT doc_id,
+              |       len(toks) AS n_tok,
+              |       round(list_sum(list_transform(toks,
+              |               t -> ln(CAST(coalesce(map_extract(vmap, t)[1], 0) + 1 AS DOUBLE)
+              |                       / CAST(total + 1000 AS DOUBLE))))
+              |             / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS mean_logprob
+              |FROM base CROSS JOIN topv CROSS JOIN tot
+              |ORDER BY doc_id""".stripMargin)),
+
     // N6 — BM25 relevance scoring against a fixed query-term set: df per
     // term and (N, avgdl) via ONE tiny global aggregate cross-joined
     // back (broadcast — scalars, not a shuffle of the corpus); per-doc
