@@ -234,6 +234,23 @@ object Bench {
               n -> t
             }
           }.toMap
+          // prepared-statement analog: plan built ONCE, re-executed —
+          // isolates execution from Catalyst's per-call analyze/optimize/
+          // codegen (~0.3-1 s at any SF, amortized to zero by plan reuse
+          // in a real deployment's repeated queries; DuckDB's parse+plan
+          // is ms-scale so its warm numbers are already execution-bound)
+          val execSec = duckSec.keys.toSeq.sorted.flatMap { n =>
+            SparkEntry.queries.get(n).map { fn =>
+              val df = fn(spark, sfDir)
+              df.collect() // warm: triggers analysis + codegen once
+              val t = (1 to 3).map { _ =>
+                val t0 = System.nanoTime()
+                df.collect()
+                (System.nanoTime() - t0) / 1e9
+              }.min
+              n -> t
+            }
+          }.toMap
           val ratios = duckSec.toSeq.collect {
             case (n, d) if d > 0 && warmSec.getOrElse(n, -1.0) > 0 =>
               n -> warmSec(n) / d
@@ -249,25 +266,37 @@ object Bench {
           // number that predicts relative cost at scale
           val heavy = ratios.filter { case (n, _) => duckSec(n) >= 0.05 }
           val medianHeavy = medianOf(heavy.map(_._2))
+          val execRatios = duckSec.toSeq.collect {
+            case (n, d) if d > 0 && execSec.getOrElse(n, -1.0) > 0 =>
+              n -> execSec(n) / d
+          }
+          val medianExecHeavy = medianOf(
+            execRatios.filter { case (n, _) => duckSec(n) >= 0.05 }.map(_._2))
           val over = ratios.filter(_._2 > 2.0).map(_._1)
           val warmJson = warmSec.toSeq.sortBy(_._1)
             .map { case (k, v) => s"${jstr(k)}:${f"$v%.4f"}" }.mkString("{", ",", "}")
+          val execJson = execSec.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"${jstr(k)}:${f"$v%.4f"}" }.mkString("{", ",", "}")
           Some(
             s""""duckdb":{"duck_sec":$outS,"spark_warm_sec":$warmJson,""" +
+            s""""spark_exec_sec":$execJson,""" +
             s""""n_compared":${ratios.size},""" +
             f""""median_ratio":$median%.3f,""" +
             s""""n_heavy":${heavy.size},""" +
             f""""median_ratio_heavy":$medianHeavy%.3f,""" +
+            f""""median_ratio_exec_heavy":$medianExecHeavy%.3f,""" +
             s""""heavy":[${heavy.map(_._1).map(jstr).mkString(",")}],""" +
             s""""over_2x":[${over.map(jstr).mkString(",")}],""" +
             jstr("note") + ":" + jstr(
               "both sides fully materialize (collect/fetchall), warm, " +
               "best-of-N. median_ratio spans all compared queries and is " +
-              "dominated by Spark's fixed ~0.1-0.5s planning/scheduling " +
-              "floor against DuckDB's ms-scale embedded execution on tiny " +
-              "inputs; median_ratio_heavy restricts to queries where " +
-              "DuckDB itself runs >= 50ms, where both engines measure " +
-              "execution — the scale-relevant ratio") +
+              "dominated by Spark's fixed ~0.3-1s per-call Catalyst " +
+              "analyze/optimize/codegen floor against DuckDB's ms-scale " +
+              "parse+plan; median_ratio_heavy restricts to queries where " +
+              "DuckDB itself runs >= 50ms. median_ratio_exec_heavy is the " +
+              "same heavy subset with the Spark plan built once and " +
+              "re-executed (prepared-statement analog; spark_exec_sec) — " +
+              "execution vs execution, the number that scales with data") +
             "}")
         }
       }
@@ -310,7 +339,8 @@ object Bench {
     val recallC = recall.map(_.stripPrefix("\"ann_recall\":")).getOrElse("null")
     val duckC = duck.map { d =>
       // keep only the scalar fields of the duckdb block
-      val keep = Seq("n_compared", "median_ratio", "n_heavy", "median_ratio_heavy")
+      val keep = Seq("n_compared", "median_ratio", "n_heavy",
+        "median_ratio_heavy", "median_ratio_exec_heavy")
       val pat = ("\"(" + keep.mkString("|") + ")\":\\s*(-?[0-9.eE+]+)").r
       pat.findAllMatchIn(d).map(m => s""""${m.group(1)}":${m.group(2)}""")
         .mkString("{", ",", "}")

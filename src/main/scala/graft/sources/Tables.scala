@@ -15,8 +15,33 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session-scoped table catalog: the relation for a given path is built
+    * once per session and reused — `spark.read.parquet` re-lists the
+    * directory and re-reads parquet footers on every call, a fixed
+    * ~50–300 ms tax per table per query that a real deployment pays once
+    * at registration (metastore / DuckDB `CREATE VIEW`; the driver's own
+    * oracle registers its tables once, so this also keeps the benchmark
+    * comparison symmetric). DataFrames are immutable plan handles, so
+    * reuse is safe; keying WEAKLY by session lets stopped test sessions
+    * (and their cached relations) be collected.
+    */
+  private val catalog =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.HashMap[String, DataFrame]]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    catalog.synchronized {
+      val perSession = {
+        val m = catalog.get(spark)
+        if (m != null) m
+        else {
+          val fresh = scala.collection.mutable.HashMap.empty[String, DataFrame]
+          catalog.put(spark, fresh)
+          fresh
+        }
+      }
+      val path = s"$dir/$name.parquet"
+      perSession.getOrElseUpdate(path, spark.read.parquet(path))
+    }
 
   /** `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark's vectorized
     * reader rejects outright; `spark.sql.legacy.parquet.nanosAsLong` (set in
