@@ -368,6 +368,62 @@ object DedupQueries extends QueryPack {
               |      GROUP BY fp) g
               |WHERE n_copies > 1
               |ORDER BY keeper""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // D7 — INCREMENTAL dedup: classify an incoming batch against an
+    // already-ingested corpus (the steady-state shape of a crawl
+    // pipeline — each new dump dedupes against petabytes of history, not
+    // against itself alone). Synthetic roles: corpus = doc_id % 3 == 0;
+    // batch = the rest, plus exact copies of corpus docs (ids +1e6 →
+    // must classify dup_corpus) and copies of batch docs (ids +2e6 →
+    // dup_batch, first-id-wins). Plan shape at 100 TB: ONE shuffle on
+    // the 128-bit fingerprint serves both the corpus left-join and the
+    // first-in-batch window (same key — EnsureRequirements elides the
+    // second exchange); the corpus side joins digest-to-digest (16-byte
+    // keys, corpus-size-independent row width) and a runtime bloom
+    // filter can pre-prune the batch scan.
+    QueryDef(
+      "q_d7_incremental_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val corpus = docs.filter(col("doc_id") % 3 === 0)
+        val batch = docs.filter(col("doc_id") % 3 =!= 0)
+          .unionByName(docs.filter(col("doc_id") % 6 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .unionByName(docs.filter(col("doc_id") % 3 === 1 && col("doc_id") % 10 === 1)
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        def fp(c: Column) = md5(normalizeText(c).cast("binary"))
+        val corpusFps = corpus.select(fp(col("text")).as("fp")).distinct()
+          .withColumn("in_corpus", lit(true))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+        batch.withColumn("fp", fp(col("text")))
+          .join(corpusFps, Seq("fp"), "left")
+          .withColumn("first_id", min(col("doc_id")).over(w))
+          .select(
+            col("doc_id"), col("fp"),
+            when(col("in_corpus").isNotNull, "dup_corpus")
+              .when(col("first_id") < col("doc_id"), "dup_batch")
+              .otherwise("new").as("status"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH docs AS (
+              |  SELECT doc_id, md5(${normalizeTextSql("text")}) AS fp FROM documents
+              |), corpus AS (
+              |  SELECT DISTINCT fp FROM docs WHERE doc_id % 3 = 0
+              |), batch AS (
+              |  SELECT doc_id, fp FROM docs WHERE doc_id % 3 <> 0
+              |  UNION ALL
+              |  SELECT doc_id + 1000000, fp FROM docs WHERE doc_id % 6 = 0
+              |  UNION ALL
+              |  SELECT doc_id + 2000000, fp FROM docs
+              |  WHERE doc_id % 3 = 1 AND doc_id % 10 = 1
+              |)
+              |SELECT b.doc_id, b.fp,
+              |       CASE WHEN c.fp IS NOT NULL THEN 'dup_corpus'
+              |            WHEN min(b.doc_id) OVER (PARTITION BY b.fp) < b.doc_id
+              |              THEN 'dup_batch'
+              |            ELSE 'new' END AS status
+              |FROM batch b LEFT JOIN corpus c ON c.fp = b.fp
+              |ORDER BY b.doc_id""".stripMargin))
   )
 }

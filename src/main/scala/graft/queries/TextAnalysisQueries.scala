@@ -389,6 +389,39 @@ object TextAnalysisQueries extends QueryPack {
               |SELECT doc_id, shard, tok, pack_id, cum_tok
               |FROM rec ORDER BY doc_id""".stripMargin)),
 
+    // N12 — stratified per-source curation: keep the top-5 docs per
+    // source by BPE-ish token count (tie → lower doc_id). Runs as the
+    // graft_topk bounded-k-heap TypedImperativeAggregate — partial
+    // aggregation ships at most k (score,id) pairs per map task per
+    // source to the exchange, vs a window row_number plan that shuffles
+    // EVERY scored row into per-source partitions. The oracle is that
+    // window plan in DuckDB (VectorOpsSpec proves the equivalence
+    // including tie order).
+    QueryDef(
+      "q_n12_stratified_topk",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(regexp_extract_all(col("text"), lit(bpePat), lit(0)))
+            .cast("double").as("score"))
+        .groupBy("source")
+        .agg(call_function("graft_topk", col("score"), col("doc_id"), lit(5)).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(
+          col("source"),
+          col("t.vec_id").as("doc_id"),
+          col("t.score").cast("long").as("bpe_tokens"),
+          (col("pos") + 1).cast("int").as("rank"))
+        .orderBy("source", "rank"),
+      Some(s"""SELECT source, doc_id, bpe_tokens, CAST(rank AS INT) AS rank
+              |FROM (SELECT source, doc_id, bpe_tokens,
+              |             row_number() OVER (PARTITION BY source
+              |               ORDER BY bpe_tokens DESC, doc_id ASC) AS rank
+              |      FROM (SELECT source, doc_id,
+              |                   len(regexp_extract_all(text, '$bpePatSql')) AS bpe_tokens
+              |            FROM documents) t) r
+              |WHERE rank <= 5
+              |ORDER BY source, rank""".stripMargin)),
+
     // N10 — document chunking for context assembly (RAG / long-doc
     // training): fixed 256-char windows on a 224-char stride (32-char
     // overlap), one output row per chunk. The explode is NARROW — chunk
