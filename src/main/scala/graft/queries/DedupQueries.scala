@@ -424,6 +424,7 @@ object DedupQueries extends QueryPack {
               |              THEN 'dup_batch'
               |            ELSE 'new' END AS status
               |FROM batch b LEFT JOIN corpus c ON c.fp = b.fp
-              |ORDER BY b.doc_id""".stripMargin))
+              |ORDER BY b.doc_id""".stripMargin),
+      bench = true)
   )
 }

@@ -82,6 +82,51 @@ object StreamingQueries extends QueryPack {
       Some(s"""SELECT event_id, user_id,
               |       epoch_us(date_trunc('microseconds', ts)) AS ts_us, value
               |FROM ($sampleSql) t
-              |ORDER BY event_id""".stripMargin))
+              |ORDER BY event_id""".stripMargin)),
+
+    // X10 — stream-stream interval join (StreamingOps.intervalJoin
+    // scaladoc): even-id events join odd-id events of the same user
+    // within 4 hours, both sides real watermarked streams advancing
+    // in two micro-batch phases. Oracle: the same interval join as a
+    // batch query.
+    QueryDef(
+      "q_x10_stream_join",
+      (s, dir) => {
+        val rows = sample(s, dir)
+        StreamingOps.runTwoPhaseTwoStreams(
+          s,
+          rows.filter(_.event_id % 2 == 0),
+          rows.filter(_.event_id % 2 == 1),
+          StreamingOps.intervalJoin, "append")
+          .orderBy("user_id", "l_id", "r_id")
+      },
+      Some(s"""WITH s AS ($sampleSql),
+              |l AS (SELECT event_id AS l_id, user_id,
+              |             epoch_us(date_trunc('microseconds', ts)) AS l_ts_us
+              |      FROM s WHERE event_id % 2 = 0),
+              |r AS (SELECT event_id AS r_id, user_id,
+              |             epoch_us(date_trunc('microseconds', ts)) AS r_ts_us
+              |      FROM s WHERE event_id % 2 = 1)
+              |SELECT l.user_id, l_id, r_id, l_ts_us, r_ts_us
+              |FROM l JOIN r ON l.user_id = r.user_id
+              | AND r_ts_us >= l_ts_us AND r_ts_us <= l_ts_us + 14400000000
+              |ORDER BY l.user_id, l_id, r_id""".stripMargin)),
+
+    // X11 — sliding 2h/1h windows (each event in two overlapping
+    // windows). Oracle: duplicate each row into its two window starts.
+    QueryDef(
+      "q_x11_stream_sliding",
+      (s, dir) => StreamingOps.runTwoPhase(
+        s, sample(s, dir), Seq.empty, StreamingOps.slidingBars, "append")
+        .orderBy("user_id", "bucket"),
+      Some(s"""SELECT user_id,
+              |       strftime(date_trunc('hour', ts) - o * INTERVAL 1 HOUR,
+              |                '%Y-%m-%d %H:%M:%S') AS bucket,
+              |       count(*) AS n_events,
+              |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+              |FROM ($sampleSql) t
+              |CROSS JOIN (SELECT unnest([0, 1]) AS o) os
+              |GROUP BY user_id, date_trunc('hour', ts) - o * INTERVAL 1 HOUR
+              |ORDER BY user_id, bucket""".stripMargin))
   )
 }

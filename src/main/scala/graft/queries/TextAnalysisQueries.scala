@@ -387,7 +387,8 @@ object TextAnalysisQueries extends QueryPack {
               |  FROM rec r JOIN d ON d.shard = r.shard AND d.rn = r.rn + 1
               |)
               |SELECT doc_id, shard, tok, pack_id, cum_tok
-              |FROM rec ORDER BY doc_id""".stripMargin)),
+              |FROM rec ORDER BY doc_id""".stripMargin),
+      bench = true),
 
     // N12 — stratified per-source curation: keep the top-5 docs per
     // source by BPE-ish token count (tie → lower doc_id). Runs as the
@@ -512,7 +513,8 @@ object TextAnalysisQueries extends QueryPack {
               |                       / CAST(total + 1000 AS DOUBLE))))
               |             / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS mean_logprob
               |FROM base CROSS JOIN topv CROSS JOIN tot
-              |ORDER BY doc_id""".stripMargin)),
+              |ORDER BY doc_id""".stripMargin),
+      bench = true),
 
     // N6 — BM25 relevance scoring against a fixed query-term set: df per
     // term and (N, avgdl) via ONE tiny global aggregate cross-joined

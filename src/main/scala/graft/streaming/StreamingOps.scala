@@ -46,6 +46,86 @@ object StreamingOps {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding 2-hour windows advancing hourly (each event lands in two
+    * overlapping windows) — same watermark/append contract as
+    * [[tumblingBars]]; Spark expands the slide inside the aggregation,
+    * so state is (user, open windows) and no input row is duplicated
+    * upstream of the shuffle. */
+  def slidingBars(stream: DataFrame): DataFrame =
+    stream
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(
+        col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("n_events"), col("sum_value"))
+
+  /** Watermarked stream-stream INNER interval join: for every left event,
+    * the right-stream events of the same user within [l_ts, l_ts+4 h].
+    * The equality key partitions join state; the time-range condition plus
+    * the watermarks bound how long each side's rows are retained — the
+    * only way a stream-stream join holds finite state at 100 TB/day. The
+    * delay here is sized far above the test data's span so no test row is
+    * ever dropped as too-late (the state-eviction CONTRACT is what the
+    * plan exercises; eviction timing itself is engine-internal).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left
+      .withColumn("l_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("l_ts", "30 days")
+      .select(col("event_id").as("l_id"), col("user_id"),
+        col("ts_us").as("l_ts_us"), col("l_ts"))
+    val r = right
+      .withColumn("r_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("r_ts", "30 days")
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts_us").as("r_ts_us"), col("r_ts"))
+    l.join(r,
+        col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 4 HOURS"))
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        col("l_ts_us"), col("r_ts_us"))
+  }
+
+  /** Two-stream variant of [[runTwoPhase]]: both memory sources advance in
+    * two phases, each closed by a far-future sentinel (the join's own
+    * user_id = -1 sentinel pair is filtered from the sink). */
+  def runTwoPhaseTwoStreams(
+      spark: SparkSession,
+      leftRows: Seq[Ev],
+      rightRows: Seq[Ev],
+      transform: (DataFrame, DataFrame) => DataFrame,
+      outputMode: String): DataFrame = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ls = MemoryStream[Ev]
+    val rs = MemoryStream[Ev]
+    val sinkName = s"graft_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val query = transform(ls.toDF(), rs.toDF())
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode(outputMode)
+      .start()
+    try {
+      val (l1, l2) = leftRows.splitAt(leftRows.length / 2)
+      val (r1, r2) = rightRows.splitAt(rightRows.length / 2)
+      ls.addData(l1)
+      rs.addData(r1)
+      query.processAllAvailable()
+      val maxUs = (leftRows ++ rightRows).map(_.ts_us).max
+      val sentinel = Ev(-1L, maxUs + 10L * 24 * 3600 * 1000000, -1L, 0.0)
+      ls.addData(l2 :+ sentinel)
+      rs.addData(r2 :+ sentinel)
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table(sinkName).filter(col("user_id") >= 0)
+  }
+
   /** Streaming dedup on the business key (user_id, ts_us): duplicates
     * re-delivered in later micro-batches are dropped as long as their
     * event time is above the watermark. */
