@@ -86,6 +86,20 @@ object GraftSession {
             graft.functions.TopKByScore(children(0), children(1), k)
           }))
         ext.injectFunction((
+          FunctionIdentifier("graft_dot"),
+          new ExpressionInfo(classOf[graft.functions.DotConst].getName, "graft_dot"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+            val cv = children.lift(1).getOrElse(
+              throw new IllegalArgumentException(
+                "graft_dot(v, constVec): constVec is required"))
+            require(cv.foldable,
+              "graft_dot(v, constVec): constVec must be a foldable array literal")
+            val arr = cv.eval(null)
+              .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              .toDoubleArray().toSeq
+            graft.functions.DotConst(children.head, arr)
+          }))
+        ext.injectFunction((
           FunctionIdentifier("graft_token_hashes"),
           new ExpressionInfo(classOf[graft.functions.TokenHashes].getName, "graft_token_hashes"),
           (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
