@@ -105,9 +105,13 @@ object Bench {
       val docs = graft.sources.Tables.documents(spark, sfDir)
       val nDocs = docs.count()
       val copies = math.max(1, (100000 / math.max(nDocs, 1L)).toInt)
-      val bigDocs = (0 until copies).map(i =>
-        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
-        .reduce(_ unionByName _)
+      // replicate via ONE crossJoin with a copy index — at sf0.001 the
+      // former per-copy unionByName built a 200-branch union whose plan
+      // alone dominated the probe
+      val bigDocs = docs.crossJoin(
+          spark.range(copies).select(col("id").as("copy_i")))
+        .withColumn("doc_id", col("doc_id") + col("copy_i") * lit(10000000L))
+        .drop("copy_i")
       val scoredDocs = nDocs * copies
       def scorerPlan(in: org.apache.spark.sql.DataFrame) = {
         val withC = graft.operators.Scorers.withFieldStats(in, "c", col("text"))

@@ -445,6 +445,33 @@ object RelationalQueries extends QueryPack {
       Some("""SELECT event_type, max(value) AS mx, min(value) AS mn, count(*) AS n
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // A7 — hierarchical rollup: per (source, lang) doc counts with
+    // subtotal and grand-total rows in one pass (GROUP BY ROLLUP —
+    // Spark computes all grouping levels inside a single aggregation,
+    // map-side-combined, instead of one job per level; the reporting
+    // shape of any corpus-composition dashboard). grouping_id
+    // disambiguates real NULLs from rollup NULLs.
+    QueryDef(
+      "q_a7_rollup",
+      (s, dir) => Tables.documents(s, dir)
+        .rollup(col("source"), col("lang"))
+        .agg(grouping_id(col("source"), col("lang")).as("gid"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"))
+        .select(
+          coalesce(col("source"), lit("<all>")).as("source"),
+          coalesce(col("lang"), lit("<all>")).as("lang"),
+          col("gid"), col("n_docs"), col("n_chars"))
+        .orderBy("gid", "source", "lang"),
+      Some("""SELECT coalesce(source, '<all>') AS source,
+             |       coalesce(lang, '<all>') AS lang,
+             |       CAST(grouping(source) * 2 + grouping(lang) AS BIGINT) AS gid,
+             |       count(*) AS n_docs,
+             |       CAST(sum(n_chars) AS BIGINT) AS n_chars
+             |FROM documents
+             |GROUP BY ROLLUP (source, lang)
+             |ORDER BY gid, source, lang""".stripMargin)),
+
     // X8 — tumbling 1h OHLCV bar rebuild from raw events (open = first by
     // time, close = last by time via min_by/max_by on the nanos key).
     QueryDef(
