@@ -445,6 +445,48 @@ object RelationalQueries extends QueryPack {
       Some("""SELECT event_type, max(value) AS mx, min(value) AS mn, count(*) AS n
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // J4 — LEFT ANTI join: customers with no order since 1998 (inactive
+    // accounts). Spark ships only the filtered right side's join keys
+    // (and can broadcast or bloom-prefilter them); the anti form never
+    // materializes matches — the "what's NOT covered" primitive of
+    // incremental-ingest dedup (see q_d7) and referential-integrity
+    // audits.
+    QueryDef(
+      "q_j4_anti_join",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= "1998-01-01")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_acctbal
+             |FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderdate >= TIMESTAMP '1998-01-01')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // J5 — LEFT SEMI join: customers with at least one urgent order —
+    // existence test without match multiplication (a plain inner join
+    // would duplicate each customer per matching order and need a
+    // distinct).
+    QueryDef(
+      "q_j5_semi_join",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_mktsegment
+             |FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey
+             |                AND o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin)),
+
     // A7 — hierarchical rollup: per (source, lang) doc counts with
     // subtotal and grand-total rows in one pass (GROUP BY ROLLUP —
     // Spark computes all grouping levels inside a single aggregation,
