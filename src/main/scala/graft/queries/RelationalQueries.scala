@@ -487,6 +487,29 @@ object RelationalQueries extends QueryPack {
              |                AND o_orderpriority = '1-URGENT')
              |ORDER BY c_custkey""".stripMargin)),
 
+    // A8 — exact percentile report (p50/p90/p99 of value per event
+    // type): Spark's `percentile` is the exact sort-based aggregate with
+    // linear interpolation — same convention as DuckDB's quantile_cont —
+    // so the numbers oracle bit-stably under round(6). The EXACT form
+    // needs the group's values together (one shuffle on the group key);
+    // the 100 TB path swaps in `percentile_approx` (mergeable KLL-style
+    // sketch, map-side combined — error bound pinned by SketchSpec).
+    QueryDef(
+      "q_a8_percentiles",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             |       round(quantile_cont(value, 0.5), 6) AS p50,
+             |       round(quantile_cont(value, 0.9), 6) AS p90,
+             |       round(quantile_cont(value, 0.99), 6) AS p99
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // A7 — hierarchical rollup: per (source, lang) doc counts with
     // subtotal and grand-total rows in one pass (GROUP BY ROLLUP —
     // Spark computes all grouping levels inside a single aggregation,
