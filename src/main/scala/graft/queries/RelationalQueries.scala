@@ -445,7 +445,7 @@ object RelationalQueries extends QueryPack {
       Some("""SELECT event_type, max(value) AS mx, min(value) AS mn, count(*) AS n
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
-    // J4 — LEFT ANTI join: customers with no order since 1998 (inactive
+    // J4 — LEFT ANTI join: customers with no order since 1999 (inactive
     // accounts). Spark ships only the filtered right side's join keys
     // (and can broadcast or bloom-prefilter them); the anti form never
     // materializes matches — the "what's NOT covered" primitive of
@@ -455,7 +455,7 @@ object RelationalQueries extends QueryPack {
       "q_j4_anti_join",
       (s, dir) => Tables.customer(s, dir)
         .join(Tables.orders(s, dir)
-            .filter(col("o_orderdate") >= "1998-01-01")
+            .filter(col("o_orderdate") >= "1999-01-01")
             .select(col("o_custkey")),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
@@ -464,7 +464,7 @@ object RelationalQueries extends QueryPack {
              |FROM customer
              |WHERE NOT EXISTS (SELECT 1 FROM orders
              |                  WHERE o_custkey = c_custkey
-             |                    AND o_orderdate >= TIMESTAMP '1998-01-01')
+             |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
              |ORDER BY c_custkey""".stripMargin)),
 
     // J5 — LEFT SEMI join: customers with at least one urgent order —

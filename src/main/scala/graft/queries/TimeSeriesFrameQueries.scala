@@ -71,6 +71,33 @@ object TimeSeriesFrameQueries extends QueryPack {
               |       value - lag(value, 1) OVER $overOrd AS diff
               |FROM events ORDER BY event_id""".stripMargin)),
 
+    // W7 — ranking-function suite over each series (dense_rank on the
+    // value, ntile quartiles, percent_rank, cume_dist): the remaining
+    // SQL window shapes a reporting layer leans on. One shuffle on
+    // user_id, one in-partition sort — identical plan skeleton to W5.
+    QueryDef(
+      "q_w7_rank_suite",
+      (s, dir) => {
+        val byValue = Window.partitionBy(col("user_id"))
+          .orderBy(col("value"), col("event_id"))
+        Tables.events(s, dir)
+          .select(
+            col("event_id"), col("user_id"),
+            dense_rank().over(byValue).as("val_dense_rank"),
+            ntile(4).over(byValue).as("quartile"),
+            round(percent_rank().over(byValue), 6).as("pct_rank"),
+            round(cume_dist().over(byValue), 6).as("cume"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |       CAST(dense_rank() OVER w AS INT) AS val_dense_rank,
+             |       CAST(ntile(4) OVER w AS INT) AS quartile,
+             |       round(percent_rank() OVER w, 6) AS pct_rank,
+             |       round(cume_dist() OVER w, 6) AS cume
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+             |ORDER BY event_id""".stripMargin)),
+
     // W6 — Bollinger Bands(20, 2, 2, matype=0): SMA middle ± 2·stddev_pop,
     // first 19 rows of each series null (TA-Lib warmup, ta_signals.py:17-25).
     QueryDef(
