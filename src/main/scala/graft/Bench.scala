@@ -107,10 +107,14 @@ object Bench {
       val copies = math.max(1, (100000 / math.max(nDocs, 1L)).toInt)
       // replicate via ONE crossJoin with a copy index — at sf0.001 the
       // former per-copy unionByName built a 200-branch union whose plan
-      // alone dominated the probe
+      // alone dominated the probe. The text is PERTURBED per copy:
+      // otherwise Catalyst pushes the stats projection below the join
+      // and computes each unique doc once, replicating results — the
+      // probe would measure join fan-out, not scoring
       val bigDocs = docs.crossJoin(
           spark.range(copies).select(col("id").as("copy_i")))
         .withColumn("doc_id", col("doc_id") + col("copy_i") * lit(10000000L))
+        .withColumn("text", concat(col("text"), lit(" c"), col("copy_i")))
         .drop("copy_i")
       val scoredDocs = nDocs * copies
       def scorerPlan(in: org.apache.spark.sql.DataFrame) = {

@@ -423,10 +423,15 @@ object VectorQueries extends QueryPack {
         val hmin = (0 until BandsV5)
           .map(b => bit_count(eb(b).bitwiseXOR(qb(b))))
           .reduce(least(_, _))
+        // persisted: consumed 6x (per-level ann + candidate count) — the
+        // 32-plane hashing + cosine per pair would otherwise recompute
+        // per consumer
         val base = e.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("qid"))
           .withColumn("hmin", hmin)
           .withColumn("score", cosine(col("embedding"), col("qvec")))
+          .select(col("qid"), col("vec_id"), col("hmin"), col("score"))
+          .persist()
         val exactPairs = exactTopK(e, q, 5)
           .select(col("qid"), explode(col("nbrs.vec_id")).as("vec_id"))
         val denom = e.agg((count(lit(1)) - 1).cast("double").as("nm1"))
