@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
+import graft.operators.TextOps.polyHashSql
 import graft.sources.Tables
 
 /** Relational surface of the reference (SURVEY.md §2.1–2.4, §2.7 X8):
@@ -94,6 +95,40 @@ object RelationalQueries extends QueryPack {
         .select(col("doc_id"), col("source"), col("n_chars")),
       Some("""SELECT doc_id, source, n_chars FROM documents
               WHERE lang = 'en' ORDER BY doc_id LIMIT 100""")),
+
+    // S10 — the SQL TEXT interface end-to-end: the same engine surface
+    // driven through `spark.sql` over a registered view, composing the
+    // injected custom functions (scalar graft_polyhash inside the
+    // partially-aggregating graft_topk heap) with LATERAL VIEW explode —
+    // proof that a SQL-only client gets the identical operator set and
+    // plans as the DataFrame API (both compile to the same Catalyst
+    // plan; the top-3-per-source heap ships k rows per map task exactly
+    // like q_n12).
+    QueryDef(
+      "q_s10_sql_text",
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("graft_docs")
+        s.sql("""
+          SELECT source, t.vec_id AS doc_id,
+                 CAST(t.score AS BIGINT) AS hash_score
+          FROM (SELECT source,
+                       graft_topk(CAST(pmod(graft_polyhash(text), 1000) AS DOUBLE),
+                                  doc_id, 3) AS tops
+                FROM graft_docs GROUP BY source) g
+          LATERAL VIEW explode(g.tops) x AS t
+          ORDER BY source, hash_score DESC, doc_id
+        """)
+      },
+      Some(s"""SELECT source, doc_id, hash_score
+              |FROM (SELECT source, doc_id, hash_score,
+              |             row_number() OVER (PARTITION BY source
+              |               ORDER BY hash_score DESC, doc_id ASC) AS rk
+              |      FROM (SELECT source, doc_id,
+              |                   ((${polyHashSql("text")} % 1000) + 1000) % 1000
+              |                     AS hash_score
+              |            FROM documents) h) r
+              |WHERE rk <= 3
+              |ORDER BY source, hash_score DESC, doc_id""".stripMargin)),
 
     // P1 — column projection (+ pushdown-friendly filter).
     QueryDef(

@@ -516,6 +516,113 @@ object TextAnalysisQueries extends QueryPack {
               |ORDER BY doc_id""".stripMargin),
       bench = true),
 
+    // N13 — URL extraction + per-domain corpus stats (the web-corpus
+    // curation op: domain blocklists, per-site caps, dedup-by-URL all
+    // start here). Documents carry no URLs, so deterministic synthetic
+    // ones are injected per row (same construction both engines), then
+    // extracted back with one RE2∩java.regex pattern, exploded, and
+    // rolled up per domain. Extract+explode are narrow; the only
+    // corpus-scale shuffle is the domain aggregation (map-side combined,
+    // domain-cardinality keys).
+    QueryDef(
+      "q_n13_url_stats",
+      (s, dir) => {
+        val urlPat = "https?://[A-Za-z0-9.-]+[A-Za-z0-9./_-]*"
+        val domPat = "^https?://([A-Za-z0-9.-]+)"
+        Tables.documents(s, dir)
+          .withColumn("aug",
+            concat(col("text"), lit(" see https://site"),
+              pmod(col("doc_id"), lit(7L)).cast("string"),
+              lit(".example.com/p/"), col("doc_id").cast("string"),
+              lit(" and http://ref"), pmod(col("doc_id"), lit(3L)).cast("string"),
+              lit(".example.org")))
+          .select(col("doc_id"),
+            explode(regexp_extract_all(col("aug"), lit(urlPat), lit(0))).as("url"))
+          .withColumn("domain", regexp_extract(col("url"), domPat, 1))
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_urls"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy("domain")
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id,
+             |         concat(text, ' see https://site',
+             |                CAST(doc_id % 7 AS VARCHAR), '.example.com/p/',
+             |                CAST(doc_id AS VARCHAR), ' and http://ref',
+             |                CAST(doc_id % 3 AS VARCHAR), '.example.org') AS aug
+             |  FROM documents
+             |), urls AS (
+             |  SELECT doc_id,
+             |         regexp_extract(u, '^https?://([A-Za-z0-9.-]+)', 1) AS domain
+             |  FROM (SELECT doc_id,
+             |               unnest(regexp_extract_all(aug,
+             |                 'https?://[A-Za-z0-9.-]+[A-Za-z0-9./_-]*')) AS u
+             |        FROM aug) x
+             |)
+             |SELECT domain, count(*) AS n_urls,
+             |       count(DISTINCT doc_id) AS n_docs
+             |FROM urls GROUP BY domain ORDER BY domain""".stripMargin)),
+
+    // N9b — pack MATERIALIZATION (the step after q_n9's assignment): one
+    // row per (shard, pack) with doc count, token total, id span, and a
+    // fingerprint of the exact ordered member list — what a sequence-
+    // builder would feed the tokenizer. One extra shuffle on (shard,
+    // pack_id); member lists are bounded by the token budget, so
+    // collect_list stays O(budget/min_doc_tokens) per group at any
+    // corpus size.
+    QueryDef(
+      "q_n9b_pack_materialize",
+      (s, dir) => {
+        val budget = 2048L
+        val base = Tables.documents(s, dir)
+          .withColumn("shard", pmod(polyHash(normalizeText(col("text"))), lit(16L)))
+          .withColumn("tok",
+            ceil(length(col("text")).cast("double") / 4.0).cast("double"))
+          .select("doc_id", "shard", "tok")
+        graft.operators.SeriesKernels.applyKernels(
+          base, Seq("shard"), Seq("doc_id"),
+          Seq(graft.operators.SeriesKernels.KernelSpec(
+            Seq("tok"), Seq("pack_d", "cum_d"),
+            () => new graft.operators.PackKernels.GreedyPackKernel(budget))))
+          .select(col("doc_id"), col("shard"),
+            col("tok").cast("long").as("tok"),
+            col("pack_d").cast("long").as("pack_id"))
+          .groupBy("shard", "pack_id")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("tok")).as("pack_tok"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"),
+            md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+              x => x.cast("string")), ",").cast("binary")).as("ids_fp"))
+          .orderBy("shard", "pack_id")
+      },
+      Some(s"""WITH RECURSIVE d AS (
+              |  SELECT doc_id, shard, tok,
+              |         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+              |  FROM (SELECT doc_id,
+              |               ((${polyHashSql(normalizeTextSql("text"))} % 16) + 16) % 16 AS shard,
+              |               CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS tok
+              |        FROM documents) t
+              |), rec AS (
+              |  SELECT doc_id, shard, tok, rn,
+              |         CAST(0 AS BIGINT) AS pack_id, tok AS cum_tok
+              |  FROM d WHERE rn = 1
+              |  UNION ALL
+              |  SELECT d.doc_id, d.shard, d.tok, d.rn,
+              |         CASE WHEN r.cum_tok > 0 AND r.cum_tok + d.tok > 2048
+              |              THEN r.pack_id + 1 ELSE r.pack_id END,
+              |         CASE WHEN r.cum_tok > 0 AND r.cum_tok + d.tok > 2048
+              |              THEN d.tok ELSE r.cum_tok + d.tok END
+              |  FROM rec r JOIN d ON d.shard = r.shard AND d.rn = r.rn + 1
+              |)
+              |SELECT shard, pack_id, count(*) AS n_docs,
+              |       CAST(sum(tok) AS BIGINT) AS pack_tok,
+              |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+              |       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_fp
+              |FROM rec GROUP BY shard, pack_id
+              |ORDER BY shard, pack_id""".stripMargin)),
+
     // N6 — BM25 relevance scoring against a fixed query-term set: df per
     // term and (N, avgdl) via ONE tiny global aggregate cross-joined
     // back (broadcast — scalars, not a shuffle of the corpus); per-doc
