@@ -201,7 +201,14 @@ object Bench {
           .agg(avg(col("recall"))).first().getDouble(0)
         math.rint(r * 1e6) / 1e6
       }
+      val v4dH1 = {
+        val r = SparkEntry.queries("q_v4d_multiprobe_sweep")(spark, sfDir)
+          .filter(col("ham") === 1)
+          .agg(avg(col("mean_recall"))).first().getDouble(0)
+        math.rint(r * 1e6) / 1e6
+      }
       Some(s""""ann_recall":{"v4b_lsh":${meanRecall("q_v4b_recall")},""" +
+        s""""v4d_multiprobe_h1":$v4dH1,""" +
         s""""v6b_ivf":${meanRecall("q_v6b_recall")},""" +
         s""""v6d_ivf_kmeans":${meanRecall("q_v6d_ivf_kmeans_recall")},""" +
         s""""v8b_nsw":${meanRecall("q_v8b_nsw_recall")}}""")

@@ -423,34 +423,36 @@ object VectorQueries extends QueryPack {
         val hmin = (0 until BandsV5)
           .map(b => bit_count(eb(b).bitwiseXOR(qb(b))))
           .reduce(least(_, _))
-        // persisted: consumed 6x (per-level ann + candidate count) — the
-        // 32-plane hashing + cosine per pair would otherwise recompute
-        // per consumer
+        // ONE aggregation pass computes every level: graft_topk skips
+        // null scores, so `when(hmin <= h, score)` gives each probe
+        // depth its own conditional k-heap beside the exact heap and the
+        // candidate counters — one shuffle on qid total, vs the former
+        // per-level re-aggregation of a persisted cross join (7 jobs)
         val base = e.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("qid"))
           .withColumn("hmin", hmin)
           .withColumn("score", cosine(col("embedding"), col("qvec")))
           .select(col("qid"), col("vec_id"), col("hmin"), col("score"))
-          .persist()
-        val exactPairs = exactTopK(e, q, 5)
-          .select(col("qid"), explode(col("nbrs.vec_id")).as("vec_id"))
+        val aggCols =
+          call_function("graft_topk", col("score"), col("vec_id"), lit(5)).as("ex") +:
+          (0 to 2).flatMap(h => Seq(
+            call_function("graft_topk",
+              when(col("hmin") <= h, col("score")), col("vec_id"), lit(5))
+              .as(s"nb_$h"),
+            sum(when(col("hmin") <= h, 1L).otherwise(0L)).as(s"nc_$h")))
+        val per = base.groupBy("qid").agg(aggCols.head, aggCols.tail: _*)
+        val sumCols = (0 to 2).flatMap(h => Seq(
+          sum(size(array_intersect(col("ex.vec_id"), col(s"nb_$h.vec_id"))))
+            .as(s"common_$h"),
+          sum(col(s"nc_$h")).cast("double").as(s"cands_$h")))
+        val summary = per.agg(sumCols.head, sumCols.tail: _*)
         val denom = e.agg((count(lit(1)) - 1).cast("double").as("nm1"))
-        val levels = Seq(0, 1, 2).map { h =>
-          val cands = base.filter(col("hmin") <= h)
-          val ann = cands
-            .groupBy("qid")
-            .agg(call_function("graft_topk", col("score"), col("vec_id"), lit(5)).as("nbrs"))
-            .select(col("qid"), explode(col("nbrs.vec_id")).as("vec_id"))
-          val nCommon = exactPairs.join(ann, Seq("qid", "vec_id"))
-            .agg(count(lit(1)).as("n_common"))
-          val nCand = cands.agg(count(lit(1)).cast("double").as("n_cand"))
-          nCommon.crossJoin(nCand).crossJoin(denom)
-            .select(
-              lit(h).as("ham"),
-              round(col("n_common") / 40.0, 6).as("mean_recall"),
-              round(col("n_cand") / (col("nm1") * 8.0), 6).as("mean_cand_frac"))
-        }
-        levels.reduce(_ unionByName _).orderBy("ham")
+        (0 to 2).map(h =>
+          summary.crossJoin(denom).select(
+            lit(h).as("ham"),
+            round(col(s"common_$h") / 40.0, 6).as("mean_recall"),
+            round(col(s"cands_$h") / (col("nm1") * 8.0), 6).as("mean_cand_frac")))
+          .reduce(_ unionByName _).orderBy("ham")
       },
       {
         val hminSql = (0 until BandsV5)
