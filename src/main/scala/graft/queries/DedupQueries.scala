@@ -425,6 +425,64 @@ object DedupQueries extends QueryPack {
               |            ELSE 'new' END AS status
               |FROM batch b LEFT JOIN corpus c ON c.fp = b.fp
               |ORDER BY b.doc_id""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // D8 — corpus snapshot diff (dataset versioning: what changed
+    // between two crawl/cleaning runs): FULL OUTER join of old and new
+    // snapshots on doc_id, rows classified added / removed / changed /
+    // unchanged by content fingerprint. Synthetic versions: old = all
+    // docs; new drops doc_id % 11 == 0, rewrites text for % 7 == 0,
+    // adds fresh ids (+3e6 copies of % 13 == 0). One doc_id-keyed
+    // shuffle; fingerprints are 16-byte digests so the join never
+    // carries document bodies.
+    QueryDef(
+      "q_d8_snapshot_diff",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        def fp(c: Column) = md5(normalizeText(c).cast("binary"))
+        val old = docs.select(col("doc_id"), fp(col("text")).as("old_fp"))
+        val neu = docs.filter(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"),
+            fp(when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+              .as("new_fp"))
+          .unionByName(docs.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 3000000L).as("doc_id"),
+              fp(col("text")).as("new_fp")))
+        old.join(neu, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("old_fp").isNull, "added")
+              .when(col("new_fp").isNull, "removed")
+              .when(col("old_fp") =!= col("new_fp"), "changed")
+              .otherwise("unchanged").as("status"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy("status")
+      },
+      Some(s"""WITH docs AS (
+              |  SELECT doc_id, text, md5(${normalizeTextSql("text")}) AS fp
+              |  FROM documents
+              |), old AS (SELECT doc_id, fp AS old_fp FROM docs),
+              |neu AS (
+              |  SELECT doc_id,
+              |         CASE WHEN doc_id % 7 = 0
+              |              THEN md5(${normalizeTextSql("concat(text, ' [rev2]')")})
+              |              ELSE fp END AS new_fp
+              |  FROM docs WHERE doc_id % 11 <> 0
+              |  UNION ALL
+              |  SELECT doc_id + 3000000, fp FROM docs WHERE doc_id % 13 = 0
+              |)
+              |SELECT status, count(*) AS n,
+              |       min(doc_id) AS min_id, max(doc_id) AS max_id
+              |FROM (
+              |  SELECT doc_id,
+              |         CASE WHEN old_fp IS NULL THEN 'added'
+              |              WHEN new_fp IS NULL THEN 'removed'
+              |              WHEN old_fp <> new_fp THEN 'changed'
+              |              ELSE 'unchanged' END AS status
+              |  FROM old FULL OUTER JOIN neu USING (doc_id)) t
+              |GROUP BY status
+              |ORDER BY status""".stripMargin))
   )
 }
