@@ -623,6 +623,46 @@ object TextAnalysisQueries extends QueryPack {
               |FROM rec GROUP BY shard, pack_id
               |ORDER BY shard, pack_id""".stripMargin)),
 
+    // N14 — per-source language-distribution entropy (corpus balance
+    // diagnostics: a source whose languages collapsed to one value
+    // signals a scraping/cleaning regression). Two map-side-combined
+    // aggregations — (source, lang) counts, then the per-source
+    // Shannon-entropy fold — both on low-cardinality keys; no
+    // corpus-body shuffle. Term order fixed by lang ASC both engines so
+    // the floating sum is bit-stable under round(6).
+    QueryDef(
+      "q_n14_source_entropy",
+      (s, dir) => {
+        val counts = Tables.documents(s, dir)
+          .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        val packed = counts.groupBy("source")
+          .agg(sum(col("c")).as("n_docs"),
+            count(lit(1)).as("n_langs"),
+            array_sort(collect_list(struct(col("lang"), col("c")))).as("lc"))
+        val p = (c: org.apache.spark.sql.Column) => c.cast("double") / col("n_docs").cast("double")
+        packed.select(
+          col("source"), col("n_docs"), col("n_langs"),
+          round(-aggregate(col("lc"), lit(0.0),
+            (acc, x) => acc + p(x.getField("c")) * log(p(x.getField("c")))), 6)
+            .as("lang_entropy"))
+          .orderBy("source")
+      },
+      Some("""WITH counts AS (
+             |  SELECT source, lang, count(*) AS c
+             |  FROM documents GROUP BY source, lang
+             |), totals AS (
+             |  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+             |         count(*) AS n_langs,
+             |         list(c ORDER BY lang ASC) AS cs
+             |  FROM counts GROUP BY source
+             |)
+             |SELECT source, n_docs, n_langs,
+             |       round(-list_sum(list_transform(cs,
+             |               c -> (CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE))
+             |                    * ln(CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 6)
+             |         AS lang_entropy
+             |FROM totals ORDER BY source""".stripMargin)),
+
     // N6 — BM25 relevance scoring against a fixed query-term set: df per
     // term and (N, avgdl) via ONE tiny global aggregate cross-joined
     // back (broadcast — scalars, not a shuffle of the corpus); per-doc
