@@ -15,8 +15,18 @@ object Explain {
     val spark = GraftSession.get(4)
     for (name <- names) {
       val df = SparkEntry.queries(name)(spark, sfDir)
+      // execute first: under AQE the unexecuted plan prints as a bare
+      // `AdaptiveSparkPlan isFinalPlan=false` wrapper — no codegen
+      // stars, no final exchanges — so every count read as zero.
+      // collect() runs on the Dataset's OWN QueryExecution (a noop
+      // write would build a new one and leave this plan unexecuted);
+      // Explain runs at sf0.001 where every result is small.
+      df.collect()
       if (full) df.explain("formatted")
+      // the executed adaptive plan prints "== Final Plan ==" followed by
+      // "== Initial Plan ==" — count only the final section
       val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
       def n(p: String) = p.r.findAllIn(plan).length
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq.distinct
       println(s"[explain] $name: exchanges=${n("Exchange ")} " +

@@ -83,12 +83,19 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional name prefixes (3rd+ args): check only matching queries —
+    # lets a large-SF pass skip the recursive-CTE oracles, which DuckDB
+    # executes in minutes at sf0.1
+    prefixes = sys.argv[3:]
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    if prefixes:
+        oracle = {k: v for k, v in oracle.items()
+                  if any(k.startswith(p) for p in prefixes)}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         pq = Path(out_dir) / name
