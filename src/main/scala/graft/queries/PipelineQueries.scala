@@ -207,6 +207,121 @@ object PipelineQueries extends QueryPack {
            |WHERE bts >= (SELECT max(bts) FROM b) - INTERVAL 240 HOUR
            |  AND (buy OR sell)
            |ORDER BY user_id, bucket""".stripMargin
-      })
+      }),
+
+    // E4 — the training-data pipeline end-to-end as ONE composed DAG
+    // (the data-layer counterpart of E1): corpus → quality gate (token
+    // floor + stopword-ratio language screen, narrow) → exact dedup
+    // (first-id-wins per content fingerprint, one digest-keyed window)
+    // → deterministic hash split (train/val/test, narrow) → greedy
+    // 2048-token packing per (split, shard) (the n9 kernel, one
+    // (split,shard) shuffle) → per-split totals incl. pack fill
+    // efficiency. Every stage is an already-oracled operator; this
+    // query gates their COMPOSITION with a single CTE+recursion oracle.
+    // At 100 TB: two data shuffles total (fingerprint window, pack
+    // shard) — filters, hashing, split assignment all ride the scan.
+    QueryDef(
+      "q_e4_data_pipeline",
+      (s, dir) => {
+        val budget = 2048L
+        val toks = graft.operators.TextOps.tokens(col("text"))
+        val stop = size(filter(toks,
+          t => array_contains(typedLit(graft.operators.TextOps.Stopwords), t)))
+          .cast("double") /
+          greatest(size(toks), lit(1)).cast("double")
+        val base = Tables.documents(s, dir)
+          .withColumn("n_tok", size(toks))
+          .withColumn("stop_ratio", stop)
+          .filter(col("n_tok") >= 50 && col("stop_ratio") >= 0.08)
+          .withColumn("norm", graft.operators.TextOps.normalizeText(col("text")))
+          .withColumn("fp", md5(col("norm").cast("binary")))
+          .withColumn("h", graft.operators.TextOps.polyHash(col("norm")))
+        val deduped = base
+          .withColumn("keep_id",
+            min(col("doc_id")).over(Window.partitionBy("fp")))
+          .filter(col("doc_id") === col("keep_id"))
+          .withColumn("bucket", pmod(col("h"), lit(100L)))
+          .withColumn("split",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val").otherwise("test"))
+          .withColumn("shard", pmod(col("h"), lit(16L)))
+          .withColumn("tok",
+            ceil(length(col("text")).cast("double") / 4.0).cast("double"))
+          .select("doc_id", "split", "shard", "tok")
+        SeriesKernels.applyKernels(
+          deduped, Seq("split", "shard"), Seq("doc_id"),
+          Seq(SeriesKernels.KernelSpec(
+            Seq("tok"), Seq("pack_d", "cum_d"),
+            () => new graft.operators.PackKernels.GreedyPackKernel(budget))))
+          .groupBy("split", "shard")
+          .agg(count(lit(1)).as("nd"), sum(col("tok").cast("long")).as("tk"),
+            (max(col("pack_d")) + 1).cast("long").as("np"))
+          .groupBy("split")
+          .agg(sum(col("nd")).as("n_docs"), sum(col("np")).as("n_packs"),
+            sum(col("tk")).as("tok_total"))
+          .select(col("split"), col("n_docs"), col("n_packs"), col("tok_total"),
+            round(col("tok_total").cast("double") /
+              (col("n_packs") * budget).cast("double"), 6).as("fill_ratio"))
+          .orderBy("split")
+      },
+      {
+        import graft.operators.TextOps.{normalizeTextSql, polyHashSql, stopwordsSqlList, tokensSql}
+        Some(s"""WITH RECURSIVE base AS (
+                |  SELECT doc_id, text,
+                |         ${normalizeTextSql("text")} AS norm
+                |  FROM (SELECT doc_id, text,
+                |               len(${tokensSql("text")}) AS n_tok,
+                |               CAST(len(list_filter(${tokensSql("text")},
+                |                      t -> list_contains($stopwordsSqlList, t))) AS DOUBLE)
+                |                 / CAST(greatest(len(${tokensSql("text")}), 1) AS DOUBLE)
+                |                 AS stop_ratio
+                |        FROM documents) f
+                |  WHERE n_tok >= 50 AND stop_ratio >= 0.08
+                |), dedup AS (
+                |  SELECT doc_id, norm FROM (
+                |    SELECT doc_id, norm,
+                |           row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+                |    FROM base) x WHERE rn = 1
+                |), assigned AS (
+                |  SELECT b.doc_id,
+                |         CASE WHEN ((h % 100) + 100) % 100 < 80 THEN 'train'
+                |              WHEN ((h % 100) + 100) % 100 < 90 THEN 'val'
+                |              ELSE 'test' END AS split,
+                |         ((h % 16) + 16) % 16 AS shard,
+                |         CAST(ceil(CAST(length(b.text) AS DOUBLE) / 4.0) AS BIGINT) AS tok
+                |  FROM (SELECT d.doc_id, d.norm, ${polyHashSql("d.norm")} AS h
+                |        FROM dedup d) x
+                |  JOIN base b ON b.doc_id = x.doc_id
+                |), d AS (
+                |  SELECT doc_id, split, shard, tok,
+                |         row_number() OVER (PARTITION BY split, shard ORDER BY doc_id) AS rn
+                |  FROM assigned
+                |), rec AS (
+                |  SELECT doc_id, split, shard, tok, rn,
+                |         CAST(0 AS BIGINT) AS pack_id, tok AS cum_tok
+                |  FROM d WHERE rn = 1
+                |  UNION ALL
+                |  SELECT d.doc_id, d.split, d.shard, d.tok, d.rn,
+                |         CASE WHEN r.cum_tok > 0 AND r.cum_tok + d.tok > 2048
+                |              THEN r.pack_id + 1 ELSE r.pack_id END,
+                |         CASE WHEN r.cum_tok > 0 AND r.cum_tok + d.tok > 2048
+                |              THEN d.tok ELSE r.cum_tok + d.tok END
+                |  FROM rec r JOIN d ON d.split = r.split AND d.shard = r.shard
+                |                   AND d.rn = r.rn + 1
+                |), per_shard AS (
+                |  SELECT split, shard, count(*) AS nd,
+                |         CAST(sum(tok) AS BIGINT) AS tk,
+                |         max(pack_id) + 1 AS np
+                |  FROM rec GROUP BY split, shard
+                |)
+                |SELECT split,
+                |       CAST(sum(nd) AS BIGINT) AS n_docs,
+                |       CAST(sum(np) AS BIGINT) AS n_packs,
+                |       CAST(sum(tk) AS BIGINT) AS tok_total,
+                |       round(CAST(sum(tk) AS DOUBLE)
+                |             / CAST(sum(np) * 2048 AS DOUBLE), 6) AS fill_ratio
+                |FROM per_shard GROUP BY split ORDER BY split""".stripMargin)
+      },
+      bench = true)
   )
 }
