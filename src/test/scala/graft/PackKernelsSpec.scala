@@ -31,6 +31,29 @@ class PackKernelsSpec extends AnyFunSuite {
       Seq((0L, 10L), (1L, 10L), (2L, 5L), (2L, 10L), (3L, 1L)))
   }
 
+  test("invariants hold over many deterministic pseudo-random streams") {
+    for (seed <- 1L to 20L) {
+      val budget = 64L + (seed * 131) % 2000
+      val toks = (1L to 500L).map(i => (i * 6364136223846793005L + seed) % 137 match {
+        case m if m < 0 => -m % 137 + 1
+        case m => m + 1
+      })
+      val out = run(budget, toks)
+      // token totals conserved per pack; no pack over budget unless it
+      // holds a single oversized doc; pack ids nondecreasing from 0
+      assert(out.head._1 === 0L)
+      assert(out.zip(out.drop(1)).forall { case ((p1, _), (p2, _)) =>
+        p2 == p1 || p2 == p1 + 1
+      })
+      val perPack = toks.zip(out).groupBy(_._2._1)
+      perPack.foreach { case (_, members) =>
+        val total = members.map(_._1).sum
+        assert(total === members.last._2._2) // cum_tok of last member
+        assert(total <= budget || members.size == 1)
+      }
+    }
+  }
+
   test("checkpoint/restore mid-stream is bit-identical to uninterrupted") {
     val toks = (1L to 200L).map(i => (i * 7919) % 97 + 1)
     val whole = run(50, toks)
