@@ -86,6 +86,11 @@ object GraftSession {
             graft.functions.TopKByScore(children(0), children(1), k)
           }))
         ext.injectFunction((
+          FunctionIdentifier("graft_dotp"),
+          new ExpressionInfo(classOf[graft.functions.DotPair].getName, "graft_dotp"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            graft.functions.DotPair(children(0), children(1))))
+        ext.injectFunction((
           FunctionIdentifier("graft_dot"),
           new ExpressionInfo(classOf[graft.functions.DotConst].getName, "graft_dot"),
           (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

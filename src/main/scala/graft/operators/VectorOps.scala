@@ -20,12 +20,24 @@ object VectorOps {
   private def d(c: Column): Column = c.cast("double")
 
   /** Σ aᵢ·bᵢ, left fold from 0.0 — matches the oracle's list_reduce over
-    * list_prepend(0.0, products). */
+    * list_prepend(0.0, products). Executes as the codegen'd
+    * [[graft.functions.DotPair]] fused loop (identical IEEE sequence to
+    * the HOF fold below — VectorOpsSpec pins the bit-equality; the HOF
+    * form stays as the declarative cross-check). */
   def dot(a: Column, b: Column): Column =
+    call_function("graft_dotp", a, b)
+
+  /** The declarative HOF reference form of [[dot]] (interpreted lambdas —
+    * cross-check only, not the execution path). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, v) => acc + v)
 
   /** Σ aᵢ² (same fold). */
   def norm2(a: Column): Column =
+    call_function("graft_dotp", a, a)
+
+  /** HOF reference form of [[norm2]]. */
+  def norm2Hof(a: Column): Column =
     aggregate(a, lit(0.0), (acc, v) => acc + d(v) * d(v))
 
   /** Cosine similarity = dot / (√‖a‖² · √‖b‖²). */

@@ -31,6 +31,32 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(pairs.forall { case (ab, ba) => ab == ba && ab >= -1.0 - 1e-12 && ab <= 1.0 + 1e-12 })
   }
 
+  test("codegen'd graft_dotp equals the HOF fold bit-exactly (float and double arrays)") {
+    import spark.implicits._
+    val floats = graft.sources.Tables.embeddings(spark, sf).limit(100)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = floats.as("a").crossJoin(floats.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id")).limit(500)
+      .select(
+        dot(col("a.embedding"), col("b.embedding")).as("fast"),
+        dotHof(col("a.embedding"), col("b.embedding")).as("ref"),
+        norm2(col("a.embedding")).as("n_fast"),
+        norm2Hof(col("a.embedding")).as("n_ref"))
+      .as[(Double, Double, Double, Double)].collect()
+    pairs.foreach { case (f, r, nf, nr) =>
+      assert(java.lang.Double.doubleToLongBits(f) === java.lang.Double.doubleToLongBits(r))
+      assert(java.lang.Double.doubleToLongBits(nf) === java.lang.Double.doubleToLongBits(nr))
+    }
+    val doubles = floats
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    val dres = doubles.select(
+      dot(col("e"), col("e")).as("fast"), dotHof(col("e"), col("e")).as("ref"))
+      .as[(Double, Double)].collect()
+    dres.foreach { case (f, r) =>
+      assert(java.lang.Double.doubleToLongBits(f) === java.lang.Double.doubleToLongBits(r))
+    }
+  }
+
   test("top-k by cosine is a prefix of top-(k+1)") {
     import spark.implicits._
     val scored = graft.sources.Tables.embeddings(spark, sf)
