@@ -522,6 +522,34 @@ object RelationalQueries extends QueryPack {
              |                AND o_orderpriority = '1-URGENT')
              |ORDER BY c_custkey""".stripMargin)),
 
+    // A9 — CUBE over (event_type, user_id % 10): all four grouping
+    // levels (detail, each single-dimension margin, grand total) in one
+    // map-side-combined aggregation — the cross-tab companion of A7's
+    // rollup. The user bucket keeps the cube's detail level bounded
+    // (event_type × 10) at any corpus size.
+    QueryDef(
+      "q_a9_cube",
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("user_bucket", pmod(col("user_id"), lit(10L)))
+        .cube(col("event_type"), col("user_bucket"))
+        .agg(grouping_id(col("event_type"), col("user_bucket")).as("gid"),
+          count(lit(1)).as("n"),
+          moneySum(col("value")).as("sum_value"))
+        .select(
+          coalesce(col("event_type"), lit("<all>")).as("event_type"),
+          coalesce(col("user_bucket"), lit(-1L)).as("user_bucket"),
+          col("gid"), col("n"), col("sum_value"))
+        .orderBy("gid", "event_type", "user_bucket"),
+      Some(s"""SELECT coalesce(event_type, '<all>') AS event_type,
+             |       coalesce(user_bucket, -1) AS user_bucket,
+             |       CAST(grouping(event_type) * 2 + grouping(user_bucket) AS BIGINT) AS gid,
+             |       count(*) AS n,
+             |       ${moneySumSql("value")} AS sum_value
+             |FROM (SELECT event_type, ((user_id % 10) + 10) % 10 AS user_bucket, value
+             |      FROM events) t
+             |GROUP BY CUBE (event_type, user_bucket)
+             |ORDER BY gid, event_type, user_bucket""".stripMargin)),
+
     // A8 — exact percentile report (p50/p90/p99 of value per event
     // type): Spark's `percentile` is the exact sort-based aggregate with
     // linear interpolation — same convention as DuckDB's quantile_cont —

@@ -112,6 +112,38 @@ object StreamingQueries extends QueryPack {
               | AND r_ts_us >= l_ts_us AND r_ts_us <= l_ts_us + 14400000000
               |ORDER BY l.user_id, l_id, r_id""".stripMargin)),
 
+    // X12 — stream-stream LEFT OUTER interval join: like X10 but
+    // unmatched left events must ALSO emit (with null right columns)
+    // once the watermark passes their window — the outer-emission
+    // semantics that distinguish a streaming outer join from a batch
+    // one. Oracle: the same LEFT JOIN as a batch query. r_id uses -1
+    // for the null side so the hash compare has no nullable-int column.
+    QueryDef(
+      "q_x12_stream_left_join",
+      (s, dir) => {
+        val rows = sample(s, dir)
+        StreamingOps.runTwoPhaseTwoStreams(
+          s,
+          rows.filter(_.event_id % 2 == 0),
+          rows.filter(_.event_id % 2 == 1),
+          StreamingOps.intervalJoinLeftOuter, "append")
+          .select(col("user_id"), col("l_id"),
+            coalesce(col("r_id"), lit(-1L)).as("r_id"),
+            col("l_ts_us"))
+          .orderBy("user_id", "l_id", "r_id")
+      },
+      Some(s"""WITH s AS ($sampleSql),
+              |l AS (SELECT event_id AS l_id, user_id,
+              |             epoch_us(date_trunc('microseconds', ts)) AS l_ts_us
+              |      FROM s WHERE event_id % 2 = 0),
+              |r AS (SELECT event_id AS r_id, user_id,
+              |             epoch_us(date_trunc('microseconds', ts)) AS r_ts_us
+              |      FROM s WHERE event_id % 2 = 1)
+              |SELECT l.user_id, l_id, coalesce(r_id, -1) AS r_id, l_ts_us
+              |FROM l LEFT JOIN r ON l.user_id = r.user_id
+              | AND r_ts_us >= l_ts_us AND r_ts_us <= l_ts_us + 14400000000
+              |ORDER BY l.user_id, l_id, r_id""".stripMargin)),
+
     // X11 — sliding 2h/1h windows (each event in two overlapping
     // windows). Oracle: duplicate each row into its two window starts.
     QueryDef(

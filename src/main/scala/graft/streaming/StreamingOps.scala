@@ -72,21 +72,36 @@ object StreamingOps {
     * ever dropped as too-late (the state-eviction CONTRACT is what the
     * plan exercises; eviction timing itself is engine-internal).
     */
-  def intervalJoin(left: DataFrame, right: DataFrame): DataFrame = {
+  def intervalJoin(left: DataFrame, right: DataFrame): DataFrame =
+    intervalJoinOf(left, right, "inner", "30 days")
+
+  /** LEFT OUTER variant: unmatched left events emit with null right
+    * columns once the watermark passes their join window — so unlike the
+    * inner form the watermark DELAY must be short enough that the
+    * far-future sentinel actually advances past all real data (sentinel
+    * − 30 days would sit below the stream's tail and hold every
+    * unmatched row back in state forever). */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame): DataFrame =
+    intervalJoinOf(left, right, "left_outer", "1 hour")
+
+  private def intervalJoinOf(
+      left: DataFrame, right: DataFrame,
+      joinType: String, delay: String): DataFrame = {
     val l = left
       .withColumn("l_ts", timestamp_micros(col("ts_us")))
-      .withWatermark("l_ts", "30 days")
+      .withWatermark("l_ts", delay)
       .select(col("event_id").as("l_id"), col("user_id"),
         col("ts_us").as("l_ts_us"), col("l_ts"))
     val r = right
       .withColumn("r_ts", timestamp_micros(col("ts_us")))
-      .withWatermark("r_ts", "30 days")
+      .withWatermark("r_ts", delay)
       .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
         col("ts_us").as("r_ts_us"), col("r_ts"))
     l.join(r,
         col("user_id") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr("INTERVAL 4 HOURS"))
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 4 HOURS"),
+        joinType)
       .select(col("user_id"), col("l_id"), col("r_id"),
         col("l_ts_us"), col("r_ts_us"))
   }
