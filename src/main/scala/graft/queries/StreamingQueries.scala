@@ -144,6 +144,38 @@ object StreamingQueries extends QueryPack {
               | AND r_ts_us >= l_ts_us AND r_ts_us <= l_ts_us + 14400000000
               |ORDER BY l.user_id, l_id, r_id""".stripMargin)),
 
+    // X13 — streaming session windows (StreamingOps.sessionBars
+    // scaladoc): data-driven merging windows, closed and emitted as the
+    // watermark passes. Oracle: gap->flag->running-sum sessionization
+    // with the >= boundary rule over the same sample.
+    QueryDef(
+      "q_x13_stream_session",
+      (s, dir) => StreamingOps.runTwoPhase(
+        s, sample(s, dir), Seq.empty, StreamingOps.sessionBars, "append")
+        .orderBy("user_id", "start_us"),
+      Some(s"""WITH e AS (
+              |  SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS ts_us,
+              |         event_id
+              |  FROM ($sampleSql) t
+              |), flagged AS (
+              |  SELECT user_id, ts_us,
+              |         CASE WHEN ts_us - lag(ts_us) OVER
+              |                (PARTITION BY user_id ORDER BY ts_us, event_id)
+              |              >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+              |  FROM e
+              |), assigned AS (
+              |  SELECT user_id, ts_us,
+              |         sum(new_sess) OVER
+              |           (PARTITION BY user_id ORDER BY ts_us
+              |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |           AS sess_id
+              |  FROM flagged
+              |)
+              |SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
+              |       max(ts_us) - min(ts_us) AS dur_us, count(*) AS n_events
+              |FROM assigned GROUP BY user_id, sess_id
+              |ORDER BY user_id, start_us""".stripMargin)),
+
     // X11 — sliding 2h/1h windows (each event in two overlapping
     // windows). Oracle: duplicate each row into its two window starts.
     QueryDef(

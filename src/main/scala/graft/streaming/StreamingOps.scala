@@ -63,6 +63,25 @@ object StreamingOps {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming SESSION windows (30-min inactivity gap): the third
+    * windowing kind after tumbling/sliding — windows are data-driven and
+    * MERGE as events arrive; a session closes (and emits, append mode)
+    * once the watermark passes its end. Boundary rule: `session_window`
+    * windows are [ts, ts+gap) and merge only on OVERLAP, so an event
+    * exactly `gap` after the last starts a NEW session (>= semantics —
+    * the batch q_x9 sessionizer uses strict >; the oracle mirrors this
+    * variant's rule). */
+  def sessionBars(stream: DataFrame): DataFrame =
+    stream
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("dur_us"), col("n_events"))
+
   /** Watermarked stream-stream INNER interval join: for every left event,
     * the right-stream events of the same user within [l_ts, l_ts+4 h].
     * The equality key partitions join state; the time-range condition plus
