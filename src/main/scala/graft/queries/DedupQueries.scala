@@ -79,10 +79,13 @@ object DedupQueries extends QueryPack {
   /** LSH candidate pairs (id_a < id_b, est_jaccard) from a signature
     * table — the banded equi-join carries ONLY (band, bucket, doc_id):
     * candidate pairs dedupe on two longs, and the 32-long signatures
-    * rejoin afterwards via broadcast (the signature table is tiny
-    * relative to the corpus — the classic LSH join layout; shuffling sig
-    * arrays through every band hit + distinct was 123 s at sf0.1, this
-    * shape is ~8 s). */
+    * rejoin afterwards via a plain id-keyed equi-join with NO broadcast
+    * hint. AQE promotes it to broadcast when the sig table is small; at
+    * corpus scale the O(corpus) signatures shuffle on doc_id instead of
+    * being forced whole into every executor (a forced broadcast here is
+    * ~300 GB at 1e9 docs — guaranteed OOM). The key win over the naive
+    * layout stands: shuffling sig arrays through every band hit +
+    * distinct was 123 s at sf0.1; this shape is ~8 s. */
   private def lshPairs(sigs: DataFrame): DataFrame = {
     val banded = sigs.select(
       col("doc_id"),
@@ -103,8 +106,8 @@ object DedupQueries extends QueryPack {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     pairs
-      .join(broadcast(sigs.select(col("doc_id").as("id_a"), col("sig").as("sa"))), Seq("id_a"))
-      .join(broadcast(sigs.select(col("doc_id").as("id_b"), col("sig").as("sb"))), Seq("id_b"))
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sa")), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sb")), Seq("id_b"))
       .withColumn("est_jaccard",
         round(size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
           b => b)).cast("double") / MinhashCoeffs.length.toDouble, 6))
@@ -112,7 +115,7 @@ object DedupQueries extends QueryPack {
   }
 
   /** Signature table over a (doc_id, text) universe; persisted — it is
-    * consumed three times (banding + two broadcast lookups). */
+    * consumed three times (banding + two id-keyed rejoins). */
   private def sigTable(u: DataFrame): DataFrame = u
     .withColumn("hashes", shingleHashes(col("text")))
     .filter(size(col("hashes")) > 0)

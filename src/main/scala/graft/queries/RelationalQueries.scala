@@ -660,17 +660,17 @@ object RelationalQueries extends QueryPack {
              |         epoch_us(date_trunc('microseconds', ts)) AS ts_us
              |  FROM events
              |), flagged AS (
-             |  SELECT user_id, ts_us,
+             |  SELECT event_id, user_id, ts_us,
              |         CASE WHEN ts_us - lag(ts_us) OVER
              |                (PARTITION BY user_id ORDER BY ts_us, event_id)
              |              > 1800000000 THEN 1 ELSE 0 END AS new_sess
              |  FROM e
              |), assigned AS (
              |  SELECT user_id, ts_us,
-             |         sum(new_sess) OVER
-             |           (PARTITION BY user_id ORDER BY ts_us
+             |         CAST(sum(new_sess) OVER
+             |           (PARTITION BY user_id ORDER BY ts_us, event_id
              |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |           AS sess_id
+             |           AS BIGINT) AS sess_id
              |  FROM flagged
              |)
              |SELECT user_id, sess_id, count(*) AS n_events,

@@ -158,17 +158,17 @@ object StreamingQueries extends QueryPack {
               |         event_id
               |  FROM ($sampleSql) t
               |), flagged AS (
-              |  SELECT user_id, ts_us,
+              |  SELECT event_id, user_id, ts_us,
               |         CASE WHEN ts_us - lag(ts_us) OVER
               |                (PARTITION BY user_id ORDER BY ts_us, event_id)
               |              >= 1800000000 THEN 1 ELSE 0 END AS new_sess
               |  FROM e
               |), assigned AS (
               |  SELECT user_id, ts_us,
-              |         sum(new_sess) OVER
-              |           (PARTITION BY user_id ORDER BY ts_us
+              |         CAST(sum(new_sess) OVER
+              |           (PARTITION BY user_id ORDER BY ts_us, event_id
               |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              |           AS sess_id
+              |           AS BIGINT) AS sess_id
               |  FROM flagged
               |)
               |SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS end_us,

@@ -865,9 +865,11 @@ object VectorQueries extends QueryPack {
           .select((col("vec_id") + 1000000L).as("vec_id"),
             transform(col("emb"), x => x + 0.01).as("emb"))
         // candidate pairs dedupe on bare ids; the 64-double vectors
-        // rejoin via broadcast afterwards (same LSH-join layout as
-        // q_d1 — shuffling embeddings through every band hit + the
-        // distinct dominates otherwise)
+        // rejoin afterwards as plain id-keyed equi-joins with no hint
+        // (same LSH-join layout as q_d1 — AQE broadcasts when small; at
+        // corpus scale the O(corpus) vectors shuffle on vec_id rather
+        // than being forced into every executor). Shuffling embeddings
+        // through every band hit + the distinct dominates otherwise.
         val u = base.unionByName(copies).persist()
         val withBands = u.select(
           col("vec_id"),
@@ -885,8 +887,8 @@ object VectorQueries extends QueryPack {
           .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
           .distinct()
         pairs
-          .join(broadcast(u.select(col("vec_id").as("id_a"), col("emb").as("ea"))), Seq("id_a"))
-          .join(broadcast(u.select(col("vec_id").as("id_b"), col("emb").as("eb"))), Seq("id_b"))
+          .join(u.select(col("vec_id").as("id_a"), col("emb").as("ea")), Seq("id_a"))
+          .join(u.select(col("vec_id").as("id_b"), col("emb").as("eb")), Seq("id_b"))
           .withColumn("score", cosine(col("ea"), col("eb")))
           .filter(col("score") > 0.95)
           .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
