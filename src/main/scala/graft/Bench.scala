@@ -207,7 +207,18 @@ object Bench {
           .agg(avg(col("mean_recall"))).first().getDouble(0)
         math.rint(r * 1e6) / 1e6
       }
+      // default-path scan cost: the q_v4c sweep's row for the shipped
+      // (Bands, BitsPerBand) layout — recall without the admitted
+      // candidate fraction is meaningless.
+      val v4Frac = {
+        val r = SparkEntry.queries("q_v4c_band_sweep")(spark, sfDir)
+          .filter(col("n_bands") === graft.queries.VectorQueries.Bands &&
+            col("bits") === graft.queries.VectorQueries.BitsPerBand)
+          .select(col("mean_cand_frac")).first().getDouble(0)
+        math.rint(r * 1e6) / 1e6
+      }
       Some(s""""ann_recall":{"v4b_lsh":${meanRecall("q_v4b_recall")},""" +
+        s""""v4_default_cand_frac":$v4Frac,""" +
         s""""v4d_multiprobe_h1":$v4dH1,""" +
         s""""v6b_ivf":${meanRecall("q_v6b_recall")},""" +
         s""""v6d_ivf_kmeans":${meanRecall("q_v6d_ivf_kmeans_recall")},""" +
@@ -215,6 +226,41 @@ object Bench {
     } catch {
       case e: Throwable =>
         errors("__recall") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        None
+    }
+    // ---- persisted-IVF amortization (VERDICT r4 missing #1): the
+    // build-once / serve-many model vs the in-plan rebuild-per-query
+    // path. build_sec = full index build (assignment + partitioned
+    // write); query_amortized_sec = mean of 10 searches against the
+    // PREBUILT index (centroid read + partition-pruned cell scan);
+    // rebuild_per_query_sec = the q_v6 in-plan path, best-of-3.
+    val ivf = try {
+      import graft.operators.IvfIndex
+      val e = graft.sources.Tables.embeddings(spark, sfDir)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_ivf_bench_" +
+        sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val buildSec = time { IvfIndex.buildIfAbsent(e, cents, path) }
+      val nQ = 10
+      val amortSec = time {
+        (1 to nQ).foreach { _ =>
+          IvfIndex.searchTopK(spark, path,
+            graft.queries.VectorQueries.QueryVec, nprobe = 2, k = 5).collect()
+        }
+      } / nQ
+      val rebuildSec = best {
+        SparkEntry.queries("q_v6_ivf_ann")(spark, sfDir).collect()
+      }
+      Some(f""""ivf_index":{"build_sec":$buildSec%.3f,""" +
+        f""""query_amortized_sec":$amortSec%.4f,""" +
+        f""""rebuild_per_query_sec":$rebuildSec%.4f}""")
+    } catch {
+      case e: Throwable =>
+        errors("__ivf_index") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         None
     }
     // ---- DuckDB wall-time comparison (BASELINE.md "relational < 2x
@@ -341,7 +387,7 @@ object Bench {
     // Headline subset (QueryDef.bench = true): the heavy, scale-relevant ops.
     val headlineNames = SparkEntry.benchQueries.toSet
     val headline = batchTimed.filter(r => headlineNames(r._1)).map(_._2).sum
-    val extras = Seq(throughput, recall, duck).flatten
+    val extras = Seq(throughput, recall, ivf, duck).flatten
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","headline":$headline,""" +
       f""""streaming_harness_sec":$streamingSec%.3f,""" +
@@ -361,6 +407,7 @@ object Bench {
     val throughputC = throughput.map(t => t.stripPrefix("\"throughput\":"))
       .getOrElse("null")
     val recallC = recall.map(_.stripPrefix("\"ann_recall\":")).getOrElse("null")
+    val ivfC = ivf.map(_.stripPrefix("\"ivf_index\":")).getOrElse("null")
     val duckC = duck.map { d =>
       // keep only the scalar fields of the duckdb block
       val keep = Seq("n_compared", "median_ratio", "n_heavy",
@@ -375,7 +422,7 @@ object Bench {
       s""""n_queries":${results.size},"n_failed":${errors.size},""" +
       s""""failed":[${errors.keys.map(jstr).mkString(",")}],""" +
       s""""slowest":$slowest,"throughput":$throughputC,""" +
-      s""""ann_recall":$recallC,"duckdb":$duckC,"sf":${jstr(sfDir)}}""")
+      s""""ann_recall":$recallC,"ivf_index":$ivfC,"duckdb":$duckC,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
