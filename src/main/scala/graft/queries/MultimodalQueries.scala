@@ -9,9 +9,11 @@ import graft.sources.Tables
   * metadata through the relational engine. Payloads are synthesized
   * deterministically from `documents.text` (the container has no media
   * files); the byte-level plumbing — binary columns, lengths, hashes,
-  * slicing — is real and oracle-checked; the codec stage is the
-  * [[graft.operators.MultimodalOps.FakeCodec]] stub (rows-only checked +
-  * MultimodalSpec contract).
+  * slicing — is real and oracle-checked, and the codec stage is a REAL
+  * binary parse of the GRFT container format
+  * ([[graft.operators.MultimodalOps.GrftCodec]]): fixed-offset
+  * big-endian header fields + payload statistics, oracled in DuckDB by
+  * independently re-deriving every field from the same corpus.
   */
 object MultimodalQueries extends QueryPack {
 
@@ -44,19 +46,58 @@ object MultimodalQueries extends QueryPack {
              |FROM documents
              |ORDER BY doc_id""".stripMargin)),
 
-    // MM2 — batched decode stage over the payloads (FakeCodec stub):
-    // schema/batch plumbing is the tested surface; rows-only check.
+    // MM2 — encode + batched decode: each doc's text becomes a GRFT
+    // container (14-byte big-endian header + payload; width/height
+    // derived from doc_id at encode time), then GrftCodec parses the
+    // header back at its fixed offsets, validates magic/version/length,
+    // and computes payload statistics. The oracle re-derives every
+    // field independently: header fields from the encode rule, mean
+    // byte exactly (integer sums), Shannon entropy via the identical
+    // ascending-byte-value ln-fold (QueryDef parity rules; round 6).
     QueryDef(
       "q_mm2_decode_features",
       (s, dir) => MultimodalOps.decodeStage(
         Tables.documents(s, dir)
-          .withColumn("payload", col("text").cast("binary")),
+          .withColumn("payload", MultimodalOps.grftEncode(
+            col("doc_id") % 1280 + 64, col("doc_id") % 720 + 64,
+            col("text").cast("binary")))
+          .select(col("doc_id"), col("payload")),
         "payload")
         .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          col("payload_bytes"),
           round(col("mean_byte"), 6).as("mean_byte"),
           round(col("byte_entropy"), 6).as("byte_entropy"))
         .orderBy("doc_id"),
-      None),
+      Some("""WITH hist AS (
+             |  SELECT doc_id, b, count(*) AS c
+             |  FROM (SELECT doc_id, ord(ch) AS b
+             |        FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+             |              FROM documents) u) t
+             |  GROUP BY doc_id, b
+             |), pre AS (
+             |  SELECT doc_id,
+             |         sum(b * c) AS sb, sum(c) AS n,
+             |         list(struct_pack(b := b, c := c) ORDER BY b) AS hl
+             |  FROM hist GROUP BY doc_id
+             |), stats AS (
+             |  SELECT doc_id,
+             |         CAST(sb AS DOUBLE) / n AS mean_byte,
+             |         list_aggregate(
+             |           list_transform(hl,
+             |             x -> -((CAST(x.c AS DOUBLE) / n)
+             |                    * ln(CAST(x.c AS DOUBLE) / n) / ln(2))),
+             |           'sum') AS byte_entropy
+             |  FROM pre
+             |)
+             |SELECT d.doc_id,
+             |       CAST(d.doc_id % 1280 + 64 AS INT) AS width,
+             |       CAST(d.doc_id % 720 + 64 AS INT) AS height,
+             |       3 AS channels,
+             |       octet_length(encode(d.text)) AS payload_bytes,
+             |       round(coalesce(s.mean_byte, 0.0), 6) AS mean_byte,
+             |       round(coalesce(s.byte_entropy, 0.0), 6) AS byte_entropy
+             |FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // MM3 — frame sampling over a synthetic "video": 64-byte frames,
     // every 4th kept; per-frame checksum. Pure byte slicing — oracled.
