@@ -98,33 +98,34 @@ object FirKernels {
     * `table` must provide the key/order/value columns by name.
     */
   def gaussianSql(table: String, keyCols: Seq[String], orderCols: Seq[String],
-      valueCol: String, outCol: String, selectCols: Seq[String]): String = {
+      valueCol: String, outCol: String, selectCols: Seq[String],
+      prefix: String = ""): String = {
     val r = GaussRadius
     val keys = keyCols.mkString(", ")
     val ord = orderCols.mkString(", ")
     val conv = (0 until 2 * r + 1).map { j =>
       val o = j - r
       val tap =
-        if (o < 0) s"lag(v, ${-o}) OVER wp"
+        if (o < 0) s"lag(v, ${-o}) OVER ${prefix}wp"
         else if (o == 0) "v"
-        else s"lead(v, $o) OVER wp"
+        else s"lead(v, $o) OVER ${prefix}wp"
       s"${dl(GaussW(j))} * $tap"
     }.mkString(" + ")
-    s"""base AS (
+    s"""${prefix}base AS (
        |  SELECT *, CAST($valueCol AS DOUBLE) AS v,
        |         row_number() OVER (PARTITION BY $keys ORDER BY $ord) AS rn,
        |         count(*) OVER (PARTITION BY $keys) AS n
        |  FROM $table),
-       |padded AS (
-       |  SELECT ${(selectCols :+ "v" :+ "n").mkString(", ")}, rn - 1 AS pos FROM base
+       |${prefix}padded AS (
+       |  SELECT ${(selectCols :+ "v" :+ "n").mkString(", ")}, rn - 1 AS pos FROM ${prefix}base
        |  UNION ALL
-       |  SELECT ${(selectCols :+ "v" :+ "n").mkString(", ")}, -rn AS pos FROM base WHERE rn <= $r
+       |  SELECT ${(selectCols :+ "v" :+ "n").mkString(", ")}, -rn AS pos FROM ${prefix}base WHERE rn <= $r
        |  UNION ALL
-       |  SELECT ${(selectCols :+ "v" :+ "n").mkString(", ")}, 2 * n - rn AS pos FROM base WHERE rn > n - $r),
-       |conv AS (
+       |  SELECT ${(selectCols :+ "v" :+ "n").mkString(", ")}, 2 * n - rn AS pos FROM ${prefix}base WHERE rn > n - $r),
+       |${prefix}conv AS (
        |  SELECT *, $conv AS $outCol
-       |  FROM padded
-       |  WINDOW wp AS (PARTITION BY $keys ORDER BY pos))""".stripMargin
+       |  FROM ${prefix}padded
+       |  WINDOW ${prefix}wp AS (PARTITION BY $keys ORDER BY pos))""".stripMargin
   }
 
   // ---------------------------------------------------------------- W3
@@ -216,13 +217,13 @@ object FirKernels {
   /** DuckDB mirror of [[savgol]]: CTE with rn/n + the same CASE over
     * lag/lead taps in window `ws`. */
   def savgolSql(table: String, keyCols: Seq[String], orderCols: Seq[String],
-      valueCol: String, outCol: String): String = {
+      valueCol: String, outCol: String, prefix: String = ""): String = {
     val keys = keyCols.mkString(", ")
     val ord = orderCols.mkString(", ")
     def tap(o: Int): String =
-      if (o < 0) s"lag(v, ${-o}) OVER ws"
+      if (o < 0) s"lag(v, ${-o}) OVER ${prefix}ws"
       else if (o == 0) "v"
-      else s"lead(v, $o) OVER ws"
+      else s"lead(v, $o) OVER ${prefix}ws"
     def dot(coeffs: Array[Double], offsetOf: Int => Int): String =
       (0 until SgWindow).map(k => s"${dl(coeffs(k))} * ${tap(offsetOf(k))}").mkString(" + ")
     val left = (0 until SgHalf).map { e =>
@@ -232,18 +233,18 @@ object FirKernels {
       s"WHEN n - rn = $j THEN ${dot(SgP(SgWindow - 1 - j), k => k + j - (SgWindow - 1))}"
     }
     val interior = dot(SgP(SgHalf), k => k - SgHalf)
-    s"""base AS (
+    s"""${prefix}base AS (
        |  SELECT *, CAST($valueCol AS DOUBLE) AS v,
        |         row_number() OVER (PARTITION BY $keys ORDER BY $ord) AS rn,
        |         count(*) OVER (PARTITION BY $keys) AS n
        |  FROM $table),
-       |sg AS (
+       |${prefix}sg AS (
        |  SELECT *,
        |         CASE WHEN n >= $SgWindow THEN
        |           CASE ${(left ++ right).mkString("\n                ")}
        |                ELSE $interior END
        |         END AS $outCol
-       |  FROM base
-       |  WINDOW ws AS (PARTITION BY $keys ORDER BY $ord))""".stripMargin
+       |  FROM ${prefix}base
+       |  WINDOW ${prefix}ws AS (PARTITION BY $keys ORDER BY $ord))""".stripMargin
   }
 }

@@ -33,10 +33,11 @@ import graft.sources.Tables
   * 100 TB: everything after the bar aggregation is partitioned by
   * series key; a thousand executors each stream their series once.
   *
-  * Oracle: None (composes recursive kernels + wavelet — not
-  * SQL-expressible); correctness is carried by the per-kernel oracled
-  * queries (the q_r, q_w and q_g families) plus PipelineSpec's
-  * structural contract (schema, warmup nulls, signal mutual exclusion).
+  * Oracle: q_e1 itself is rows-only (the wavelet column has no SQL
+  * mirror), but q_e1b runs the SAME DAG minus only that column and
+  * hash-matches a composed DuckDB oracle over all 21 remaining
+  * end-to-end output columns; per-kernel oracles (q_r, q_w, q_g
+  * families) and PipelineSpec's structural contract stand besides.
   */
 object PipelineQueries extends QueryPack {
 
@@ -54,7 +55,14 @@ object PipelineQueries extends QueryPack {
         max_by(col("value"), col("ts_ns")).as("close"),
         count(lit(1)).cast("double").as("volume"))
 
-  def build(s: SparkSession, dir: String): DataFrame = {
+  def build(s: SparkSession, dir: String): DataFrame =
+    buildCore(s, dir, includeWavelet = true)
+
+  /** The E1 DAG with the wavelet column optional: q_e1 ships all 22
+    * columns (wavelet has no SQL mirror — rows-only + WaveletSpec);
+    * q_e1b drops ONLY that column so the other 21 end-to-end columns
+    * hash-verify against the composed DuckDB oracle (VERDICT r4 #7). */
+  private def buildCore(s: SparkSession, dir: String, includeWavelet: Boolean): DataFrame = {
     // ---- ONE fused object-land pass: every series computation — the six
     // O(1)-state recursive kernels, the decimal frame kernels (SMA30,
     // Bollinger(20,2), PPO line — r4: formerly a WindowExec pack whose
@@ -96,8 +104,8 @@ object PipelineQueries extends QueryPack {
         fromKernel(KernelSpec(Seq("high", "low", "close"),
           Seq("plus_di", "minus_di", "adx"), () => new AdxKernel())),
         gaussianSpec("close", "close_gauss"),
-        savgolSpec("close", "close_savgol"),
-        waveletSpec("close", "close_wavelet")))
+        savgolSpec("close", "close_savgol")) ++
+        (if (includeWavelet) Seq(waveletSpec("close", "close_wavelet")) else Nil))
 
     // ---- crossover signal algebra (G1-G5)
     withWavelet
@@ -116,13 +124,15 @@ object PipelineQueries extends QueryPack {
         coalesce(lag(col("minus_di"), 1).over(seriesW) < lag(col("plus_di"), 1).over(seriesW)
           && col("minus_di") > col("plus_di") && col("adx") > 25.0, lit(false)))
       // ---- the reference's 22-column write schema (P1/P2 rename applied)
-      .select(
+      .select((Seq(
         col("user_id"),
         date_format(col("bts"), "yyyy-MM-dd HH:mm:ss").as("date"),
         col("open"), col("high"), col("low"), col("close"), col("volume"),
         round(col("close_kalman"), 6).as("close_kalman_filter"),
-        round(col("close_savgol"), 6).as("close_savitzky_golay_filter"),
-        round(col("close_wavelet"), 6).as("close_wavelet_filter"),
+        round(col("close_savgol"), 6).as("close_savitzky_golay_filter")) ++
+        (if (includeWavelet)
+          Seq(round(col("close_wavelet"), 6).as("close_wavelet_filter"))
+         else Nil) ++ Seq(
         round(col("close_gauss"), 6).as("close_gaussian_smoothing"),
         round(col("close_sma"), 6).as("close_sma_smoothing"),
         round(col("close_ses"), 6).as("close_exponential_smoothing"),
@@ -130,12 +140,122 @@ object PipelineQueries extends QueryPack {
         col("bbands_buy").as("bbands_buy_signal"), col("bbands_sell").as("bbands_sell_signal"),
         col("macd_buy").as("macd_buy_signal"), col("macd_sell").as("macd_sell_signal"),
         col("ppo_buy").as("ppo_buy_signal"), col("ppo_sell").as("ppo_sell_signal"),
-        col("adx_buy").as("adx_buy_signal"), col("adx_sell").as("adx_sell_signal"))
+        col("adx_buy").as("adx_buy_signal"), col("adx_sell").as("adx_sell_signal"))): _*)
       .orderBy("user_id", "date")
+  }
+
+  /** Composed end-to-end oracle for the E1 DAG minus the wavelet column
+    * (VERDICT r4 next #7): every kernel's existing recursive-CTE / frame
+    * oracle re-instantiated over the bars series and joined back on
+    * (user_id, rn) — the 21 non-wavelet output columns hash-match. */
+  private val e1bOracle: String = {
+    import RecursiveKernelQueries.{adxRecCtes, kalmanRec, macdRec, ppoRec, rsiRec, rsiValExpr, sesRec}
+    s"""WITH RECURSIVE bars AS (
+       |  SELECT user_id, date_trunc('hour', ts) AS bts,
+       |         arg_min(value, ts) AS open, max(value) AS high,
+       |         min(value) AS low, arg_max(value, ts) AS close,
+       |         CAST(count(*) AS DOUBLE) AS volume
+       |  FROM events GROUP BY user_id, date_trunc('hour', ts)),
+       |s AS (
+       |  SELECT user_id, bts, open, high, low, close, volume,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY bts) AS rn
+       |  FROM bars),
+       |sv AS (SELECT user_id, rn AS event_id, rn, close AS value FROM s),
+       |${kalmanRec("sv", "krec")},
+       |${sesRec("sv", "serec")},
+       |${rsiRec("sv", "rrec")},
+       |rsiv AS (SELECT user_id, rn, $rsiValExpr AS rsi FROM rrec),
+       |${macdRec("sv", "mrec")},
+       |macdv AS (SELECT user_id, rn,
+       |            CASE WHEN rn >= 34 THEN ema12 - ema26 END AS macd,
+       |            CASE WHEN rn >= 34 THEN sig END AS macd_sig
+       |          FROM mrec),
+       |ppos AS (
+       |  SELECT user_id, rn AS event_id, rn,
+       |         CASE WHEN rn >= 26 THEN (sma12 - sma26) / sma26 * 100.0 END AS ppo
+       |  FROM (SELECT user_id, rn,
+       |               CAST(sum(CAST(close AS DECIMAL(18,6))) OVER pf12 AS DOUBLE) / 12.0 AS sma12,
+       |               CAST(sum(CAST(close AS DECIMAL(18,6))) OVER pf26 AS DOUBLE) / 26.0 AS sma26
+       |        FROM s
+       |        WINDOW pf12 AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 11 PRECEDING AND CURRENT ROW),
+       |               pf26 AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)) t),
+       |${ppoRec("ppos", "prec")},
+       |${adxRecCtes("s")},
+       |frame AS (
+       |  SELECT user_id, rn,
+       |         CAST(sum(CAST(close AS DECIMAL(18,6))) OVER f29 AS DOUBLE)
+       |           / CAST(count(close) OVER f29 AS DOUBLE) AS sma30,
+       |         CAST(sum(CAST(close AS DECIMAL(18,6))) OVER f19 AS DOUBLE)
+       |           / CAST(count(close) OVER f19 AS DOUBLE) AS mean,
+       |         CAST(sum(CAST(close * close AS DECIMAL(28,10))) OVER f19 AS DOUBLE)
+       |           / CAST(count(close) OVER f19 AS DOUBLE) AS meansq
+       |  FROM s
+       |  WINDOW f29 AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 29 PRECEDING AND CURRENT ROW),
+       |         f19 AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+       |bands AS (
+       |  SELECT user_id, rn, sma30,
+       |         CASE WHEN rn >= 20 THEN mean END AS bb_mid,
+       |         CASE WHEN rn >= 20 THEN mean + 2.0 * sqrt(meansq - mean * mean) END AS bb_up,
+       |         CASE WHEN rn >= 20 THEN mean - 2.0 * sqrt(meansq - mean * mean) END AS bb_lo
+       |  FROM frame),
+       |${FirKernels.gaussianSql("bars", Seq("user_id"), Seq("bts"), "close",
+            "close_gauss", Seq("user_id", "bts"), "g")},
+       |${FirKernels.savgolSql("bars", Seq("user_id"), Seq("bts"), "close",
+            "close_savgol", "v")},
+       |joined AS (
+       |  SELECT s.user_id, s.bts, s.rn, s.open, s.high, s.low, s.close, s.volume,
+       |         k.x AS kal, se.f AS ses, rv.rsi,
+       |         mv.macd, mv.macd_sig,
+       |         p.ppo, p.ema AS ppo_ema,
+       |         a.pdi, a.mdi, a.adx,
+       |         b.sma30, b.bb_mid, b.bb_up, b.bb_lo,
+       |         g.close_gauss, v.close_savgol
+       |  FROM s
+       |  JOIN krec k ON k.user_id = s.user_id AND k.rn = s.rn
+       |  JOIN serec se ON se.user_id = s.user_id AND se.rn = s.rn
+       |  JOIN rsiv rv ON rv.user_id = s.user_id AND rv.rn = s.rn
+       |  JOIN macdv mv ON mv.user_id = s.user_id AND mv.rn = s.rn
+       |  JOIN prec p ON p.user_id = s.user_id AND p.rn = s.rn
+       |  JOIN rec2 a ON a.user_id = s.user_id AND a.rn = s.rn
+       |  JOIN bands b ON b.user_id = s.user_id AND b.rn = s.rn
+       |  JOIN gconv g ON g.user_id = s.user_id AND g.bts = s.bts
+       |                AND g.pos >= 0 AND g.pos < g.n
+       |  JOIN vsg v ON v.user_id = s.user_id AND v.bts = s.bts)
+       |SELECT user_id,
+       |       strftime(bts, '%Y-%m-%d %H:%M:%S') AS date,
+       |       open, high, low, close, volume,
+       |       round(kal, 6) AS close_kalman_filter,
+       |       round(close_savgol, 6) AS close_savitzky_golay_filter,
+       |       round(close_gauss, 6) AS close_gaussian_smoothing,
+       |       round(sma30, 6) AS close_sma_smoothing,
+       |       round(ses, 6) AS close_exponential_smoothing,
+       |       coalesce(lag(rsi) OVER w < 30.0 AND rsi > 30.0, false) AS rsi_buy_signal,
+       |       coalesce(lag(rsi) OVER w > 70.0 AND rsi < 70.0, false) AS rsi_sell_signal,
+       |       coalesce(lag(close) OVER w > lag(bb_lo) OVER w AND close < bb_lo, false) AS bbands_buy_signal,
+       |       coalesce(lag(close) OVER w < lag(bb_up) OVER w AND close > bb_up, false) AS bbands_sell_signal,
+       |       coalesce(lag(macd) OVER w < lag(macd_sig) OVER w AND macd > macd_sig, false) AS macd_buy_signal,
+       |       coalesce(lag(macd) OVER w > lag(macd_sig) OVER w AND macd < macd_sig, false) AS macd_sell_signal,
+       |       coalesce(lag(ppo) OVER w < lag(ppo_ema) OVER w AND ppo > ppo_ema, false) AS ppo_buy_signal,
+       |       coalesce(lag(ppo) OVER w > lag(ppo_ema) OVER w AND ppo < ppo_ema, false) AS ppo_sell_signal,
+       |       coalesce(lag(pdi) OVER w < lag(mdi) OVER w AND pdi > mdi AND adx > 25.0, false) AS adx_buy_signal,
+       |       coalesce(lag(mdi) OVER w < lag(pdi) OVER w AND mdi > pdi AND adx > 25.0, false) AS adx_sell_signal
+       |FROM joined
+       |WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+       |ORDER BY user_id, date""".stripMargin
   }
 
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q_e1_ohlcv_pipeline", build, None, bench = true),
+
+    // E1b — the SAME end-to-end DAG minus only the wavelet column (no
+    // SQL mirror exists for sym4 level-2 denoising), so the remaining 21
+    // output columns carry a full composed DuckDB oracle: every kernel
+    // CTE re-instantiated over the bars series and joined on
+    // (user_id, rn). q_e1 itself stays rows-only; this query is its
+    // measured-subset correctness witness.
+    QueryDef("q_e1b_pipeline_oracle",
+      (s, dir) => buildCore(s, dir, includeWavelet = false),
+      Some(e1bOracle)),
 
     // E3 — the dashboard signal-overlay read path as one plan
     // (2_OHLC_Signals.py:30-120): relative range scan (S5) over the bar

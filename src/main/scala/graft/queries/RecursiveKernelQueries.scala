@@ -40,13 +40,15 @@ object RecursiveKernelQueries extends QueryPack {
       |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
       |  FROM events)""".stripMargin
 
-  private def recJoin(rec: String) =
-    s"FROM $rec r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1"
+  private[queries] def recJoin(rec: String, src: String = "s") =
+    s"FROM $rec r JOIN $src s ON s.user_id = r.user_id AND s.rn = r.rn + 1"
 
   // ----------------------------------------------------------------
   // R1 — Kalman
   // ----------------------------------------------------------------
-  private val kalmanOracle: String = {
+  /** Kalman recursion CTE over a series CTE `src`(user_id, event_id,
+    * rn, value); result CTE `name` carries x (the filtered value). */
+  private[queries] def kalmanRec(src: String, name: String): String = {
     // seed row: x = z (update with z-x = 0), P after one predict+update
     val p1 = s"(1e0 + ${dl(1e-4)})"
     val k0 = s"($p1 / ($p1 + ${dl(1e-3)}))"
@@ -54,44 +56,51 @@ object RecursiveKernelQueries extends QueryPack {
     // recursive step: predicted pp, gain kk
     val pp = s"(r.p + ${dl(1e-4)})"
     val kk = s"($pp / ($pp + ${dl(1e-3)}))"
-    s"""WITH RECURSIVE $sCte,
-       |rec AS (
+    s"""$name AS (
        |  SELECT user_id, event_id, rn, value, value AS x, $seedP AS p
-       |  FROM s WHERE rn = 1
+       |  FROM $src WHERE rn = 1
        |  UNION ALL
        |  SELECT s.user_id, s.event_id, s.rn, s.value,
        |         r.x + $kk * (s.value - r.x),
        |         (1e0 - $kk) * $pp * (1e0 - $kk) + $kk * ${dl(1e-3)} * $kk
-       |  ${recJoin("rec")}
-       |)
-       |SELECT event_id, round(x, 6) AS kalman FROM rec ORDER BY event_id""".stripMargin
+       |  ${recJoin(name, src)}
+       |)""".stripMargin
   }
+
+  private val kalmanOracle: String =
+    s"""WITH RECURSIVE $sCte,
+       |${kalmanRec("s", "rec")}
+       |SELECT event_id, round(x, 6) AS kalman FROM rec ORDER BY event_id""".stripMargin
 
   // ----------------------------------------------------------------
   // R2 — simple exponential smoothing fitted values
   // ----------------------------------------------------------------
-  private val sesOracle: String =
-    s"""WITH RECURSIVE $sCte,
-       |rec AS (
-       |  SELECT user_id, event_id, rn, value, value AS f FROM s WHERE rn = 1
+  /** SES(0.2) recursion over `src`; result CTE carries f (fitted). */
+  private[queries] def sesRec(src: String, name: String): String =
+    s"""$name AS (
+       |  SELECT user_id, event_id, rn, value, value AS f FROM $src WHERE rn = 1
        |  UNION ALL
        |  SELECT s.user_id, s.event_id, s.rn, s.value,
        |         ${dl(0.2)} * r.value + ${dl(0.8)} * r.f
-       |  ${recJoin("rec")}
-       |)
+       |  ${recJoin(name, src)}
+       |)""".stripMargin
+
+  private val sesOracle: String =
+    s"""WITH RECURSIVE $sCte,
+       |${sesRec("s", "rec")}
        |SELECT event_id, round(f, 6) AS ses FROM rec ORDER BY event_id""".stripMargin
 
   // ----------------------------------------------------------------
   // R4 — Wilder RSI(14); rec carries (value, sumg, suml, ag, al)
   // ----------------------------------------------------------------
-  private val rsiRec: String = {
+  private[queries] def rsiRec(src: String, name: String): String = {
     val g = "greatest(s.value - r.value, 0e0)"
     val l = "greatest(r.value - s.value, 0e0)"
-    s"""rec AS (
+    s"""$name AS (
        |  SELECT user_id, event_id, rn, value,
        |         0e0 AS sumg, 0e0 AS suml,
        |         CAST(NULL AS DOUBLE) AS ag, CAST(NULL AS DOUBLE) AS al
-       |  FROM s WHERE rn = 1
+       |  FROM $src WHERE rn = 1
        |  UNION ALL
        |  SELECT s.user_id, s.event_id, s.rn, s.value,
        |         CASE WHEN s.rn <= 14 THEN r.sumg + $g ELSE r.sumg END,
@@ -102,21 +111,21 @@ object RecursiveKernelQueries extends QueryPack {
        |         CASE WHEN s.rn < 15 THEN CAST(NULL AS DOUBLE)
        |              WHEN s.rn = 15 THEN (r.suml + $l) / 14.0
        |              ELSE (r.al * 13.0 + $l) / 14.0 END
-       |  ${recJoin("rec")}
+       |  ${recJoin(name, src)}
        |)""".stripMargin
   }
 
-  private val rsiValExpr =
+  private[queries] val rsiValExpr =
     "CASE WHEN rn >= 15 THEN CASE WHEN ag + al = 0e0 THEN 0e0 ELSE 100.0 * (ag / (ag + al)) END END"
 
   private val rsiOracle: String =
     s"""WITH RECURSIVE $sCte,
-       |$rsiRec
+       |${rsiRec("s", "rec")}
        |SELECT event_id, round($rsiValExpr, 6) AS rsi FROM rec ORDER BY event_id""".stripMargin
 
   private val rsiSignalOracle: String =
     s"""WITH RECURSIVE $sCte,
-       |$rsiRec,
+       |${rsiRec("s", "rec")},
        |rv AS (SELECT user_id, event_id, rn, $rsiValExpr AS rsi FROM rec)
        |SELECT event_id,
        |       coalesce(lag(rsi) OVER w < 30.0 AND rsi > 30.0, false) AS buy,
@@ -127,7 +136,7 @@ object RecursiveKernelQueries extends QueryPack {
   // ----------------------------------------------------------------
   // R5 — MACD(12,26,9); rec carries (l12, sum26, ema12, ema26, sumsig, sig)
   // ----------------------------------------------------------------
-  private val macdRec: String = {
+  private[queries] def macdRec(src: String, name: String): String = {
     val kF = dl(2.0 / 13.0); val kS = dl(2.0 / 27.0); val kG = dl(2.0 / 10.0)
     val l12new = "list_slice(list_append(r.l12, s.value), -12, -1)"
     val seedFast = s"list_reduce($l12new, (a, b) -> a + b) / 12.0"
@@ -140,12 +149,12 @@ object RecursiveKernelQueries extends QueryPack {
          |              WHEN s.rn = 26 THEN (r.sum26 + s.value) / 26.0
          |              ELSE (s.value - r.ema26) * $kS + r.ema26 END""".stripMargin
     val macd = s"(($ema12) - ($ema26))"
-    s"""rec AS (
+    s"""$name AS (
        |  SELECT user_id, event_id, rn, value,
        |         [value] AS l12, value AS sum26,
        |         CAST(NULL AS DOUBLE) AS ema12, CAST(NULL AS DOUBLE) AS ema26,
        |         0e0 AS sumsig, CAST(NULL AS DOUBLE) AS sig
-       |  FROM s WHERE rn = 1
+       |  FROM $src WHERE rn = 1
        |  UNION ALL
        |  SELECT s.user_id, s.event_id, s.rn, s.value,
        |         CASE WHEN s.rn <= 26 THEN $l12new ELSE NULL END,
@@ -156,13 +165,13 @@ object RecursiveKernelQueries extends QueryPack {
        |         CASE WHEN s.rn < 34 THEN CAST(NULL AS DOUBLE)
        |              WHEN s.rn = 34 THEN (r.sumsig + $macd) / 9.0
        |              ELSE ($macd - r.sig) * $kG + r.sig END
-       |  ${recJoin("rec")}
+       |  ${recJoin(name, src)}
        |)""".stripMargin
   }
 
   private val macdOracle: String =
     s"""WITH RECURSIVE $sCte,
-       |$macdRec
+       |${macdRec("s", "rec")}
        |SELECT event_id,
        |       CASE WHEN rn >= 34 THEN round(ema12 - ema26, 6) END AS macd,
        |       CASE WHEN rn >= 34 THEN round(sig, 6) END AS macd_signal,
@@ -171,7 +180,7 @@ object RecursiveKernelQueries extends QueryPack {
 
   private val macdSignalOracle: String =
     s"""WITH RECURSIVE $sCte,
-       |$macdRec,
+       |${macdRec("s", "rec")},
        |mv AS (SELECT user_id, event_id, rn,
        |              CASE WHEN rn >= 34 THEN ema12 - ema26 END AS m,
        |              CASE WHEN rn >= 34 THEN sig END AS sg
@@ -202,14 +211,14 @@ object RecursiveKernelQueries extends QueryPack {
   /** EMA(9) over the (null-prefixed) ppo column; rec carries (n, sum, ema).
     * Joins on rn (every row, null ppo rows just carry state through).
     */
-  private val ppoRec: String = {
+  private[queries] def ppoRec(src: String, name: String): String = {
     val kG = dl(2.0 / 10.0)
-    s"""rec AS (
+    s"""$name AS (
        |  SELECT user_id, event_id, rn, ppo,
        |         CASE WHEN ppo IS NULL THEN 0 ELSE 1 END AS n,
        |         coalesce(ppo, 0e0) AS psum,
        |         CAST(NULL AS DOUBLE) AS ema
-       |  FROM s WHERE rn = 1
+       |  FROM $src WHERE rn = 1
        |  UNION ALL
        |  SELECT s.user_id, s.event_id, s.rn, s.ppo,
        |         CASE WHEN s.ppo IS NULL THEN r.n ELSE r.n + 1 END,
@@ -219,19 +228,19 @@ object RecursiveKernelQueries extends QueryPack {
        |              WHEN r.n < 8 THEN CAST(NULL AS DOUBLE)
        |              WHEN r.n = 8 THEN (r.psum + s.ppo) / 9.0
        |              ELSE (s.ppo - r.ema) * $kG + r.ema END
-       |  FROM rec r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+       |  FROM $name r JOIN $src s ON s.user_id = r.user_id AND s.rn = r.rn + 1
        |)""".stripMargin
   }
 
   private val ppoOracle: String =
     s"""WITH RECURSIVE $ppoSCte,
-       |$ppoRec
+       |${ppoRec("s", "rec")}
        |SELECT event_id, round(ppo, 6) AS ppo, round(ema, 6) AS ppo_ema
        |FROM rec ORDER BY event_id""".stripMargin
 
   private val ppoSignalOracle: String =
     s"""WITH RECURSIVE $ppoSCte,
-       |$ppoRec
+       |${ppoRec("s", "rec")}
        |SELECT event_id,
        |       coalesce(lag(ppo) OVER w < lag(ema) OVER w AND ppo > ema, false) AS buy,
        |       coalesce(lag(ppo) OVER w > lag(ema) OVER w AND ppo < ema, false) AS sell
@@ -243,28 +252,22 @@ object RecursiveKernelQueries extends QueryPack {
   // Chained CTEs: rec1 carries the Wilder sums, di/dx are stateless,
   // rec2 carries the ADX recursion.
   // ----------------------------------------------------------------
-  private val adxCtes: String = {
+  /** ADX recursion CTE chain (rec1/di/dxt/rec2) over a bar-series CTE
+    * `src`(user_id, bts, rn, high, low, close). */
+  private[queries] def adxRecCtes(src: String): String = {
     val tr = "greatest(s.high - s.low, abs(s.high - r.close), abs(s.low - r.close))"
     val pdm = "CASE WHEN (s.high - r.high) > (r.low - s.low) AND (s.high - r.high) > 0e0 THEN s.high - r.high ELSE 0e0 END"
     val mdm = "CASE WHEN (r.low - s.low) > (s.high - r.high) AND (r.low - s.low) > 0e0 THEN r.low - s.low ELSE 0e0 END"
-    s"""bars AS (
-       |  SELECT user_id, date_trunc('hour', ts) AS bts,
-       |         max(value) AS high, min(value) AS low, arg_max(value, ts) AS close
-       |  FROM events GROUP BY user_id, date_trunc('hour', ts)),
-       |s AS (
-       |  SELECT user_id, bts, high, low, close,
-       |         row_number() OVER (PARTITION BY user_id ORDER BY bts) AS rn
-       |  FROM bars),
-       |rec1 AS (
+    s"""rec1 AS (
        |  SELECT user_id, bts, rn, high, low, close,
        |         0e0 AS smtr, 0e0 AS smp, 0e0 AS smm
-       |  FROM s WHERE rn = 1
+       |  FROM $src WHERE rn = 1
        |  UNION ALL
        |  SELECT s.user_id, s.bts, s.rn, s.high, s.low, s.close,
        |         CASE WHEN s.rn <= 15 THEN r.smtr + $tr ELSE r.smtr - r.smtr / 14.0 + $tr END,
        |         CASE WHEN s.rn <= 15 THEN r.smp + $pdm ELSE r.smp - r.smp / 14.0 + $pdm END,
        |         CASE WHEN s.rn <= 15 THEN r.smm + $mdm ELSE r.smm - r.smm / 14.0 + $mdm END
-       |  FROM rec1 r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+       |  FROM rec1 r JOIN $src s ON s.user_id = r.user_id AND s.rn = r.rn + 1
        |),
        |di AS (
        |  SELECT user_id, bts, rn,
@@ -292,6 +295,17 @@ object RecursiveKernelQueries extends QueryPack {
        |  FROM rec2 r JOIN dxt d ON d.user_id = r.user_id AND d.rn = r.rn + 1
        |)""".stripMargin
   }
+
+  private val adxCtes: String =
+    s"""bars AS (
+       |  SELECT user_id, date_trunc('hour', ts) AS bts,
+       |         max(value) AS high, min(value) AS low, arg_max(value, ts) AS close
+       |  FROM events GROUP BY user_id, date_trunc('hour', ts)),
+       |s AS (
+       |  SELECT user_id, bts, high, low, close,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY bts) AS rn
+       |  FROM bars),
+       |${adxRecCtes("s")}""".stripMargin
 
   private val adxOracle: String =
     s"""WITH RECURSIVE $adxCtes

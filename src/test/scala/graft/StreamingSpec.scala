@@ -69,6 +69,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream join state is evicted once the watermark passes (X10/X12 finite-state contract)") {
+    // VERDICT r4 next #6: the scaladoc claims watermarks bound join
+    // state; assert it via lastProgress.stateOperators rather than
+    // trusting the plan. Left-outer interval join, 1 h delay.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ls = MemoryStream[Ev]
+    val rs = MemoryStream[Ev]
+    val sink = s"graft_state_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val query = StreamingOps.intervalJoinLeftOuter(ls.toDF(), rs.toDF())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    def stateRows(): Long = {
+      val p = query.lastProgress
+      assert(p != null && p.stateOperators.nonEmpty, "no state operator progress")
+      p.stateOperators.map(_.numRowsTotal).sum
+    }
+    try {
+      val hourUs = 3600L * 1000000
+      val rows = (0 until 50).map(i => Ev(i.toLong, i * hourUs / 10, i % 5, 1.0))
+      ls.addData(rows)
+      rs.addData(rows.map(e => e.copy(event_id = e.event_id + 1000)))
+      query.processAllAvailable()
+      // some early rows are already evicted within phase 1 (the
+      // watermark advances as batches process) — the invariant under
+      // test is the drop to sentinel-only, not the exact resident count
+      val before = stateRows()
+      assert(before >= 20, s"expected a populated join state, got $before")
+      // two sentinel rounds: the first advances the watermark past all
+      // real data, the second gives the store a batch in which to purge
+      val far = rows.map(_.ts_us).max + 30L * 24 * hourUs
+      for (k <- 0 to 1) {
+        ls.addData(Ev(-1, far + k * hourUs, -1, 0.0))
+        rs.addData(Ev(-1, far + k * hourUs, -1, 0.0))
+        query.processAllAvailable()
+      }
+      val after = stateRows()
+      assert(after < before,
+        s"state rows did not drop after watermark passed: $before -> $after")
+      assert(after <= 8, s"only sentinel rows may remain in state, got $after")
+    } finally query.stop()
+  }
+
   test("X4: an empty micro-batch is a no-op") {
     val rows = Seq(
       Ev(1, 1704067200000000L, 1, 10.0),
