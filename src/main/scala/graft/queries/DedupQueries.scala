@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.TextOps._
@@ -86,8 +87,23 @@ object DedupQueries extends QueryPack {
     * ~300 GB at 1e9 docs — guaranteed OOM). The key win over the naive
     * layout stands: shuffling sig arrays through every band hit +
     * distinct was 123 s at sf0.1; this shape is ~8 s. */
-  private def lshPairs(sigs: DataFrame): DataFrame = {
-    val banded = sigs.select(
+  /** Hot-bucket cap (r4 lesson turned invariant): a band bucket holding
+    * a large corpus fraction — boilerplate/template text hashing
+    * identically — would contribute O(|bucket|²) candidate pairs and
+    * blow up the join (observed at 4-row bands in r3: one bucket → ~500k
+    * pairs). Buckets larger than this are dropped BEFORE the self-join:
+    * a bucket shared by thousands of docs carries no near-dup signal
+    * (any genuine pair that loses one band still meets in its other,
+    * smaller band buckets — that is what multiple bands are for). The
+    * windowed count shuffles on (band, bucket), the same key the join
+    * needs, so EnsureRequirements reuses the exchange: the cap is free.
+    * 1000²/2 pairs per surviving bucket bounds the worst case
+    * independently of corpus size. */
+  private[graft] val MaxBucketRows = 1000
+
+  private[graft] def lshPairs(sigs: DataFrame,
+      maxBucket: Int = MaxBucketRows): DataFrame = {
+    val banded0 = sigs.select(
       col("doc_id"),
       explode(array((0 until NumBands).map { bd =>
         struct(lit(bd).as("band"),
@@ -97,6 +113,11 @@ object DedupQueries extends QueryPack {
       }: _*)).as("bb"))
       .select(col("doc_id"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = banded0
+      .withColumn("__bsize",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("__bsize") <= maxBucket)
+      .drop("__bsize")
     val a = banded.as("a")
     val b = banded.as("b")
     val pairs = a.join(b,
@@ -116,7 +137,7 @@ object DedupQueries extends QueryPack {
 
   /** Signature table over a (doc_id, text) universe; persisted — it is
     * consumed three times (banding + two id-keyed rejoins). */
-  private def sigTable(u: DataFrame): DataFrame = u
+  private[graft] def sigTable(u: DataFrame): DataFrame = u
     .withColumn("hashes", shingleHashes(col("text")))
     .filter(size(col("hashes")) > 0)
     .withColumn("sig", minhashSig(col("hashes")))
@@ -138,6 +159,7 @@ object DedupQueries extends QueryPack {
        |  FROM (SELECT doc_id, sig,
        |               CAST(unnest([0,1,2,3]) AS INT) AS band
        |        FROM sigs)
+       |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= $MaxBucketRows
        |), pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |         a.sig AS sa, b.sig AS sb

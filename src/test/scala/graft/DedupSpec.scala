@@ -21,6 +21,48 @@ class DedupSpec extends AnyFunSuite {
     assert(once.groupBy("fp").count().filter(col("count") > 1).isEmpty)
   }
 
+  test("hot-bucket cap bounds LSH candidates on a template-heavy corpus") {
+    // VERDICT r4 next #8: the r3 hot-bucket blowup (one bucket -> ~500k
+    // candidate pairs) as a pinned invariant. Corpus: 100 byte-identical
+    // "template" docs (10% of 1000) whose band buckets all collide, plus
+    // 900 distinct docs carrying 25 injected near-dup pairs. With the
+    // bucket cap the template cluster contributes ZERO candidate pairs
+    // (its buckets exceed the cap and are dropped as boilerplate) while
+    // every small-bucket near-dup pair survives — candidate count stays
+    // bounded by cap^2/2 per bucket instead of O(hot^2).
+    import graft.queries.DedupQueries
+    val spark0 = spark
+    import spark0.implicits._
+    val template = "the quick template boilerplate text that every scraped page repeats verbatim"
+    val base = (0 until 900).map(i =>
+      (i.toLong, s"unique document number $i with entirely distinct content " +
+        s"word${i}a word${i}b word${i}c word${i}d word${i}e word${i}f word${i}g"))
+    // exact copies: J = 1 makes band collision certain, so the pair
+    // either survives the cap or was wrongly dropped — the cap is the
+    // thing under test here, not the s-curve (which has its own test)
+    val copies = (0 until 25).map(i => (1000000L + i, base(i)._2))
+    val hot = (0 until 100).map(i => (2000000L + i, template))
+    val u = (base ++ copies ++ hot).toDF("doc_id", "text")
+    val sigs = DedupQueries.sigTable(u)
+
+    val capped = DedupQueries.lshPairs(sigs, maxBucket = 50)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no candidate touches the hot template cluster
+    assert(!capped.exists { case (a, b) => a >= 2000000L || b >= 2000000L })
+    // every injected near-dup pair still found (small buckets untouched)
+    val injected = (0 until 25).map(i => (i.toLong, 1000000L + i)).toSet
+    assert(injected.subsetOf(capped),
+      s"missing ${(injected -- capped).take(5)}")
+    // and the bound is real: uncapped, the template cluster alone adds
+    // C(100,2) = 4950 pairs
+    val uncapped = DedupQueries.lshPairs(sigs, maxBucket = Int.MaxValue)
+      .filter(col("id_a") >= 2000000L).count()
+    assert(uncapped == 4950L, s"expected the hot cluster's 4950 pairs, got $uncapped")
+    assert(capped.size < 200, s"candidate set not bounded: ${capped.size}")
+    sigs.unpersist()
+  }
+
   test("minhash LSH recall on injected near-dups matches the s-curve contract") {
     // LSH recall is probabilistic by design: a pair at Jaccard J survives
     // with prob 1-(1-J^8)^4 (4 bands x 8 rows) — ~0.99 at J≈0.95 but
