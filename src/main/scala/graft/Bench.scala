@@ -304,12 +304,12 @@ object Bench {
               n -> t
             }
           }.toMap
-          // prepared-statement analog: plan built ONCE, re-executed —
-          // isolates execution from Catalyst's per-call analyze/optimize/
-          // codegen (~0.3-1 s at any SF, amortized to zero by plan reuse
-          // in a real deployment's repeated queries; DuckDB's parse+plan
-          // is ms-scale so its warm numbers are already execution-bound)
-          val execSec = duckSec.keys.toSeq.sorted.flatMap { n =>
+          // cached-plan serving mode (PlanCache semantics): ONE DataFrame
+          // handle, re-collected — planning paid once. NOTE (ADVICE r4):
+          // re-executing the same handle lets Spark skip unchanged
+          // shuffle map stages, so this is the serving number on static
+          // data, NOT an execution-cost isolation — that is execSec below.
+          val cachedSec = duckSec.keys.toSeq.sorted.flatMap { n =>
             SparkEntry.queries.get(n).map { fn =>
               val df = fn(spark, sfDir)
               df.collect() // warm: triggers analysis + codegen once
@@ -319,6 +319,28 @@ object Bench {
                 (System.nanoTime() - t0) / 1e9
               }.min
               n -> t
+            }
+          }.toMap
+          // execution-cost isolation, unbiased (ADVICE r4): each rep
+          // builds a FRESH DataFrame (fresh RDD lineage — no skipped
+          // stages), and separately-measured planning time (fresh plan to
+          // executedPlan, best-of-3) is subtracted from the fresh
+          // per-call time. Approximation caveat: runtime codegen
+          // compilation sits on the execution side but hits Janino's
+          // cache after the first call.
+          val execSec = duckSec.keys.toSeq.sorted.flatMap { n =>
+            SparkEntry.queries.get(n).map { fn =>
+              val planT = (1 to 3).map { _ =>
+                val t0 = System.nanoTime()
+                fn(spark, sfDir).queryExecution.executedPlan
+                (System.nanoTime() - t0) / 1e9
+              }.min
+              val callT = (1 to 3).map { _ =>
+                val t0 = System.nanoTime()
+                fn(spark, sfDir).collect()
+                (System.nanoTime() - t0) / 1e9
+              }.min
+              n -> math.max(callT - planT, 1e-4)
             }
           }.toMap
           val ratios = duckSec.toSeq.collect {
@@ -342,19 +364,31 @@ object Bench {
           }
           val medianExecHeavy = medianOf(
             execRatios.filter { case (n, _) => duckSec(n) >= 0.05 }.map(_._2))
+          val cachedRatios = duckSec.toSeq.collect {
+            case (n, d) if d > 0 && cachedSec.getOrElse(n, -1.0) > 0 =>
+              n -> cachedSec(n) / d
+          }
+          val medianCachedHeavy = medianOf(
+            cachedRatios.filter { case (n, _) => duckSec(n) >= 0.05 }.map(_._2))
+          val medianCachedAll = medianOf(cachedRatios.map(_._2))
           val over = ratios.filter(_._2 > 2.0).map(_._1)
           val warmJson = warmSec.toSeq.sortBy(_._1)
             .map { case (k, v) => s"${jstr(k)}:${f"$v%.4f"}" }.mkString("{", ",", "}")
           val execJson = execSec.toSeq.sortBy(_._1)
             .map { case (k, v) => s"${jstr(k)}:${f"$v%.4f"}" }.mkString("{", ",", "}")
+          val cachedJson = cachedSec.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"${jstr(k)}:${f"$v%.4f"}" }.mkString("{", ",", "}")
           Some(
             s""""duckdb":{"duck_sec":$outS,"spark_warm_sec":$warmJson,""" +
             s""""spark_exec_sec":$execJson,""" +
+            s""""spark_cached_sec":$cachedJson,""" +
             s""""n_compared":${ratios.size},""" +
             f""""median_ratio":$median%.3f,""" +
             s""""n_heavy":${heavy.size},""" +
             f""""median_ratio_heavy":$medianHeavy%.3f,""" +
             f""""median_ratio_exec_heavy":$medianExecHeavy%.3f,""" +
+            f""""median_ratio_cached_heavy":$medianCachedHeavy%.3f,""" +
+            f""""median_ratio_cached":$medianCachedAll%.3f,""" +
             s""""heavy":[${heavy.map(_._1).map(jstr).mkString(",")}],""" +
             s""""over_2x":[${over.map(jstr).mkString(",")}],""" +
             jstr("note") + ":" + jstr(
@@ -363,10 +397,16 @@ object Bench {
               "dominated by Spark's fixed ~0.3-1s per-call Catalyst " +
               "analyze/optimize/codegen floor against DuckDB's ms-scale " +
               "parse+plan; median_ratio_heavy restricts to queries where " +
-              "DuckDB itself runs >= 50ms. median_ratio_exec_heavy is the " +
-              "same heavy subset with the Spark plan built once and " +
-              "re-executed (prepared-statement analog; spark_exec_sec) — " +
-              "execution vs execution, the number that scales with data") +
+              "DuckDB itself runs >= 50ms. median_ratio_exec_heavy: fresh " +
+              "DataFrame (fresh RDD lineage, no skipped stages) per rep " +
+              "with separately measured planning time subtracted — the " +
+              "unbiased execution-vs-execution number that scales with " +
+              "data (r4's version re-collected one handle and was biased " +
+              "by shuffle-stage reuse; ADVICE r4). median_ratio_cached_* : " +
+              "one DataFrame handle re-collected (PlanCache serving mode, " +
+              "planning paid once; shuffle reuse on static data applies " +
+              "and is the point) — the per-call number a repeated-query " +
+              "deployment sees") +
             "}")
         }
       }
@@ -411,7 +451,8 @@ object Bench {
     val duckC = duck.map { d =>
       // keep only the scalar fields of the duckdb block
       val keep = Seq("n_compared", "median_ratio", "n_heavy",
-        "median_ratio_heavy", "median_ratio_exec_heavy")
+        "median_ratio_heavy", "median_ratio_exec_heavy",
+        "median_ratio_cached_heavy", "median_ratio_cached")
       val pat = ("\"(" + keep.mkString("|") + ")\":\\s*(-?[0-9.eE+]+)").r
       pat.findAllMatchIn(d).map(m => s""""${m.group(1)}":${m.group(2)}""")
         .mkString("{", ",", "}")

@@ -99,9 +99,29 @@ object GraftSession {
                 "graft_dot(v, constVec): constVec is required"))
             require(cv.foldable,
               "graft_dot(v, constVec): constVec must be a foldable array literal")
-            val arr = cv.eval(null)
-              .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-              .toDoubleArray().toSeq
+            // typed extraction (ADVICE r4): a NULL literal or a
+            // non-double element type used to surface as an opaque
+            // NPE/ClassCastException at plan time — convert the numeric
+            // widths explicitly and fail with the signature otherwise
+            import org.apache.spark.sql.types._
+            def bad(what: String) = throw new IllegalArgumentException(
+              s"graft_dot(v, constVec): constVec must be a non-null numeric " +
+              s"array literal (ARRAY<DOUBLE/FLOAT/INT/BIGINT/DECIMAL>), got $what")
+            val arr = cv.eval(null) match {
+              case null => bad("NULL")
+              case ad: org.apache.spark.sql.catalyst.util.ArrayData =>
+                cv.dataType match {
+                  case ArrayType(DoubleType, _)  => ad.toDoubleArray().toSeq
+                  case ArrayType(FloatType, _)   => ad.toFloatArray().toSeq.map(_.toDouble)
+                  case ArrayType(IntegerType, _) => ad.toIntArray().toSeq.map(_.toDouble)
+                  case ArrayType(LongType, _)    => ad.toLongArray().toSeq.map(_.toDouble)
+                  case ArrayType(dt: DecimalType, _) =>
+                    (0 until ad.numElements()).map(i =>
+                      ad.getDecimal(i, dt.precision, dt.scale).toDouble)
+                  case other => bad(other.sql)
+                }
+              case other => bad(other.getClass.getSimpleName)
+            }
             graft.functions.DotConst(children.head, arr)
           }))
         ext.injectFunction((

@@ -106,19 +106,19 @@ object RelationalQueries extends QueryPack {
     // like q_n12).
     QueryDef(
       "q_s10_sql_text",
-      (s, dir) => {
-        Tables.documents(s, dir).createOrReplaceTempView("graft_docs")
-        s.sql("""
+      // served through PlanCache (VERDICT r4 next #9): identical
+      // (session, sfDir, sql) reuses the analyzed/optimized/codegen'd
+      // plan — repeated calls skip Catalyst's per-call planning floor
+      (s, dir) => graft.PlanCache.sql(s, """
           SELECT source, t.vec_id AS doc_id,
                  CAST(t.score AS BIGINT) AS hash_score
           FROM (SELECT source,
                        graft_topk(CAST(pmod(graft_polyhash(text), 1000) AS DOUBLE),
                                   doc_id, 3) AS tops
-                FROM graft_docs GROUP BY source) g
+                FROM documents GROUP BY source) g
           LATERAL VIEW explode(g.tops) x AS t
           ORDER BY source, hash_score DESC, doc_id
-        """)
-      },
+        """, dir),
       Some(s"""SELECT source, doc_id, hash_score
               |FROM (SELECT source, doc_id, hash_score,
               |             row_number() OVER (PARTITION BY source

@@ -22,25 +22,52 @@ object Tables {
     * at registration (metastore / DuckDB `CREATE VIEW`; the driver's own
     * oracle registers its tables once, so this also keeps the benchmark
     * comparison symmetric). DataFrames are immutable plan handles, so
-    * reuse is safe; keying WEAKLY by session lets stopped test sessions
-    * (and their cached relations) be collected.
+    * reuse is safe.
+    *
+    * Keying: an earlier revision keyed a WeakHashMap by the session
+    * object, but the cached DataFrames strongly reference their session
+    * via QueryExecution — the classic value→key pitfall that makes weak
+    * keys never collectible (ADVICE r4). Keys are now plain identity
+    * strings, and each session's entries are evicted eagerly by a
+    * context listener when the application ends; a bounded LRU backstops
+    * the pathological many-sessions-one-JVM case regardless.
     */
+  private val MaxCatalogEntries = 256
   private val catalog =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.HashMap[String, DataFrame]]
+    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          eldest: java.util.Map.Entry[String, DataFrame]): Boolean =
+        size() > MaxCatalogEntries
+    }
+  private val hooked = scala.collection.mutable.HashSet.empty[String]
+
+  private def sessionKey(spark: SparkSession): String =
+    System.identityHashCode(spark).toHexString
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     catalog.synchronized {
-      val perSession = {
-        val m = catalog.get(spark)
-        if (m != null) m
-        else {
-          val fresh = scala.collection.mutable.HashMap.empty[String, DataFrame]
-          catalog.put(spark, fresh)
-          fresh
-        }
+      val sk = sessionKey(spark)
+      if (!hooked.contains(sk)) {
+        hooked += sk
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              catalog.synchronized {
+                val it = catalog.keySet().iterator()
+                while (it.hasNext) if (it.next().startsWith(sk + "@")) it.remove()
+                hooked -= sk
+              }
+          })
       }
-      val path = s"$dir/$name.parquet"
-      perSession.getOrElseUpdate(path, spark.read.parquet(path))
+      val key = s"$sk@$dir/$name.parquet"
+      val hit = catalog.get(key)
+      if (hit != null) hit
+      else {
+        val df = spark.read.parquet(s"$dir/$name.parquet")
+        catalog.put(key, df)
+        df
+      }
     }
 
   /** `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark's vectorized

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PlanCache contract (VERDICT r4 next #9): same (session, sfDir, sql)
+  * returns the SAME planned DataFrame handle (planning paid once), and
+  * the cached handle answers repeated calls much faster than per-call
+  * re-planning. */
+class PlanCacheSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.get(4)
+  private val sf = "/root/testdata/sf0.001"
+  private val q =
+    """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  test("cache returns the identical DataFrame handle for identical keys") {
+    PlanCache.clear()
+    val a = PlanCache.sql(spark, q, sf)
+    val b = PlanCache.sql(spark, q, sf)
+    assert(a eq b, "second call must reuse the cached handle")
+    assert(PlanCache.entries == 1)
+    val c = PlanCache.sql(spark, q + " ", sf) // different text, new plan
+    assert(!(a eq c))
+    assert(PlanCache.entries == 2)
+    assert(a.collect().nonEmpty)
+  }
+
+  test("cached per-call latency beats fresh re-planning") {
+    PlanCache.clear()
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val warmup = PlanCache.sql(spark, q, sf).collect() // plan + codegen once
+    assert(warmup.nonEmpty)
+    val cached = (1 to 3).map(_ => time(PlanCache.sql(spark, q, sf).collect())).min
+    val fresh = (1 to 3).map { i =>
+      // distinct text defeats the cache -> full analyze/optimize/codegen
+      time(spark.sql(s"$q -- fresh$i").collect())
+    }.min
+    assert(cached < fresh,
+      f"cached $cached%.4fs not faster than fresh-planned $fresh%.4fs")
+  }
+}
