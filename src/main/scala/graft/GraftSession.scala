@@ -125,6 +125,11 @@ object GraftSession {
             graft.functions.DotConst(children.head, arr)
           }))
         ext.injectFunction((
+          FunctionIdentifier("graft_html_strip"),
+          new ExpressionInfo(classOf[graft.functions.HtmlStrip].getName, "graft_html_strip"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            graft.functions.HtmlStrip(children.head)))
+        ext.injectFunction((
           FunctionIdentifier("graft_token_hashes"),
           new ExpressionInfo(classOf[graft.functions.TokenHashes].getName, "graft_token_hashes"),
           (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -49,6 +49,42 @@ object TextQueries extends QueryPack {
                     FROM documents) t
               ORDER BY doc_id""")),
 
+    // T1b — PARSER-EXACT HTML strip (graft_html_strip, the state-machine
+    // codegen'd expression; VERDICT r4 missing #2): each doc is wrapped
+    // in adversarial markup hitting every regex failure mode — an
+    // attribute value containing '>', a <script> body full of tags and
+    // comparison operators, an SGML comment containing '>', entities,
+    // and a raw-text <style> block. The ground truth is analytically
+    // derivable (the corpus has no markup characters — checked r5), so
+    // DuckDB re-derives the expected clean text from `text` directly:
+    // the oracle verifies the PARSER, not a shared approximation (the
+    // shared-regex weakness q_t1 carries by design as the simple path).
+    QueryDef(
+      "q_t1b_html_parser_strip",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("html", concat(
+          lit("<!DOCTYPE html><div title=\"a>b\" data-x='1>2'>" +
+              "<script type=\"text/javascript\">if (1 < 2 && x > 0) { emit(\"<p>not text</p>\"); }</script>" +
+              "<style>.cls > div { color: red; }</style>" +
+              "<!-- comment with > and <b>tags</b> --><P CLASS=\"body\">"),
+          col("text"),
+          lit(" &amp; <b>tail</b>&#33;</p></div>")))
+        .withColumn("clean", call_function("graft_html_strip", col("html")))
+        .select(
+          col("doc_id"),
+          length(col("clean")).as("n_clean"),
+          substring(col("clean"), 1, 60).as("head"),
+          expr("right(clean, 20)").as("tail"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       length(clean) AS n_clean,
+             |       substring(clean, 1, 60) AS head,
+             |       right(clean, 20) AS tail
+             |FROM (SELECT doc_id,
+             |             trim(regexp_replace(text || ' & tail !', '\s+', ' ', 'g')) AS clean
+             |      FROM documents) t
+             |ORDER BY doc_id""".stripMargin)),
+
     // T2 — string concat: title + " " + description → title_and_description
     // (news_etl_dag.py:80). Stand-in fields: source + lang + text head.
     QueryDef(
