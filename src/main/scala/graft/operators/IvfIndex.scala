@@ -79,17 +79,101 @@ object IvfIndex {
       throw new IllegalStateException(s"IvfIndex: rename $tmp -> $root failed")
   }
 
-  /** Top-k cosine search against a prebuilt index: centroid read (tiny),
-    * nprobe probe ids to the driver, partition-pruned cell scan, scored
-    * `TakeOrderedAndProject` top-k. */
+  /** Incremental ingest into an EXISTING index (the reference upserts
+    * embeddings into its Qdrant collection continuously as news
+    * arrives — build-once/serve-many needs an append path, not a
+    * rebuild): new vectors are assigned against the index's OWN stored
+    * centroids (so cell geometry never drifts from what searches
+    * probe) and appended to their cell directories — a partitioned
+    * append, rows move once keyed by cent_id, existing files untouched.
+    * The marker count advances so a later `buildIfAbsent` over the
+    * grown corpus correctly no-ops. Not atomic across cells the way the
+    * initial publish is; concurrent searches may see a prefix of the
+    * batch (append semantics, SURVEY §2 K1 — the same contract as the
+    * event sinks). */
+  def append(newVectors: DataFrame, path: String): Unit = {
+    val spark = newVectors.sparkSession
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(new Path(path), Marker)
+    require(fs.exists(marker), s"IvfIndex.append: no index at $path")
+    val cents = spark.read.parquet(s"$path/centroids")
+    val added = newVectors.count()
+    assignCells(newVectors, cents).write.mode("append").partitionBy("cent_id")
+      .parquet(s"$path/cells")
+    val in = fs.open(marker)
+    val old = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    val oldCount = old.split("count=")(1).toLong
+    val out = fs.create(marker, true)
+    try out.write(s"$LayoutVersion,count=${oldCount + added}".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Driver-resident centroid cache, keyed by (path, marker stamp): a
+    * serving process holds the k×dim coarse quantizer in memory exactly
+    * like the reference's Qdrant node does — probe selection is then
+    * pure driver arithmetic (k·dim flops) instead of a Spark job per
+    * search. Invalidated whenever the marker stamp changes (rebuild or
+    * append both rewrite it); bounded, so many indexes can coexist. */
+  private val centCache =
+    new java.util.LinkedHashMap[(String, String), Array[(Long, Array[Double])]](8, 0.75f, true) {
+      override def removeEldestEntry(
+          eldest: java.util.Map.Entry[(String, String), Array[(Long, Array[Double])]]): Boolean =
+        size() > 32
+    }
+
+  private def markerStamp(fs: FileSystem, path: String): String = {
+    val in = fs.open(new Path(new Path(path), Marker))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  private def centroids(spark: SparkSession, path: String): Array[(Long, Array[Double])] = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val key = (path, markerStamp(fs, path))
+    centCache.synchronized {
+      val hit = centCache.get(key)
+      if (hit != null) hit
+      else {
+        val arr = spark.read.parquet(s"$path/centroids")
+          .collect()
+          .map { r =>
+            val v = r.getSeq[Any](r.fieldIndex("cvec")).map {
+              case d: java.lang.Double => d.doubleValue
+              case f: java.lang.Float  => f.doubleValue
+              case n: java.lang.Number => n.doubleValue
+            }.toArray
+            (r.getLong(r.fieldIndex("cent_id")), v)
+          }
+        centCache.put(key, arr)
+        arr
+      }
+    }
+  }
+
+  /** Driver replica of [[VectorOps.cosine]]'s exact fold (left fold from
+    * 0.0, per-element double products) so probe RANKING matches the
+    * in-plan q_v6 path bit-for-bit. */
+  private def cosineJvm(a: Array[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Top-k cosine search against a prebuilt index: probe selection on
+    * the driver-cached centroids (no job), then ONE partition-pruned
+    * cell scan with a scored `TakeOrderedAndProject` top-k. */
   def searchTopK(spark: SparkSession, path: String, queryVec: Seq[Double],
       nprobe: Int, k: Int): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
-    val probeIds = cents
-      .withColumn("qsim", cosine(col("cvec"), typedLit(queryVec)))
-      .orderBy(desc("qsim"), col("cent_id"))
-      .limit(nprobe)
-      .select(col("cent_id")).collect().map(_.getLong(0))
+    val probeIds = centroids(spark, path)
+      .map { case (id, v) => (cosineJvm(v, queryVec), id) }
+      .sortBy { case (sim, id) => (-sim, id) }
+      .take(nprobe)
+      .map(_._2)
     spark.read.parquet(s"$path/cells")
       .filter(col("cent_id").isin(probeIds: _*))
       .withColumn("score", cosine(col("embedding"), typedLit(queryVec)))

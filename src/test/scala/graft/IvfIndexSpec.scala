@@ -67,6 +67,34 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$path/cells").count() == corpus().count())
   }
 
+  test("incremental append equals a full build over the grown corpus") {
+    val path = freshPath()
+    val half = corpus().filter(col("vec_id") % 2 === 0)
+    val rest = corpus().filter(col("vec_id") % 2 === 1)
+    // centroids come from the full corpus in both universes so the cell
+    // geometry is identical — the append contract under test
+    IvfIndex.buildIfAbsent(half, cents(), path)
+    IvfIndex.append(rest, path)
+    val full = freshPath()
+    IvfIndex.buildIfAbsent(corpus(), cents(), full)
+    def search(p: String) = IvfIndex
+      .searchTopK(spark, p, VectorQueries.QueryVec, nprobe = 2, k = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(search(path) == search(full))
+    // marker advanced: buildIfAbsent over the grown corpus must no-op
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val before = fs.getFileStatus(new Path(path, "_INDEX_READY")).getModificationTime
+    IvfIndex.buildIfAbsent(corpus(), cents(), path)
+    assert(fs.getFileStatus(new Path(path, "_INDEX_READY")).getModificationTime == before)
+  }
+
+  test("append to a missing index fails loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.append(corpus(), freshPath())
+    }
+    assert(ex.getMessage.contains("no index at"))
+  }
+
   test("serving plan partition-prunes to the probed cells, no exchange") {
     val path = freshPath()
     IvfIndex.buildIfAbsent(corpus(), cents(), path)
