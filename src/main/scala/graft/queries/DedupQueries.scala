@@ -508,6 +508,62 @@ object DedupQueries extends QueryPack {
               |              ELSE 'unchanged' END AS status
               |  FROM old FULL OUTER JOIN neu USING (doc_id)) t
               |GROUP BY status
-              |ORDER BY status""".stripMargin))
+              |ORDER BY status""".stripMargin)),
+
+    // D9 — duplicated n-gram fraction (the Lee et al. 2022 "Deduplicating
+    // Training Data Makes Language Models Better" exact-substring signal,
+    // at document granularity): for each doc, the fraction of its
+    // distinct 8-token windows that appear in at least one OTHER doc.
+    // The per-doc number drives both filtering (drop docs that are
+    // mostly boilerplate) and measurement (corpus-level duplication
+    // rate). 25 exact copies are injected; they and their originals
+    // must come out at dup_frac 1.0.
+    //
+    // Scale shape: the only thing that shuffles is (window hash, doc_id)
+    // — two int64s per window; the group-by marks cross-doc hashes and a
+    // hash-keyed join carries the flag back. Documents never move.
+    QueryDef(
+      "q_d9_dup_ngram_fraction",
+      (s, dir) => {
+        val W = 8
+        val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val copies = base.filter(col("doc_id") < 25)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val wins = base.unionByName(copies)
+          .select(col("doc_id"),
+            explode(array_distinct(call_function("graft_shingle_hash",
+              tokens(normalizeText(col("text"))), lit(W)))).as("h"))
+        val dupHashes = wins.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("h"), lit(1).as("isdup"))
+        wins.join(dupHashes, Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            sum(coalesce(col("isdup"), lit(0))).cast("long").as("n_dup"))
+          .withColumn("dup_frac",
+            round(col("n_dup").cast("double") / col("n_windows").cast("double"), 6))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH u AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+              |), wins AS (
+              |  SELECT doc_id, unnest(list_distinct(list_transform(
+              |    ${shinglesSql(tokensSql(normalizeTextSql("text")), 8)},
+              |    s -> ${polyHashSql("s")}))) AS h
+              |  FROM u
+              |), dup AS (
+              |  SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+              |)
+              |SELECT w.doc_id,
+              |       count(*) AS n_windows,
+              |       CAST(sum(CASE WHEN d.h IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup,
+              |       round(CAST(sum(CASE WHEN d.h IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+              |             / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+              |FROM wins w LEFT JOIN dup d ON w.h = d.h
+              |GROUP BY w.doc_id
+              |ORDER BY w.doc_id""".stripMargin))
   )
 }
