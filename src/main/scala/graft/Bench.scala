@@ -201,12 +201,11 @@ object Bench {
           .agg(avg(col("recall"))).first().getDouble(0)
         math.rint(r * 1e6) / 1e6
       }
-      val v4dH1 = {
-        val r = SparkEntry.queries("q_v4d_multiprobe_sweep")(spark, sfDir)
-          .filter(col("ham") === 1)
-          .agg(avg(col("mean_recall"))).first().getDouble(0)
-        math.rint(r * 1e6) / 1e6
-      }
+      val v4dSweep = SparkEntry.queries("q_v4d_multiprobe_sweep")(spark, sfDir)
+        .select(col("ham"), col("mean_recall")).collect()
+        .map(r => r.getAs[Number](0).intValue -> r.getDouble(1)).toMap
+      def v4dAt(h: Int): Double =
+        math.rint(v4dSweep.getOrElse(h, -1.0) * 1e6) / 1e6
       // default-path scan cost: the q_v4c sweep's row for the shipped
       // (Bands, BitsPerBand) layout — recall without the admitted
       // candidate fraction is meaningless.
@@ -219,7 +218,8 @@ object Bench {
       }
       Some(s""""ann_recall":{"v4b_lsh":${meanRecall("q_v4b_recall")},""" +
         s""""v4_default_cand_frac":$v4Frac,""" +
-        s""""v4d_multiprobe_h1":$v4dH1,""" +
+        s""""v4d_multiprobe_h1":${v4dAt(1)},""" +
+        s""""v4d_multiprobe_h2":${v4dAt(2)},""" +
         s""""v6b_ivf":${meanRecall("q_v6b_recall")},""" +
         s""""v6d_ivf_kmeans":${meanRecall("q_v6d_ivf_kmeans_recall")},""" +
         s""""v8b_nsw":${meanRecall("q_v8b_nsw_recall")}}""")
