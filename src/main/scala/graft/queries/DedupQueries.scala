@@ -529,10 +529,15 @@ object DedupQueries extends QueryPack {
         val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         val copies = base.filter(col("doc_id") < 25)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        // persisted: consumed by BOTH the cross-doc mark and the
+        // flag-back join — without it the corpus text is shingle-hashed
+        // twice (no ReusedExchange spans the two branches), and at scale
+        // the text pass is the expensive part
         val wins = base.unionByName(copies)
           .select(col("doc_id"),
             explode(array_distinct(call_function("graft_shingle_hash",
               tokens(normalizeText(col("text"))), lit(W)))).as("h"))
+          .persist()
         val dupHashes = wins.groupBy("h")
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2)
