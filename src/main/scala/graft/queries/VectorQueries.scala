@@ -888,6 +888,79 @@ object VectorQueries extends QueryPack {
               |WHERE vec_id % 17 = 0
               |ORDER BY vec_id""".stripMargin)),
 
+    // V9 — SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    // learning at web-scale through semantic deduplication"): cluster
+    // the embedding space with the IVF coarse quantizer, then prune
+    // near-duplicates WITHIN each cell — pairwise cosine runs only
+    // inside a cell, so the pair space is Σ|cell|²/2, never corpus²/2
+    // (and the k-means-balanced cells bound |cell| at scale). For every
+    // vector with a smaller-id cell-mate above the 0.95 threshold, emit
+    // (vec_id, canon_id = smallest such neighbor, score vs canon) — the
+    // prune list a training pipeline subtracts from the corpus.
+    // Injected +0.01-perturbed copies map to their originals (24 of 25
+    // at sf0.01 — one straddles a cell boundary, the method's inherent
+    // recall limit: a pair split across cells is never compared; the
+    // paper accepts this in exchange for the bounded pair space).
+    // Reuses the same deterministic first-16 centroids as q_v6, so the
+    // oracle shares that cells CTE.
+    QueryDef(
+      "q_v9_semdedup",
+      (s, dir) => {
+        val base = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("emb"))
+        val copies = base.filter(col("vec_id") < 25)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+            transform(col("emb"), x => x + 0.01).as("emb"))
+        val u = base.unionByName(copies)
+        val cents = u.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("emb").as("cvec"))
+        val cells = graft.operators.IvfIndex.assignCells(
+          u.select(col("vec_id"), col("label"), col("emb").as("embedding")), cents)
+          .select(col("vec_id"), col("embedding"), col("cent_id"))
+        val a = cells.as("a")
+        val b = cells.as("b")
+        a.join(b,
+            col("a.cent_id") === col("b.cent_id") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .withColumn("score", cosine(col("a.embedding"), col("b.embedding")))
+          .filter(col("score") > 0.95)
+          .groupBy(col("b.vec_id").as("vec_id"))
+          .agg(min(col("a.vec_id")).as("canon_id"),
+            max(struct((-col("a.vec_id")).as("na"), col("score"))).as("mx"))
+          .select(col("vec_id"), col("canon_id"),
+            round(col("mx.score"), 6).as("score"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH u AS (
+              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+              |  FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 1000000,
+              |         list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01)
+              |  FROM embeddings WHERE vec_id < 25
+              |), cents AS (
+              |  SELECT vec_id AS cent_id, emb AS cvec FROM u WHERE vec_id < 16
+              |), cells AS (
+              |  SELECT vec_id, emb, cent_id
+              |  FROM (SELECT u.vec_id, u.emb, c.cent_id,
+              |               row_number() OVER (PARTITION BY u.vec_id
+              |                 ORDER BY ${cosineSql("u.emb", "c.cvec")} DESC,
+              |                          c.cent_id) AS rk
+              |        FROM u, cents c) t
+              |  WHERE rk = 1
+              |), pairs AS (
+              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |         ${cosineSql("a.emb", "b.emb")} AS score
+              |  FROM cells a JOIN cells b
+              |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+              |  WHERE ${cosineSql("a.emb", "b.emb")} > 0.95
+              |)
+              |SELECT id_b AS vec_id, min(id_a) AS canon_id,
+              |       round(arg_max(score, -id_a), 6) AS score
+              |FROM pairs GROUP BY id_b
+              |ORDER BY vec_id""".stripMargin)),
+
     // V5 — embedding-cosine near-duplicate pairs. The corpus is augmented
     // with perturbed copies of the first 25 vectors (deterministic +0.01
     // shift, ids offset by 1e6) so near-dups exist; candidate pairs come
