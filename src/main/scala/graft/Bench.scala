@@ -253,7 +253,9 @@ object Bench {
         }
       } / nQ
       val rebuildSec = best {
-        SparkEntry.queries("q_v6_ivf_ann")(spark, sfDir).collect()
+        // freshQueries: the rebuild-per-query comparator must re-plan
+        // and re-derive the assignment, not hit the surface's plan memo
+        SparkEntry.freshQueries("q_v6_ivf_ann")(spark, sfDir).collect()
       }
       Some(f""""ivf_index":{"build_sec":$buildSec%.3f,""" +
         f""""query_amortized_sec":$amortSec%.4f,""" +
@@ -293,7 +295,11 @@ object Bench {
           // must collect() too — a count() lets Catalyst prune final
           // projections and drop ORDER BYs, biasing the ratio in Spark's
           // favor (ADVICE r3). Best-of-3, same as the duck side; cold
-          // first-run numbers stay in `queries`.
+          // first-run numbers stay in `queries`. r5: SparkEntry.queries
+          // is itself plan-cached per (session, sfDir) — so this IS the
+          // engine's real repeated-call latency (planning paid once by
+          // the surface, the serving model of VERDICT r4 #9); the
+          // fresh-planning cost is isolated in execSec below.
           val warmSec = duckSec.keys.toSeq.sorted.flatMap { n =>
             SparkEntry.queries.get(n).map { fn =>
               val t = (1 to 3).map { _ =>
@@ -310,7 +316,7 @@ object Bench {
           // shuffle map stages, so this is the serving number on static
           // data, NOT an execution-cost isolation — that is execSec below.
           val cachedSec = duckSec.keys.toSeq.sorted.flatMap { n =>
-            SparkEntry.queries.get(n).map { fn =>
+            SparkEntry.freshQueries.get(n).map { fn =>
               val df = fn(spark, sfDir)
               df.collect() // warm: triggers analysis + codegen once
               val t = (1 to 3).map { _ =>
@@ -329,7 +335,7 @@ object Bench {
           // compilation sits on the execution side but hits Janino's
           // cache after the first call.
           val execSec = duckSec.keys.toSeq.sorted.flatMap { n =>
-            SparkEntry.queries.get(n).map { fn =>
+            SparkEntry.freshQueries.get(n).map { fn =>
               val planT = (1 to 3).map { _ =>
                 val t0 = System.nanoTime()
                 fn(spark, sfDir).queryExecution.executedPlan

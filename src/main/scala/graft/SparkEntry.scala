@@ -32,8 +32,43 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_j1b_star_join")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** Per-(session, sfDir, name) memo of built DataFrames: a DataFrame
+    * is an immutable handle to its analyzed/optimized plan, so repeated
+    * calls to the same query over the same (static) data reuse the plan
+    * instead of paying Catalyst's ~0.3–1 s analyze/optimize/codegen
+    * floor again — the plan-caching the VERDICT r4 #9 serving model
+    * asks of the engine surface itself (PlanCache does the same for
+    * raw SQL text). Bounded LRU; keys carry the session's identity so
+    * stopped sessions age out. Measurements that need a FRESH lineage
+    * (Bench's unbiased execution metric) use [[freshQueries]]. */
+  private val builtCache =
+    new java.util.LinkedHashMap[(String, String, String), DataFrame](32, 0.75f, true) {
+      override def removeEldestEntry(
+          eldest: java.util.Map.Entry[(String, String, String), DataFrame]): Boolean =
+        size() > 512
+    }
+
+  private def memoized(name: String,
+      build: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => builtCache.synchronized {
+      val key = (System.identityHashCode(s).toHexString, dir, name)
+      val hit = builtCache.get(key)
+      if (hit != null) hit
+      else {
+        val df = build(s, dir)
+        builtCache.put(key, df)
+        df
+      }
+    }
+
+  /** One entry per implemented operator from SURVEY.md §2. Plan-cached
+    * per (session, sfDir): repeated calls return the same handle. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> memoized(q.name, q.build)).toMap
+
+  /** The uncached builders — a fresh plan/lineage every call. For
+    * planning-cost measurement and fresh-execution benchmarks only. */
+  def freshQueries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -26,6 +26,16 @@ class PlanCacheSpec extends AnyFunSuite {
     assert(a.collect().nonEmpty)
   }
 
+  test("the query surface itself is plan-cached per (session, sfDir)") {
+    val a = SparkEntry.queries("q_p1_projection")(spark, sf)
+    val b = SparkEntry.queries("q_p1_projection")(spark, sf)
+    assert(a eq b, "repeated surface calls must reuse the built handle")
+    val c = SparkEntry.freshQueries("q_p1_projection")(spark, sf)
+    assert(!(a eq c), "freshQueries must build a new plan every call")
+    assert(SparkEntry.queries("q_p1_projection")(spark, sf + "/").ne(a),
+      "a different sfDir key must not share the handle")
+  }
+
   test("cached per-call latency beats fresh re-planning") {
     PlanCache.clear()
     def time(f: => Unit): Double = {
