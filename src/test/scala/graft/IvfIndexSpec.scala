@@ -88,6 +88,50 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(fs.getFileStatus(new Path(path, "_INDEX_READY")).getModificationTime == before)
   }
 
+  test("streaming ingest: foreachBatch appends micro-batches into the index") {
+    // the reference's serving loop — news arrives as a stream, its
+    // embeddings upsert into the Qdrant collection continuously
+    // (news_etl_dag.py -> init_qdrant.py collection): here the same
+    // contract is a writeStream.foreachBatch feeding IvfIndex.append,
+    // after which a search equals the all-at-once batch build.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sq = spark0.sqlContext
+    val path = freshPath()
+    // initial index over the even half (contains the first-16 centroid
+    // vectors' even part — centroids always come from the full corpus
+    // so both universes share cell geometry)
+    IvfIndex.buildIfAbsent(corpus().filter(col("vec_id") % 2 === 0), cents(), path)
+    val lateRows = corpus().filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+    val source = MemoryStream[(Long, Int, Array[Float])]
+    val query = source.toDF()
+      .toDF("vec_id", "label", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IvfIndex.append(batch, path)
+      }
+      .outputMode("update")
+      .start()
+    try {
+      lateRows.grouped(math.max(lateRows.length / 3, 1)).foreach { chunk =>
+        source.addData(chunk)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val full = freshPath()
+    IvfIndex.buildIfAbsent(corpus(), cents(), full)
+    def search(p: String) = IvfIndex
+      .searchTopK(spark, p, VectorQueries.QueryVec, nprobe = 2, k = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(search(path) == search(full))
+    assert(spark.read.parquet(s"$path/cells").count() == corpus().count())
+  }
+
   test("append to a missing index fails loudly") {
     val ex = intercept[IllegalArgumentException] {
       IvfIndex.append(corpus(), freshPath())
