@@ -19,6 +19,25 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *    to micros in [[graft.sources.Tables.events]].
   */
 object GraftSession {
+
+  private val UuidConfKey = "spark.graft.session.uuid"
+  private val uuidLock = new Object
+
+  /** Stable per-session identity for cache keys. `System.identityHashCode`
+    * is reusable after GC — a fresh session could collide with a dead one
+    * and be handed its cached DataFrames (ADVICE r5). A UUID pinned in the
+    * session conf is unique for the session's lifetime and dies with it.
+    * Lazily assigned so sessions not built via [[get]] (tests) work too.
+    */
+  def sessionUuid(spark: SparkSession): String = uuidLock.synchronized {
+    spark.conf.getOption(UuidConfKey) match {
+      case Some(u) => u
+      case None =>
+        val u = java.util.UUID.randomUUID().toString
+        spark.conf.set(UuidConfKey, u)
+        u
+    }
+  }
   /** Folds a constant integral argument of a graft_* SQL function to an
     * Int: accepts any integral literal width (INT, BIGINT, SMALLINT,
     * TINYINT — e.g. `graft_topk(s, id, CAST(5 AS BIGINT))`) and any
@@ -155,6 +174,7 @@ object GraftSession {
         "stop the stale session before calling GraftSession.get")
     }
     spark.sparkContext.setLogLevel("WARN")
+    sessionUuid(spark) // pin the cache-key identity at creation
     spark
   }
 }

@@ -51,7 +51,9 @@ object SparkEntry {
   private def memoized(name: String,
       build: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => builtCache.synchronized {
-      val key = (System.identityHashCode(s).toHexString, dir, name)
+      // conf-pinned UUID, not identityHashCode: hash reuse after GC could
+      // hand a dead session's DataFrame to a fresh one (ADVICE r5).
+      val key = (GraftSession.sessionUuid(s), dir, name)
       val hit = builtCache.get(key)
       if (hit != null) hit
       else {

@@ -125,7 +125,16 @@ object HtmlStrip {
               while (found < 0 && j < n) {
                 val k = html.indexOf('<', j)
                 if (k < 0) found = n
-                else if (regionEqIc(k, close)) {
+                else if (regionEqIc(k, close) && {
+                  // the name must END here: '</scripty>' inside <script>
+                  // is raw text, not the close tag (ADVICE r5) — HTML
+                  // requires ws, '/', '>' (or EOF) after the tag name
+                  val after = k + close.length
+                  after >= n || {
+                    val c2 = html.charAt(after)
+                    Character.isWhitespace(c2) || c2 == '/' || c2 == '>'
+                  }
+                }) {
                   val ce = tagEnd(k)
                   found = if (ce < 0) n else ce + 1
                 } else j = k + 1

@@ -35,6 +35,21 @@ object IvfIndex {
   private val Marker = "_INDEX_READY"
   private val LayoutVersion = "v1"
 
+  /** Per-index-path JVM lock: serializes this process's build/append
+    * mutations so the marker read-modify-write can't interleave
+    * (ADVICE r5, medium). Cross-JVM, the contract is single-writer per
+    * path — the reference's collection has the same contract (one
+    * ingest DAG owns the Qdrant collection; searches are lock-free). */
+  private val pathLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(path: String): Object =
+    pathLocks.computeIfAbsent(path, _ => new Object)
+
+  private def readMarker(fs: FileSystem, marker: Path): String = {
+    val in = fs.open(marker)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
   /** Nearest-centroid assignment of `e` (vec_id, label, embedding)
     * against a centroid table (cent_id, cvec): the k×dim centroid set
     * collapses to a one-row array (aggregate → broadcast), then a
@@ -54,30 +69,34 @@ object IvfIndex {
 
   /** Build the index at `path` unless a current one is already there
     * (marker matches layout version + corpus row count). */
-  def buildIfAbsent(e: DataFrame, cents: DataFrame, path: String): Unit = {
-    val spark = e.sparkSession
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val root = new Path(path)
-    val marker = new Path(root, Marker)
-    val stamp = s"$LayoutVersion,count=${e.count()}"
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                finally in.close()
-      if (got == stamp) return
+  def buildIfAbsent(e: DataFrame, cents: DataFrame, path: String): Unit =
+    lockFor(path).synchronized {
+      val spark = e.sparkSession
+      val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val root = new Path(path)
+      val marker = new Path(root, Marker)
+      val stamp = s"$LayoutVersion,count=${e.count()}"
+      if (fs.exists(marker) && readMarker(fs, marker) == stamp) return
+      // unique tmp per attempt (ADVICE r5): a fixed ".build" path lets two
+      // concurrent first builds interleave delete/write/rename and corrupt
+      // or lose the published index; a UUID suffix keeps attempts disjoint.
+      val tmp = new Path(
+        path + ".build-" + java.util.UUID.randomUUID().toString.take(8))
+      try {
+        cents.coalesce(1).write.mode("overwrite")
+          .parquet(new Path(tmp, "centroids").toString)
+        assignCells(e, cents).write.mode("overwrite").partitionBy("cent_id")
+          .parquet(new Path(tmp, "cells").toString)
+        val out = fs.create(new Path(tmp, Marker), true)
+        try out.write(stamp.getBytes("UTF-8")) finally out.close()
+        // re-check before publish: another writer may have published the
+        // same stamp while we were building — keep theirs, drop ours.
+        if (fs.exists(marker) && readMarker(fs, marker) == stamp) return
+        fs.delete(root, true)
+        if (!fs.rename(tmp, root))
+          throw new IllegalStateException(s"IvfIndex: rename $tmp -> $root failed")
+      } finally fs.delete(tmp, true) // no-op after a successful rename
     }
-    val tmp = new Path(path + ".build")
-    fs.delete(tmp, true)
-    cents.coalesce(1).write.mode("overwrite")
-      .parquet(new Path(tmp, "centroids").toString)
-    assignCells(e, cents).write.mode("overwrite").partitionBy("cent_id")
-      .parquet(new Path(tmp, "cells").toString)
-    val out = fs.create(new Path(tmp, Marker), true)
-    try out.write(stamp.getBytes("UTF-8")) finally out.close()
-    fs.delete(root, true)
-    if (!fs.rename(tmp, root))
-      throw new IllegalStateException(s"IvfIndex: rename $tmp -> $root failed")
-  }
 
   /** Incremental ingest into an EXISTING index (the reference upserts
     * embeddings into its Qdrant collection continuously as news
@@ -91,23 +110,24 @@ object IvfIndex {
     * initial publish is; concurrent searches may see a prefix of the
     * batch (append semantics, SURVEY §2 K1 — the same contract as the
     * event sinks). */
-  def append(newVectors: DataFrame, path: String): Unit = {
-    val spark = newVectors.sparkSession
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(new Path(path), Marker)
-    require(fs.exists(marker), s"IvfIndex.append: no index at $path")
-    val cents = spark.read.parquet(s"$path/centroids")
-    val added = newVectors.count()
-    assignCells(newVectors, cents).write.mode("append").partitionBy("cent_id")
-      .parquet(s"$path/cells")
-    val in = fs.open(marker)
-    val old = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-              finally in.close()
-    val oldCount = old.split("count=")(1).toLong
-    val out = fs.create(marker, true)
-    try out.write(s"$LayoutVersion,count=${oldCount + added}".getBytes("UTF-8"))
-    finally out.close()
-  }
+  def append(newVectors: DataFrame, path: String): Unit =
+    // serialized per path in this JVM so the marker read-modify-write
+    // can't lose a concurrent append's count (ADVICE r5); cross-JVM the
+    // index is single-writer (see lockFor).
+    lockFor(path).synchronized {
+      val spark = newVectors.sparkSession
+      val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val marker = new Path(new Path(path), Marker)
+      require(fs.exists(marker), s"IvfIndex.append: no index at $path")
+      val cents = spark.read.parquet(s"$path/centroids")
+      val added = newVectors.count()
+      assignCells(newVectors, cents).write.mode("append").partitionBy("cent_id")
+        .parquet(s"$path/cells")
+      val oldCount = readMarker(fs, marker).split("count=")(1).toLong
+      val out = fs.create(marker, true)
+      try out.write(s"$LayoutVersion,count=${oldCount + added}".getBytes("UTF-8"))
+      finally out.close()
+    }
 
   /** Driver-resident centroid cache, keyed by (path, marker stamp): a
     * serving process holds the k×dim coarse quantizer in memory exactly

@@ -41,8 +41,10 @@ object Tables {
     }
   private val hooked = scala.collection.mutable.HashSet.empty[String]
 
+  // identityHashCode is reusable after GC (ADVICE r5) — key by the
+  // conf-pinned per-session UUID instead.
   private def sessionKey(spark: SparkSession): String =
-    System.identityHashCode(spark).toHexString
+    graft.GraftSession.sessionUuid(spark)
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     catalog.synchronized {

@@ -28,6 +28,12 @@ class HtmlStripSpec extends AnyFunSuite {
     assert(strip("""<SCRIPT>x</SCRIPT>after""") == "after") // case-insensitive
     assert(strip("""<script src="x.js"/>inline</p>""") == "inline") // self-closed: no body
     assert(strip("""<script>never closed""") == "") // unterminated raw text: dropped
+    // close-tag name must END at the match (ADVICE r5): '</scripty>' and
+    // '</scripts>' are raw text, not the close tag
+    assert(strip("""<script>a</scripty>b</script>ok""") == "ok")
+    assert(strip("""<script>a</scripts >b</script>ok""") == "ok")
+    assert(strip("""<script>x</script >ok""") == "ok") // ws after name closes
+    assert(strip("""<script>x</script/>ok""") == "ok") // '/' after name closes
   }
 
   test("comments may contain '>' and tags") {

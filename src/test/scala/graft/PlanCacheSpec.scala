@@ -36,6 +36,25 @@ class PlanCacheSpec extends AnyFunSuite {
       "a different sfDir key must not share the handle")
   }
 
+  test("switching sfDir re-registers views — A/B/A returns A's data (ADVICE r5)") {
+    PlanCache.clear()
+    val sfB = "/root/testdata/sf0.01"
+    val cnt = "SELECT count(*) AS n FROM lineitem"
+    val a1 = PlanCache.sql(spark, cnt, sf).collect().head.getLong(0)
+    val b  = PlanCache.sql(spark, cnt, sfB).collect().head.getLong(0)
+    assert(b > a1, "sf0.01 must be larger than sf0.001")
+    // the poisoning shape: sfDir A was seen before, so a once-per-(session,
+    // sfDir) registry would skip re-registration and resolve against B.
+    PlanCache.clear() // drop the cached handle but not the session views
+    val a2 = PlanCache.sql(spark, cnt, sf).collect().head.getLong(0)
+    assert(a2 == a1, s"sfDir A after B returned $a2, expected A's count $a1")
+    // and cached handles stay bound to the data they were planned against
+    val hA = PlanCache.sql(spark, cnt, sf)
+    PlanCache.sql(spark, cnt, sfB) // views now point at B
+    assert(hA.collect().head.getLong(0) == a1,
+      "a cached handle must keep reading the sfDir it was planned for")
+  }
+
   test("cached per-call latency beats fresh re-planning") {
     PlanCache.clear()
     def time(f: => Unit): Double = {
