@@ -244,8 +244,145 @@ object PipelineQueries extends QueryPack {
        |ORDER BY user_id, date""".stripMargin
   }
 
+  /** E2 — the reference's hourly news ETL DAG as ONE composed logical
+    * plan (SURVEY.md §3 E2, news_etl_dag.py:34-185): fetch → HTML strip
+    * (clean_html, lines 65-67) → title_and_description assembly (line
+    * 80) → 5-model × 2-field scoring fan-out with the per-row LLM
+    * fallback channel (semantic_analysis, lines 100-115) → dedup →
+    * keyed upsert projection (save_to_qdrant, lines 142-183).
+    *
+    * Every stage is an individually-oracled operator (q_t1b, q_t2,
+    * q_m3/q_m4, q_a1/X3, K2); this query proves their COMPOSITION as one
+    * DAG, the same way q_e1b does for the OHLCV pipeline.
+    *
+    * Two deliberate divergences from the reference, both fixes:
+    *  - the reference keys Qdrant points by uuid4 (line 147), so its
+    *    24h+1h fetch window re-inserts yesterday's articles forever (the
+    *    X3 duplicate-accumulation bug SURVEY §2.7 documents). Here the
+    *    hourly re-fetch overlap is MODELED (batch 2 re-delivers a third
+    *    of the corpus) and deduped content-first: newest fetch wins per
+    *    content fingerprint — `n_dups` counts the collapsed copies and
+    *    `fetch_kept` proves newest-wins. NewsPipelineSpec runs the same
+    *    composition through foreachBatch + Sinks.upsertByKey (the write
+    *    path; a query returns rows, not side effects).
+    *  - the per-article HTTP scoring loop becomes a map-only fan-out
+    *    (one projection, q_m4's shape).
+    *
+    * Scale: strip/score/embed are narrow codegen'd expressions riding
+    * the scan; the only data shuffles are the fingerprint window and the
+    * final ORDER BY — the plan at 100 TB is the plan at sf0.01. The
+    * corpus carries no markup (checked: no '<', '>', '&' at any SF), so
+    * wrapping in adversarial markup keeps the parser honest while the
+    * oracle re-derives the clean text analytically (q_t1b's trick).
+    */
+  private def e2Build(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scorers
+    import graft.operators.Scorers._
+    import graft.operators.TextOps._
+    // fetch stand-in (S6): two overlapping hourly fetches — the 24h+1h
+    // window (news_etl_dag.py:38) re-delivers recent articles
+    val docs = Tables.documents(s, dir)
+    val b1 = docs.withColumn("fetch_id", lit(1L))
+    val b2 = docs.filter(col("doc_id") % 3 === 0).withColumn("fetch_id", lit(2L))
+    // process_data: parser-exact HTML strip of content + the
+    // title_and_description concat
+    val articles = b1.unionByName(b2)
+      .withColumn("content", call_function("graft_html_strip", concat(
+        lit("<article data-x=\"a>b\"><script>if (1 < 2) { t(\"<p>x</p>\"); }</script>"),
+        col("text"), lit("</article>"))))
+      .withColumn("title_desc", call_function("graft_html_strip", concat(
+        lit("<h1 class=\"t\">"),
+        concat_ws(" ", col("source"), col("lang"), substring(col("text"), 1, 30)),
+        lit("</h1><!-- meta > -->"))))
+    // dedup-on-write (the X3 fix): newest fetch wins per content print
+    val byFp = Window.partitionBy("fp")
+    val deduped = articles
+      .withColumn("fp", md5(normalizeText(col("content")).cast("binary")))
+      .withColumn("best_fetch", max(col("fetch_id")).over(byFp))
+      .withColumn("n_dups", count(lit(1)).over(byFp))
+      .filter(col("fetch_id") === col("best_fetch"))
+    // semantic_analysis: M4 fan-out with M3's per-row fallback channel
+    val withC = Scorers.withFieldStats(deduped, "c", col("content"))
+    val withT = Scorers.withFieldStats(withC, "t", col("title_desc"))
+    withT
+      .withColumn("th", tokenHashes(col("content")))
+      .withColumn("raw", rawEmbeddingFromHashes(col("th"), 16))
+      .withColumn("n", l2Norm(col("raw")))
+      .select(
+        Seq(col("doc_id"), col("source"), col("fetch_id").as("fetch_kept"),
+          col("n_dups")) ++
+        Models.flatMap(m =>
+          ScorerQueries.modelCols(m, "c", s"${m.name}_content") ++
+          ScorerQueries.modelCols(m, "t", s"${m.name}_title")) ++
+        Seq(
+          round(when(col("n") > 0.0, element_at(col("raw"), 1) / col("n"))
+            .otherwise(element_at(col("raw"), 1)), 6).as("emb_head"),
+          lit(16).as("emb_dim")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Composed DuckDB oracle for q_e2: union-fetch → analytic strip →
+    * fingerprint dedup window → q_m4's counts/embs CTEs. */
+  private val e2Oracle: String = {
+    import graft.operators.Scorers._
+    import graft.operators.TextOps._
+    val sel = Models.flatMap(m =>
+      ScorerQueries.modelSql(m, "pc", "nc", "hc", s"${m.name}_content") ++
+      ScorerQueries.modelSql(m, "pt", "nt", "ht", s"${m.name}_title"))
+    s"""WITH articles AS (
+       |  SELECT doc_id, source, lang, text, CAST(1 AS BIGINT) AS fetch_id
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, source, lang, text, CAST(2 AS BIGINT) AS fetch_id
+       |  FROM documents WHERE doc_id % 3 = 0
+       |), fields AS (
+       |  SELECT doc_id, source, fetch_id,
+       |         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS content,
+       |         trim(regexp_replace(
+       |           concat_ws(' ', source, lang, substring(text, 1, 30)),
+       |           '\\s+', ' ', 'g')) AS title_desc
+       |  FROM articles
+       |), dedup AS (
+       |  SELECT doc_id, source, fetch_id, n_dups, content, title_desc FROM (
+       |    SELECT f.*,
+       |           max(fetch_id) OVER (PARTITION BY fp) AS best_fetch,
+       |           count(*) OVER (PARTITION BY fp) AS n_dups
+       |    FROM (SELECT ff.*, md5(${normalizeTextSql("content")}) AS fp
+       |          FROM fields ff) f) x
+       |  WHERE fetch_id = best_fetch
+       |), counts AS (
+       |  SELECT doc_id, source, fetch_id, n_dups,
+       |         ${posCountSql("toks_c")} AS pc, ${negCountSql("toks_c")} AS nc,
+       |         ${posCountSql("toks_t")} AS pt, ${negCountSql("toks_t")} AS nt,
+       |         hc, ht, th
+       |  FROM (SELECT doc_id, source, fetch_id, n_dups,
+       |               ${tokensSql(normalizeTextSql("content"))} AS toks_c,
+       |               ${tokensSql(normalizeTextSql("title_desc"))} AS toks_t,
+       |               ${polyHashSql(normalizeTextSql("content"))} AS hc,
+       |               ${polyHashSql(normalizeTextSql("title_desc"))} AS ht,
+       |               ${tokenHashesSql("content")} AS th
+       |        FROM dedup) t
+       |), embs AS (
+       |  SELECT doc_id, raw,
+       |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(raw, v -> v * v)), (x, y) -> x + y)) AS n
+       |  FROM (SELECT doc_id, ${hashEmbeddingRawSql("th", 16)} AS raw FROM counts) r
+       |)
+       |SELECT ${("counts.doc_id" +: "source" +: "fetch_id AS fetch_kept" +:
+                  "n_dups" +: sel).mkString(",\n       ")},
+       |       round(CASE WHEN embs.n > 0.0 THEN raw[1] / embs.n ELSE raw[1] END, 6) AS emb_head,
+       |       16 AS emb_dim
+       |FROM counts JOIN embs ON counts.doc_id = embs.doc_id
+       |ORDER BY counts.doc_id""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q_e1_ohlcv_pipeline", build, None, bench = true),
+
+    // E2 — news strip → score fan-out → dedup → upsert projection as one
+    // composed, fully-oracled plan (the last reference entry point
+    // without one, VERDICT r5 next #1).
+    QueryDef("q_e2_news_pipeline", e2Build, Some(e2Oracle), bench = true),
 
     // E1b — the SAME end-to-end DAG minus only the wavelet column (no
     // SQL mirror exists for sym4 level-2 denoising), so the remaining 21

@@ -32,8 +32,9 @@ object ScorerQueries extends QueryPack {
     Scorers.withFieldStats(withC, "t", substring(col("text"), 1, 80))
   }
 
-  /** Flattened (label, score) columns for one model over staged stats. */
-  private def modelCols(m: LexiconScorer, p: String, prefix: String): Seq[Column] = {
+  /** Flattened (label, score) columns for one model over staged stats.
+    * Shared with the E2 composed pipeline (PipelineQueries.q_e2). */
+  private[queries] def modelCols(m: LexiconScorer, p: String, prefix: String): Seq[Column] = {
     val s = m.scoreFromCounts(col(s"${p}_pos"), col(s"${p}_neg"), col(s"${p}_hash"))
     Seq(s.getField("label").as(s"${prefix}_label"),
       s.getField("score").as(s"${prefix}_score"))
@@ -53,8 +54,9 @@ object ScorerQueries extends QueryPack {
        |               ${polyHashSql(normalizeTextSql(titleSql))} AS ht
        |        FROM documents) t)""".stripMargin
 
-  /** SQL label+score select-exprs for one model over (pos,neg,hash). */
-  private def modelSql(m: LexiconScorer, pos: String, neg: String,
+  /** SQL label+score select-exprs for one model over (pos,neg,hash).
+    * Shared with the E2 composed pipeline (PipelineQueries.q_e2). */
+  private[queries] def modelSql(m: LexiconScorer, pos: String, neg: String,
       hash: String, prefix: String): Seq[String] = {
     val fail = m.failSql(hash)
     Seq(s"${m.labelSql(pos, neg, fail)} AS ${prefix}_label",
