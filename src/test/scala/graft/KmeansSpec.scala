@@ -42,6 +42,62 @@ class KmeansSpec extends AnyFunSuite {
     assert(cellCount.forall(r => r.getInt(0) >= 0 && r.getInt(0) < refined.size))
   }
 
+  test("ivfK scales k with the corpus: floor at small SF, linear past it, capped") {
+    import graft.queries.VectorQueries.{ivfK, ivfNprobe, MaxIvfK, TargetCellRows}
+    assert(ivfK(500) == 16 && ivfK(2025) == 16,
+      "test-SF corpora stay on the floor (existing oracle geometry)")
+    assert(ivfK(1024L * 1024) == 1024)
+    val n = 16L * 1024 * 1024 // inside the linear regime (2n stays under MaxIvfK)
+    assert(ivfK(2 * n) == 2 * ivfK(n), "k doubles when the corpus doubles")
+    assert(ivfK(Long.MaxValue / 4) == MaxIvfK)
+    assert(ivfNprobe(16) == 2 && ivfNprobe(1024) == 128,
+      "probed-cell fraction stays constant as k grows")
+    assert(ivfK(n) * TargetCellRows >= n, "mean cell never exceeds the target")
+  }
+
+  test("SemDeDup pair space grows linearly, not quadratically, when the corpus doubles") {
+    import graft.queries.VectorQueries.ivfK
+    // synthetic corpus big enough that ivfK is past its floor: doubling n
+    // doubles k, so mean |cell| is constant and sum(|cell|^2) — the exact
+    // pair space of q_v9's within-cell self-join — grows ~2x, not ~4x
+    def pairSpace(n: Long): Double = {
+      val e = spark.range(n).select(col("id").as("vec_id"),
+        array(
+          sin(col("id") * 0.7), cos(col("id") * 1.3),
+          sin(col("id") * 2.1 + 1.0), cos(col("id") * 0.3 + 2.0))
+          .as("embedding"))
+      val cents = e.filter(col("vec_id") < ivfK(n))
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      graft.operators.IvfIndex
+        .assignCells(e.withColumn("label", lit(0)), cents)
+        .groupBy("cent_id").count()
+        .agg(sum(col("count") * col("count"))).first().getLong(0).toDouble
+    }
+    val n = 32768L
+    val ratio = pairSpace(2 * n) / pairSpace(n)
+    assert(ratio < 3.0,
+      f"pair space grew ${ratio}%.2fx on a 2x corpus — quadratic regime (fixed k?)")
+  }
+
+  test("cappedCells truncates a skew cell: pairs bounded at cap^2/2, kept pairs intact") {
+    import graft.queries.VectorQueries.cappedCells
+    // adversarial corpus: every vector identical -> one cell regardless of k
+    val e = spark.range(100).select(col("id").as("vec_id"),
+      array(lit(1.0), lit(0.5), lit(0.25), lit(0.125)).as("embedding"))
+    val cents = e.limit(1)
+      .select(lit(0L).as("cent_id"), col("embedding").as("cvec"))
+    val cells = cappedCells(
+      graft.operators.IvfIndex.assignCells(e.withColumn("label", lit(0)), cents)
+        .select(col("vec_id"), col("embedding"), col("cent_id")),
+      cap = 10)
+    assert(cells.count() == 10, "participation truncates to the cap")
+    assert(cells.agg(max("vec_id")).first().getLong(0) == 9,
+      "kept members are the first `cap` by vec_id — deterministic")
+    val pairs = cells.as("a").join(cells.as("b"),
+      col("a.cent_id") === col("b.cent_id") && col("a.vec_id") < col("b.vec_id"))
+    assert(pairs.count() == 45, "all pairs among kept members survive")
+  }
+
   test("refined cells are more balanced than sampled cells (max cell shrinks)") {
     def maxCell(cents: Seq[Seq[Double]]): Long = corpus
       .select(nearestCentroid(col("emb"), cents).as("cell"))
