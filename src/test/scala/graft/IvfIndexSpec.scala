@@ -67,6 +67,44 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$path/cells").count() == corpus().count())
   }
 
+  test("int8-quantized index: smaller cells, bounded score error, append keeps layout") {
+    val raw = freshPath()
+    val quant = freshPath()
+    IvfIndex.buildIfAbsent(corpus(), cents(), raw)
+    IvfIndex.buildIfAbsent(corpus(), cents(), quant, quantize = true)
+    // at-rest payload shrinks (floats 4B -> tinyint + one scale per row)
+    val rawBytes = IvfIndex.cellBytes(spark, raw)
+    val qBytes = IvfIndex.cellBytes(spark, quant)
+    assert(qBytes < rawBytes * 7 / 10,
+      s"quantized cells $qBytes B not materially smaller than raw $rawBytes B")
+    // schema: quantized payload, no raw embedding column
+    val qSchema = spark.read.parquet(s"$quant/cells").schema.fieldNames.toSet
+    assert(qSchema.contains("q") && qSchema.contains("scale")
+      && !qSchema.contains("embedding"))
+    // dequant-rescored top-5: same candidates within int8 error bounds
+    def top(p: String) = IvfIndex
+      .searchTopK(spark, p, VectorQueries.QueryVec, nprobe = 2, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val (tRaw, tQ) = (top(raw), top(quant))
+    val common = tRaw.keySet.intersect(tQ.keySet)
+    assert(common.nonEmpty, "quantized top-5 shares candidates with exact")
+    common.foreach { id =>
+      assert(math.abs(tRaw(id) - tQ(id)) < 0.02,
+        s"vec $id dequant score ${tQ(id)} too far from exact ${tRaw(id)}")
+    }
+    // append into a quantized index stays quantized and serves correctly
+    val part = freshPath()
+    IvfIndex.buildIfAbsent(corpus().filter(col("vec_id") % 2 === 0),
+      cents(), part, quantize = true)
+    IvfIndex.append(corpus().filter(col("vec_id") % 2 === 1), part)
+    val partSchema = spark.read.parquet(s"$part/cells").schema.fieldNames.toSet
+    assert(partSchema.contains("q") && !partSchema.contains("embedding"))
+    assert(IvfIndex.searchTopK(spark, part, VectorQueries.QueryVec,
+      nprobe = 2, k = 5).collect().map(_.getLong(0)).toSeq ==
+      IvfIndex.searchTopK(spark, quant, VectorQueries.QueryVec,
+        nprobe = 2, k = 5).collect().map(_.getLong(0)).toSeq)
+  }
+
   test("incremental append equals a full build over the grown corpus") {
     val path = freshPath()
     val half = corpus().filter(col("vec_id") % 2 === 0)
