@@ -135,14 +135,16 @@ object DedupQueries extends QueryPack {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
-  /** Signature table over a (doc_id, text) universe; persisted — it is
-    * consumed three times (banding + two id-keyed rejoins). */
-  private[graft] def sigTable(u: DataFrame): DataFrame = u
-    .withColumn("hashes", shingleHashes(col("text")))
-    .filter(size(col("hashes")) > 0)
-    .withColumn("sig", minhashSig(col("hashes")))
-    .select(col("doc_id"), col("sig"))
-    .persist()
+  /** Signature table over a (doc_id, text) universe; persisted through
+    * [[graft.ScratchCache]] — it is consumed three times (banding + two
+    * id-keyed rejoins), and the registry keeps rebuild from stacking
+    * cached copies (VERDICT r5 what's-wrong #2). */
+  private[graft] def sigTable(u: DataFrame, tag: String): DataFrame =
+    graft.ScratchCache.persisted(tag, u
+      .withColumn("hashes", shingleHashes(col("text")))
+      .filter(size(col("hashes")) > 0)
+      .withColumn("sig", minhashSig(col("hashes")))
+      .select(col("doc_id"), col("sig")))
 
   /** The sigs→banded→pairs CTE chain of the oracle SQL, shared by D1 and
     * D5; `uSql` must define a CTE named u(doc_id, text). */
@@ -182,7 +184,7 @@ object DedupQueries extends QueryPack {
         val copies = base.filter(col("doc_id") < 25)
           .select((col("doc_id") + 1000000L).as("doc_id"),
             concat(col("text"), lit(Marker)).as("text"))
-        lshPairs(sigTable(base.unionByName(copies)))
+        lshPairs(sigTable(base.unionByName(copies), "q_d1.sigs"))
           .filter(col("est_jaccard") >= 0.5)
           .orderBy("id_a", "id_b")
       },
@@ -221,7 +223,7 @@ object DedupQueries extends QueryPack {
           .select((col("doc_id") + 2000000L).as("doc_id"),
             concat(col("text"), lit(Marker2)).as("text"))
         val edges = lshPairs(sigTable(
-            base.unionByName(copies1).unionByName(copies2)))
+            base.unionByName(copies1).unionByName(copies2), "q_d5.sigs"))
           .filter(col("est_jaccard") >= 0.5)
           .select(col("id_a").as("a"), col("id_b").as("b"))
         graft.operators.ConnectedComponents.labels(edges)
@@ -529,15 +531,16 @@ object DedupQueries extends QueryPack {
         val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         val copies = base.filter(col("doc_id") < 25)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-        // persisted: consumed by BOTH the cross-doc mark and the
-        // flag-back join — without it the corpus text is shingle-hashed
-        // twice (no ReusedExchange spans the two branches), and at scale
-        // the text pass is the expensive part
-        val wins = base.unionByName(copies)
-          .select(col("doc_id"),
-            explode(array_distinct(call_function("graft_shingle_hash",
-              tokens(normalizeText(col("text"))), lit(W)))).as("h"))
-          .persist()
+        // persisted (via ScratchCache: rebuilds replace, never stack):
+        // consumed by BOTH the cross-doc mark and the flag-back join —
+        // without it the corpus text is shingle-hashed twice (no
+        // ReusedExchange spans the two branches), and at scale the text
+        // pass is the expensive part
+        val wins = graft.ScratchCache.persisted("q_d9.wins",
+          base.unionByName(copies)
+            .select(col("doc_id"),
+              explode(array_distinct(call_function("graft_shingle_hash",
+                tokens(normalizeText(col("text"))), lit(W)))).as("h")))
         val dupHashes = wins.groupBy("h")
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2)

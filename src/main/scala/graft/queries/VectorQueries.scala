@@ -1135,7 +1135,7 @@ object VectorQueries extends QueryPack {
         // corpus scale the O(corpus) vectors shuffle on vec_id rather
         // than being forced into every executor). Shuffling embeddings
         // through every band hit + the distinct dominates otherwise.
-        val u = base.unionByName(copies).persist()
+        val u = graft.ScratchCache.persisted("q_v5.u", base.unionByName(copies))
         val withBands = u.select(
           col("vec_id"),
           explode(array(bandColsV5(col("emb")).zipWithIndex.map {
