@@ -52,7 +52,15 @@ object Bench {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    def best(f: => Unit): Double = (1 to 3).map(_ => time(f)).min
+    // best-of-N with the full spread kept: a contended run then
+    // self-identifies in the report (BENCH_r05's knn_sec=3.17 was a
+    // one-off environment outlier the bare min couldn't defend against
+    // — VERDICT r5 what's-wrong #4)
+    def spreadOf(f: => Unit, n: Int = 3): Seq[Double] =
+      (1 to n).map(_ => time(f)).sorted
+    def spreadJson(s: Seq[Double]): String =
+      s"[${s.map(v => f"$v%.3f").mkString(",")}]"
+    def best(f: => Unit): Double = spreadOf(f).head
     val throughput = try {
       spark.catalog.clearCache()
       System.gc()
@@ -65,20 +73,21 @@ object Bench {
           sin(col("id").cast("double") * 1e-3).as("value"))
       val w = Window.partitionBy("user_id").orderBy("ts")
       val f20 = w.rowsBetween(-19, 0)
-      val frameSec = best {
+      val frameSpread = spreadOf {
         sdf.select(
           avg(col("value")).over(w.rowsBetween(-29, 0)).as("sma"),
           (avg(col("value")).over(f20) + lit(2.0) * stddev_pop(col("value")).over(f20)).as("up"))
           .filter(col("sma").isNotNull && col("up").isNotNull)
           .count()
       }
+      val frameSec = frameSpread.head
       // narrow-kernel probe: the same trailing-window arithmetic run as
       // the engine's fused mapPartitions path on already-partitioned
       // data (what a co-partitioned 100 TB layout gives every stage
       // after the first shuffle) — isolates kernel throughput from the
       // one-off exchange the shuffled probe above includes
       import spark.implicits._
-      val narrowSec = best {
+      val narrowSpread = spreadOf {
         spark.range(frameRows)
           .select(sin(col("id").cast("double") * 1e-3).as("value"))
           .as[Double]
@@ -100,6 +109,7 @@ object Bench {
           }
           .reduce(_ + _)
       }
+      val narrowSec = narrowSpread.head
       // scorer probe: the M4 fan-out over the corpus replicated to ~100k
       // docs (steady state: expensive text stats staged once per field)
       val docs = graft.sources.Tables.documents(spark, sfDir)
@@ -129,7 +139,8 @@ object Bench {
           .filter(col("c_pos").isNotNull)
       }
       scorerPlan(docs.limit(500)).count() // warm codegen/planning
-      val scorerSec = best { scorerPlan(bigDocs).count() }
+      val scorerSpread = spreadOf { scorerPlan(bigDocs).count() }
+      val scorerSec = scorerSpread.head
       // kNN probe: brute-force top-10 cosine over 1e5 synthetic vectors
       // at the BASELINE-specified 768 dims; the dot is a codegen'd
       // element_at chain (same left-fold order as the HOF form). The
@@ -153,17 +164,39 @@ object Bench {
       def topk() = vecs.withColumn("score", dot)
         .orderBy(desc("score"), col("id")).limit(10).collect()
       topk() // warm codegen
-      val knnSec = best { topk() }
+      val knnSpread = spreadOf(topk(), n = 5)
+      val knnSec = knnSpread.head
       // graph-ANN probe over the SAME 1e5 x 768-d corpus: per-shard NSW
       // build + search end-to-end (the index path a user takes when a
       // brute scan per query is too expensive; build amortizes across
       // queries — this times the worst case, build included)
-      val nswSec = best {
+      val nswCorpus = vecs
+        .withColumnRenamed("id", "vec_id").withColumnRenamed("v", "embedding")
+      val nswSpread = spreadOf {
         graft.operators.GraphAnn.searchTopK(
-          vecs.withColumnRenamed("id", "vec_id").withColumnRenamed("v", "embedding"),
-          "vec_id", "embedding", qvFull, k = 10,
+          nswCorpus, "vec_id", "embedding", qvFull, k = 10,
           numShards = Runtime.getRuntime.availableProcessors()).collect()
       }
+      val nswSec = nswSpread.head
+      // persisted-NSW amortization (VERDICT r5 missing #3): the graphs
+      // built once to disk, then served — vs the rebuild-per-call nswSec
+      val nswIdxPath = System.getProperty("java.io.tmpdir") + "/graft_nsw_bench"
+      val nswFs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      nswFs.delete(new org.apache.hadoop.fs.Path(nswIdxPath), true)
+      val nswBuildSec = time {
+        graft.operators.NswIndex.buildIfAbsent(
+          nswCorpus, "vec_id", "embedding", nswIdxPath,
+          numShards = Runtime.getRuntime.availableProcessors())
+      }
+      val nswServe = 5
+      val nswAmortSec = time {
+        (1 to nswServe).foreach { _ =>
+          graft.operators.NswIndex.searchTopK(
+            spark, nswIdxPath, qvFull, k = 10).collect()
+        }
+      } / nswServe
+      nswFs.delete(new org.apache.hadoop.fs.Path(nswIdxPath), true)
       vecs.unpersist()
       Some(
         s""""throughput":{"frame_rows":$frameRows,"frame_sec":$frameSec,""" +
@@ -173,7 +206,15 @@ object Bench {
         s""""scorer_docs":$scoredDocs,"scorer_sec":$scorerSec,""" +
         s""""scorer_docs_per_s":${(scoredDocs / scorerSec).toLong},""" +
         s""""knn_vectors":$knnN,"knn_sec":$knnSec,""" +
-        s""""nsw_build_search_sec":$nswSec}""")
+        s""""nsw_build_search_sec":$nswSec,""" +
+        s""""nsw_index":{"build_sec":${f"$nswBuildSec%.3f"},""" +
+        s""""query_amortized_sec":${f"$nswAmortSec%.4f"},""" +
+        s""""rebuild_per_query_sec":${f"$nswSec%.3f"}},""" +
+        s""""spread":{"frame":${spreadJson(frameSpread)},""" +
+        s""""narrow":${spreadJson(narrowSpread)},""" +
+        s""""scorer":${spreadJson(scorerSpread)},""" +
+        s""""knn":${spreadJson(knnSpread)},""" +
+        s""""nsw":${spreadJson(nswSpread)}}}""")
     } catch {
       case e: Throwable =>
         errors("__throughput") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -237,7 +278,9 @@ object Bench {
     val ivf = try {
       import graft.operators.IvfIndex
       val e = graft.sources.Tables.embeddings(spark, sfDir)
-      val cents = e.filter(col("vec_id") < 16)
+      val k = graft.queries.VectorQueries.ivfK(e.count())
+      val np = graft.queries.VectorQueries.ivfNprobe(k)
+      val cents = e.filter(col("vec_id") < k)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
       val path = System.getProperty("java.io.tmpdir") + "/graft_ivf_bench_" +
         sfDir.replaceAll("[^A-Za-z0-9]", "_")
@@ -249,7 +292,7 @@ object Bench {
       val amortSec = time {
         (1 to nQ).foreach { _ =>
           IvfIndex.searchTopK(spark, path,
-            graft.queries.VectorQueries.QueryVec, nprobe = 2, k = 5).collect()
+            graft.queries.VectorQueries.QueryVec, nprobe = np, k = 5).collect()
         }
       } / nQ
       val rebuildSec = best {
@@ -257,13 +300,168 @@ object Bench {
         // and re-derive the assignment, not hit the surface's plan memo
         SparkEntry.freshQueries("q_v6_ivf_ann")(spark, sfDir).collect()
       }
+      // int8-quantized variant (VERDICT r5 missing #2): cell bytes at
+      // rest vs the raw index, plus its amortized serve latency
+      val qPath = path + "_q"
+      fs.delete(new org.apache.hadoop.fs.Path(qPath), true)
+      val qBuildSec = time {
+        IvfIndex.buildIfAbsent(e, cents, qPath, quantize = true)
+      }
+      val qAmortSec = time {
+        (1 to nQ).foreach { _ =>
+          IvfIndex.searchTopK(spark, qPath,
+            graft.queries.VectorQueries.QueryVec, nprobe = np, k = 5).collect()
+        }
+      } / nQ
+      val rawBytes = IvfIndex.cellBytes(spark, path)
+      val qBytes = IvfIndex.cellBytes(spark, qPath)
       Some(f""""ivf_index":{"build_sec":$buildSec%.3f,""" +
         f""""query_amortized_sec":$amortSec%.4f,""" +
-        f""""rebuild_per_query_sec":$rebuildSec%.4f}""")
+        f""""rebuild_per_query_sec":$rebuildSec%.4f,""" +
+        s""""cell_bytes_raw":$rawBytes,"cell_bytes_int8":$qBytes,""" +
+        f""""int8_bytes_ratio":${qBytes.toDouble / math.max(rawBytes, 1L)}%.3f,""" +
+        f""""int8_build_sec":$qBuildSec%.3f,""" +
+        f""""int8_query_amortized_sec":$qAmortSec%.4f}""")
     } catch {
       case e: Throwable =>
         errors("__ivf_index") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         None
+    }
+    // ---- scaled-SF execution proof (VERDICT r5 next #3): the r5 claim
+    // "median_ratio_exec_heavy ~3 at sf0.1 is per-job scheduling floor
+    // that amortizes with data volume" — measured, not asserted. A
+    // 5x-replicated copy of the SF (keys shifted per replica so joins
+    // stay 1:1 and series counts grow like real SF growth; dimension
+    // tables kept single) is generated once into tmp, and the SAME
+    // heavy-subset exec-isolation ratio is measured there: if the floor
+    // amortizes, the scaled ratio drops toward (and under) 2.
+    def writeOracleJson(m: Map[String, String]): java.nio.file.Path = {
+      val tmp = java.nio.file.Files.createTempFile("graft_oracle", ".json")
+      java.nio.file.Files.write(tmp,
+        m.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+          .mkString("{", ",", "}").getBytes("UTF-8"))
+      tmp
+    }
+    def runDuckTimer(dir: String,
+        oracle: java.nio.file.Path): Option[Map[String, Double]] = {
+      val script = new java.io.File("tools/time_duckdb.py")
+      if (!script.exists()) None
+      else {
+        val proc = new ProcessBuilder(
+          "python3", script.getPath, dir, oracle.toString).start()
+        val outS = scala.io.Source.fromInputStream(proc.getInputStream).mkString.trim
+        val rc = proc.waitFor()
+        if (rc != 0 || outS.isEmpty) None
+        else {
+          val pair = """"([^"]+)":\s*(-?[0-9.eE+]+)""".r
+          Some(pair.findAllMatchIn(outS)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+        }
+      }
+    }
+    var scaledBlock: Option[String] = None
+    def scaledProof(duckSec: Map[String, Double],
+        rel: Map[String, String], writeJson: Map[String, String] => java.nio.file.Path,
+        runDuck: (String, java.nio.file.Path) => Option[Map[String, Double]]): Unit = try {
+      val mult = 5
+      val heavyNames = duckSec.toSeq.filter(_._2 >= 0.05).map(_._1).sorted
+      if (heavyNames.isEmpty) return
+      val scaledDir = System.getProperty("java.io.tmpdir") +
+        s"/graft_sfscaled_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}_x$mult"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(scaledDir, "_SCALED_READY")
+      val stamp =
+        s"mult=$mult,base_lineitem=${graft.sources.Tables.lineitem(spark, sfDir).count()}"
+      val current = fs.exists(marker) && {
+        val in = fs.open(marker)
+        val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                  finally in.close()
+        got == stamp
+      }
+      if (!current) {
+        fs.delete(new org.apache.hadoop.fs.Path(scaledDir), true)
+        // per-table key shifts: each replica is a DISJOINT copy of the
+        // base SF (FK pairs shifted together), so joins scale linearly
+        // — what real SF growth looks like. Dimension tables (empty
+        // shift list) are NOT replicated.
+        val shifts: Seq[(String, Seq[String])] = Seq(
+          "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+          "orders" -> Seq("o_orderkey", "o_custkey"),
+          "customer" -> Seq("c_custkey"),
+          "supplier" -> Seq("s_suppkey"),
+          "part" -> Seq("p_partkey"),
+          "events" -> Seq("event_id", "user_id"),
+          "documents" -> Seq("doc_id"),
+          "nation" -> Seq.empty, "region" -> Seq.empty)
+        shifts.foreach { case (t, keys) =>
+          val raw = graft.sources.Tables.load(spark, sfDir, t)
+          // events arrive as raw nanos longs under nanosAsLong; re-emit
+          // as micros timestamps so DuckDB can date_trunc them (this is
+          // a wall-time proof, not a hash gate)
+          val base0 =
+            if (t == "events" &&
+                raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+              raw.withColumn("ts",
+                expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+            else raw
+          val scaledDf =
+            if (keys.isEmpty) base0
+            else (0 until mult).map { c =>
+              keys.foldLeft(base0) { (df, kcol) =>
+                df.withColumn(kcol, col(kcol) + lit(c * 1000000000L))
+              }
+            }.reduce(_ unionByName _)
+          // single-file layout: both Tables.load and duckdb's
+          // read_parquet accept <dir>/<t>.parquet as a plain file
+          val tmpOut = new org.apache.hadoop.fs.Path(scaledDir, s"_tmp_$t")
+          scaledDf.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+          val partFile = fs.listStatus(tmpOut)
+            .find(_.getPath.getName.startsWith("part-"))
+            .getOrElse(throw new IllegalStateException(s"no part file for $t"))
+            .getPath
+          fs.rename(partFile, new org.apache.hadoop.fs.Path(scaledDir, s"$t.parquet"))
+          fs.delete(tmpOut, true)
+        }
+        val out = fs.create(marker, true)
+        try out.write(stamp.getBytes("UTF-8")) finally out.close()
+      }
+      val heavyRel = rel.view.filterKeys(heavyNames.contains).toMap
+      val duckScaled = runDuck(scaledDir, writeJson(heavyRel)).getOrElse(Map.empty)
+      val pairs = heavyNames.flatMap { n =>
+        val d = duckScaled.getOrElse(n, -1.0)
+        if (d <= 0) None
+        else SparkEntry.freshQueries.get(n).flatMap { fn =>
+          try {
+            fn(spark, scaledDir).collect() // warm tables/codegen for this dir
+            val planT = (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              fn(spark, scaledDir).queryExecution.executedPlan
+              (System.nanoTime() - t0) / 1e9
+            }.min
+            val callT = (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              fn(spark, scaledDir).collect()
+              (System.nanoTime() - t0) / 1e9
+            }.min
+            Some(n -> (math.max(callT - planT, 1e-4) / d, callT / d))
+          } catch { case _: Throwable => None }
+        }
+      }
+      def med(rs: Seq[Double]): Double = {
+        val s = rs.sorted; if (s.isEmpty) -1.0 else s(s.size / 2)
+      }
+      val execMed = med(pairs.map(_._2._1))
+      val freshMed = med(pairs.map(_._2._2))
+      scaledBlock = Some(
+        s""""duckdb_scaled":{"scale_mult":$mult,"base_sf":${jstr(sfDir)},""" +
+        s""""n_compared":${pairs.size},""" +
+        f""""median_ratio_exec_heavy":$execMed%.3f,""" +
+        f""""median_ratio_fresh_heavy":$freshMed%.3f}""")
+    } catch {
+      case e: Throwable =>
+        errors("__duckdb_scaled") =
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
     }
     // ---- DuckDB wall-time comparison (BASELINE.md "relational < 2x
     // DuckDB" — unmeasured through round 2). Benchmark tooling only: the
@@ -273,7 +471,7 @@ object Bench {
       val script = new java.io.File("tools/time_duckdb.py")
       if (!script.exists()) None
       else {
-        val prefixes = Seq("q_s", "q_p", "q_j", "q_u", "q_a", "q_w", "q_g", "q_t", "q_e3")
+        val prefixes = Seq("q_s", "q_p", "q_j", "q_u", "q_a", "q_w", "q_g", "q_t", "q_e2", "q_e3")
         val rel = SparkEntry.oracleSql
           .filter { case (n, _) => prefixes.exists(n.startsWith) }
         val tmp = java.nio.file.Files.createTempFile("graft_oracle", ".json")
@@ -295,13 +493,15 @@ object Bench {
           // must collect() too — a count() lets Catalyst prune final
           // projections and drop ORDER BYs, biasing the ratio in Spark's
           // favor (ADVICE r3). Best-of-3, same as the duck side; cold
-          // first-run numbers stay in `queries`. r5: SparkEntry.queries
-          // is itself plan-cached per (session, sfDir) — so this IS the
-          // engine's real repeated-call latency (planning paid once by
-          // the surface, the serving model of VERDICT r4 #9); the
-          // fresh-planning cost is isolated in execSec below.
+          // first-run numbers stay in `queries`. r6 (ADVICE r5): the
+          // HEADLINE ratio runs on FRESH lineage per rep — plan paid
+          // every rep, no memoized handle, no skipped shuffle stages —
+          // so it compares like-for-like work with DuckDB's full
+          // re-execution; the handle-reuse serving mode is reported
+          // separately as median_ratio_cached_*.
           val warmSec = duckSec.keys.toSeq.sorted.flatMap { n =>
-            SparkEntry.queries.get(n).map { fn =>
+            SparkEntry.freshQueries.get(n).map { fn =>
+              fn(spark, sfDir).collect() // warm tables/codegen once
               val t = (1 to 3).map { _ =>
                 val t0 = System.nanoTime()
                 fn(spark, sfDir).collect()
@@ -377,6 +577,7 @@ object Bench {
           val medianCachedHeavy = medianOf(
             cachedRatios.filter { case (n, _) => duckSec(n) >= 0.05 }.map(_._2))
           val medianCachedAll = medianOf(cachedRatios.map(_._2))
+          scaledProof(duckSec, rel, writeOracleJson, runDuckTimer)
           val over = ratios.filter(_._2 > 2.0).map(_._1)
           val warmJson = warmSec.toSeq.sortBy(_._1)
             .map { case (k, v) => s"${jstr(k)}:${f"$v%.4f"}" }.mkString("{", ",", "}")
@@ -400,18 +601,16 @@ object Bench {
             jstr("note") + ":" + jstr(
               "both sides fully materialize (collect/fetchall), warm, " +
               "best-of-N. median_ratio / median_ratio_heavy (heavy = " +
-              "DuckDB >= 50ms subset) measure per-call latency through " +
-              "the engine's plan-cached surface (SparkEntry.queries " +
-              "memoizes built DataFrames per session+sfDir, so repeated " +
-              "calls pay Catalyst once and may reuse materialized " +
-              "shuffle stages — real serving behavior on static data, " +
-              "stated openly). median_ratio_cached_*: the same handle-" +
-              "reuse mode measured explicitly. median_ratio_exec_heavy: " +
-              "fresh DataFrame (fresh RDD lineage, no skipped stages, no " +
-              "memo) per rep with separately measured planning time " +
-              "subtracted — the unbiased execution-vs-execution number " +
-              "(r4's version re-collected one handle and was biased by " +
-              "shuffle-stage reuse; ADVICE r4)") +
+              "DuckDB >= 50ms subset) now run on FRESH lineage per rep " +
+              "(plan paid every rep, no memoized handle, no skipped " +
+              "shuffle stages — like-for-like with DuckDB re-executing " +
+              "fully; ADVICE r5). median_ratio_cached_*: explicit " +
+              "handle-reuse serving mode (planning paid once, shuffle " +
+              "stages may be reused on static data). " +
+              "median_ratio_exec_heavy: fresh lineage with separately " +
+              "measured planning time subtracted — execution vs " +
+              "execution; see duckdb_scaled for the same number at a " +
+              "larger SF where the per-job floor amortizes") +
             "}")
         }
       }
@@ -432,7 +631,11 @@ object Bench {
     // Headline subset (QueryDef.bench = true): the heavy, scale-relevant ops.
     val headlineNames = SparkEntry.benchQueries.toSet
     val headline = batchTimed.filter(r => headlineNames(r._1)).map(_._2).sum
-    val extras = Seq(throughput, recall, ivf, duck).flatten
+    // after the sweeps, release every registered persisted intermediate
+    // (VERDICT r5 what's-wrong #2: fresh builds used to stack cached
+    // copies in the storage pool for the rest of the process)
+    ScratchCache.drain(spark)
+    val extras = Seq(throughput, recall, ivf, duck, scaledBlock).flatten
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","headline":$headline,""" +
       f""""streaming_harness_sec":$streamingSec%.3f,""" +
@@ -462,13 +665,16 @@ object Bench {
       pat.findAllMatchIn(d).map(m => s""""${m.group(1)}":${m.group(2)}""")
         .mkString("{", ",", "}")
     }.getOrElse("null")
+    val scaledC = scaledBlock.map(_.stripPrefix("\"duckdb_scaled\":"))
+      .getOrElse("null")
     println(
       s"""{"metric":"summary","value":$total,"unit":"sec","headline":$headline,""" +
       f""""streaming_harness_sec":$streamingSec%.3f,""" +
       s""""n_queries":${results.size},"n_failed":${errors.size},""" +
       s""""failed":[${errors.keys.map(jstr).mkString(",")}],""" +
       s""""slowest":$slowest,"throughput":$throughputC,""" +
-      s""""ann_recall":$recallC,"ivf_index":$ivfC,"duckdb":$duckC,"sf":${jstr(sfDir)}}""")
+      s""""ann_recall":$recallC,"ivf_index":$ivfC,"duckdb":$duckC,""" +
+      s""""duckdb_scaled":$scaledC,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
