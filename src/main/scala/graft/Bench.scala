@@ -363,69 +363,10 @@ object Bench {
     def scaledProof(duckSec: Map[String, Double],
         rel: Map[String, String], writeJson: Map[String, String] => java.nio.file.Path,
         runDuck: (String, java.nio.file.Path) => Option[Map[String, Double]]): Unit = try {
-      val mult = 5
+      val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "5").toInt
       val heavyNames = duckSec.toSeq.filter(_._2 >= 0.05).map(_._1).sorted
       if (heavyNames.isEmpty) return
-      val scaledDir = System.getProperty("java.io.tmpdir") +
-        s"/graft_sfscaled_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}_x$mult"
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(scaledDir, "_SCALED_READY")
-      val stamp =
-        s"mult=$mult,base_lineitem=${graft.sources.Tables.lineitem(spark, sfDir).count()}"
-      val current = fs.exists(marker) && {
-        val in = fs.open(marker)
-        val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                  finally in.close()
-        got == stamp
-      }
-      if (!current) {
-        fs.delete(new org.apache.hadoop.fs.Path(scaledDir), true)
-        // per-table key shifts: each replica is a DISJOINT copy of the
-        // base SF (FK pairs shifted together), so joins scale linearly
-        // — what real SF growth looks like. Dimension tables (empty
-        // shift list) are NOT replicated.
-        val shifts: Seq[(String, Seq[String])] = Seq(
-          "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
-          "orders" -> Seq("o_orderkey", "o_custkey"),
-          "customer" -> Seq("c_custkey"),
-          "supplier" -> Seq("s_suppkey"),
-          "part" -> Seq("p_partkey"),
-          "events" -> Seq("event_id", "user_id"),
-          "documents" -> Seq("doc_id"),
-          "nation" -> Seq.empty, "region" -> Seq.empty)
-        shifts.foreach { case (t, keys) =>
-          val raw = graft.sources.Tables.load(spark, sfDir, t)
-          // events arrive as raw nanos longs under nanosAsLong; re-emit
-          // as micros timestamps so DuckDB can date_trunc them (this is
-          // a wall-time proof, not a hash gate)
-          val base0 =
-            if (t == "events" &&
-                raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-              raw.withColumn("ts",
-                expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
-            else raw
-          val scaledDf =
-            if (keys.isEmpty) base0
-            else (0 until mult).map { c =>
-              keys.foldLeft(base0) { (df, kcol) =>
-                df.withColumn(kcol, col(kcol) + lit(c * 1000000000L))
-              }
-            }.reduce(_ unionByName _)
-          // single-file layout: both Tables.load and duckdb's
-          // read_parquet accept <dir>/<t>.parquet as a plain file
-          val tmpOut = new org.apache.hadoop.fs.Path(scaledDir, s"_tmp_$t")
-          scaledDf.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
-          val partFile = fs.listStatus(tmpOut)
-            .find(_.getPath.getName.startsWith("part-"))
-            .getOrElse(throw new IllegalStateException(s"no part file for $t"))
-            .getPath
-          fs.rename(partFile, new org.apache.hadoop.fs.Path(scaledDir, s"$t.parquet"))
-          fs.delete(tmpOut, true)
-        }
-        val out = fs.create(marker, true)
-        try out.write(stamp.getBytes("UTF-8")) finally out.close()
-      }
+      val scaledDir = graft.sources.ScaledTables.ensure(spark, sfDir, mult)
       val heavyRel = rel.view.filterKeys(heavyNames.contains).toMap
       val duckScaled = runDuck(scaledDir, writeJson(heavyRel)).getOrElse(Map.empty)
       val pairs = heavyNames.flatMap { n =>

@@ -1135,6 +1135,77 @@ object VectorQueries extends QueryPack {
               |FROM pairs GROUP BY id_b
               |ORDER BY vec_id""".stripMargin)),
 
+    // V9b — SemDeDup k ↔ recall sweep, ORACLED (the q_v6c analog for the
+    // dedup path; VERDICT r5 next #9): for k ∈ {4, 16, 64} cells, the
+    // fraction of the 25 injected near-identical copies whose original
+    // is found as a cell-mate. Bigger k → smaller cells → linear pair
+    // space (what r6's ivfK buys) but more pairs split across cell
+    // boundaries — the paper's accepted recall trade, here MEASURED so
+    // a user picking TargetCellRows sees what it costs. Every (k,
+    // recovered) row is hash-checked against DuckDB.
+    QueryDef(
+      "q_v9b_semdedup_k_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.embeddings(s, dir)
+          .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
+        val copies = base.filter(col("vec_id") < 25)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("emb"), x => x + 0.01).as("emb"))
+        val u = base.unionByName(copies)
+        val sweep = Seq(4, 16, 64).map { k =>
+          val cents = u.filter(col("vec_id") < k)
+            .select(col("vec_id").as("cent_id"), col("emb").as("cvec"))
+          val cells = graft.operators.IvfIndex.assignCells(
+            u.select(col("vec_id"), lit(0).as("label"), col("emb").as("embedding")), cents)
+            .select(col("vec_id"), col("embedding"), col("cent_id"))
+          val recovered = cells.as("a").join(cells.as("b"),
+              col("a.cent_id") === col("b.cent_id") &&
+              col("a.vec_id") + 1000000L === col("b.vec_id"))
+            .filter(cosine(col("a.embedding"), col("b.embedding")) > 0.95)
+            .agg(count(lit(1)).as("n_recovered"))
+          recovered.select(lit(k).as("k"), col("n_recovered"))
+        }.reduce(_ unionByName _)
+        sweep
+          .select(col("k"), col("n_recovered"),
+            round(col("n_recovered") / lit(25.0), 6).as("recall"))
+          .orderBy("k")
+      },
+      Some(s"""WITH u AS (
+              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+              |  FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 1000000,
+              |         list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01)
+              |  FROM embeddings WHERE vec_id < 25
+              |), ks AS (SELECT unnest([4, 16, 64]) AS k
+              |), sweep AS (
+              |  SELECT ks.k, x.n_recovered
+              |  FROM ks CROSS JOIN LATERAL (
+              |    SELECT count(*) AS n_recovered FROM (
+              |      SELECT vec_id, emb, cent_id
+              |      FROM (SELECT u.vec_id, u.emb, c.cent_id,
+              |                   row_number() OVER (PARTITION BY u.vec_id
+              |                     ORDER BY ${cosineSql("u.emb", "c.cvec")} DESC,
+              |                              c.cent_id) AS rk
+              |            FROM u, (SELECT vec_id AS cent_id, emb AS cvec
+              |                     FROM u WHERE vec_id < ks.k) c) t
+              |      WHERE rk = 1) a
+              |    JOIN (
+              |      SELECT vec_id, emb, cent_id
+              |      FROM (SELECT u.vec_id, u.emb, c.cent_id,
+              |                   row_number() OVER (PARTITION BY u.vec_id
+              |                     ORDER BY ${cosineSql("u.emb", "c.cvec")} DESC,
+              |                              c.cent_id) AS rk
+              |            FROM u, (SELECT vec_id AS cent_id, emb AS cvec
+              |                     FROM u WHERE vec_id < ks.k) c) t
+              |      WHERE rk = 1) b
+              |      ON a.cent_id = b.cent_id AND a.vec_id + 1000000 = b.vec_id
+              |    WHERE ${cosineSql("a.emb", "b.emb")} > 0.95) x
+              |)
+              |SELECT k, n_recovered, round(n_recovered / 25.0, 6) AS recall
+              |FROM sweep ORDER BY k""".stripMargin)),
+
     // V5 — embedding-cosine near-duplicate pairs. The corpus is augmented
     // with perturbed copies of the first 25 vectors (deterministic +0.01
     // shift, ids offset by 1e6) so near-dups exist; candidate pairs come
