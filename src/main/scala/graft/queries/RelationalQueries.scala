@@ -267,18 +267,33 @@ object RelationalQueries extends QueryPack {
       bench = true),
 
     // J1b — 5-way star join: fact table streams, all dims broadcast.
+    // r6: the fact side PRE-AGGREGATES by its join key before the
+    // orders join (~4 lineitem rows collapse per order), so the join
+    // shuffles a quarter of the rows AND the groupBy's exchange is
+    // reused by the join (same key) — at 10× sf0.1 this was the
+    // scaled comparison's worst outlier (8.2× DuckDB) from shuffling
+    // the full 6M-row fact table. Decimal partial sums re-sum exactly,
+    // so results are bit-identical to the unaggregated form.
     QueryDef(
       "q_j1b_star_join",
-      (s, dir) => Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"))
-        .agg(
-          count(lit(1)).as("n_lines"),
-          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-        .orderBy("r_name"),
+      (s, dir) => {
+        val lagg = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(
+            count(lit(1)).as("ln"),
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast(DecimalType(18, 4))).as("lrev"))
+        lagg
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(
+            sum(col("ln")).as("n_lines"),
+            sum(col("lrev")).cast(DoubleType).as("revenue"))
+          .orderBy("r_name")
+      },
       Some("""SELECT r_name, count(*) AS n_lines,
                      """ + moneySumSql("l_extendedprice * (1.0 - l_discount)") + """ AS revenue
               FROM lineitem

@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions._
   * date_trunc it — this corpus is a wall-time instrument, not a hash
   * gate.
   *
-  * Layout: single parquet FILE per table (`<dir>/<t>.parquet`), readable
-  * by both Tables.load and duckdb's read_parquet; `_SCALED_READY` marker
-  * carries (mult, base row count) so regeneration only happens when the
-  * base SF changes.
+  * Layout: a multi-file parquet DIRECTORY per table
+  * (`<dir>/<t>.parquet/part-*.parquet`) — a single 100+ MB file is ONE
+  * Spark scan split (`files.maxPartitionBytes`), which would serialize
+  * the scan while DuckDB parallelizes row groups internally; 16 files
+  * give both engines their natural parallelism (tools/time_duckdb.py
+  * globs directories). `_SCALED_READY` carries (layout, mult, base row
+  * count) so regeneration only happens when the base SF or layout
+  * changes.
   */
 object ScaledTables {
 
@@ -42,7 +46,8 @@ object ScaledTables {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val marker = new Path(scaledDir, "_SCALED_READY")
-    val stamp = s"mult=$mult,base_lineitem=${Tables.lineitem(spark, sfDir).count()}"
+    val stamp =
+      s"v2,mult=$mult,base_lineitem=${Tables.lineitem(spark, sfDir).count()}"
     val current = fs.exists(marker) && {
       val in = fs.open(marker)
       val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -66,14 +71,9 @@ object ScaledTables {
             df.withColumn(kcol, col(kcol) + lit(c * 1000000000L))
           }
         }.reduce(_ unionByName _)
-      val tmpOut = new Path(scaledDir, s"_tmp_$t")
-      scaledDf.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
-      val partFile = fs.listStatus(tmpOut)
-        .find(_.getPath.getName.startsWith("part-"))
-        .getOrElse(throw new IllegalStateException(s"no part file for $t"))
-        .getPath
-      fs.rename(partFile, new Path(scaledDir, s"$t.parquet"))
-      fs.delete(tmpOut, true)
+      val out =
+        if (keys.isEmpty) scaledDf.coalesce(1) else scaledDf.repartition(16)
+      out.write.mode("overwrite").parquet(s"$scaledDir/$t.parquet")
     }
     val out = fs.create(marker, true)
     try out.write(stamp.getBytes("UTF-8")) finally out.close()

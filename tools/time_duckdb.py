@@ -49,7 +49,10 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
+        if p.is_dir():  # Spark-written multi-file table (scaled replicas)
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads(Path(oracle_path).read_text())
     out = {}
