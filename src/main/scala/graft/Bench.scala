@@ -189,7 +189,14 @@ object Bench {
           nswCorpus, "vec_id", "embedding", nswIdxPath,
           numShards = Runtime.getRuntime.availableProcessors())
       }
-      val nswServe = 5
+      // first serve pays the one-time load (scan + shard shuffle +
+      // per-executor graph reconstruction); steady state is a beam walk
+      // over resident graphs — report both, they are different numbers
+      val nswFirstSec = time {
+        graft.operators.NswIndex.searchTopK(
+          spark, nswIdxPath, qvFull, k = 10).collect()
+      }
+      val nswServe = 4
       val nswAmortSec = time {
         (1 to nswServe).foreach { _ =>
           graft.operators.NswIndex.searchTopK(
@@ -208,6 +215,7 @@ object Bench {
         s""""knn_vectors":$knnN,"knn_sec":$knnSec,""" +
         s""""nsw_build_search_sec":$nswSec,""" +
         s""""nsw_index":{"build_sec":${f"$nswBuildSec%.3f"},""" +
+        s""""first_search_sec":${f"$nswFirstSec%.3f"},""" +
         s""""query_amortized_sec":${f"$nswAmortSec%.4f"},""" +
         s""""rebuild_per_query_sec":${f"$nswSec%.3f"}},""" +
         s""""spread":{"frame":${spreadJson(frameSpread)},""" +
