@@ -294,7 +294,15 @@ object PipelineQueries extends QueryPack {
         lit("<h1 class=\"t\">"),
         concat_ws(" ", col("source"), col("lang"), substring(col("text"), 1, 30)),
         lit("</h1><!-- meta > -->"))))
-    // dedup-on-write (the X3 fix): newest fetch wins per content print
+    // dedup-on-write (the X3 fix): newest fetch wins per content print.
+    // Shape note (measured at 10× sf0.1): the window exchanges the wide
+    // article rows once (~4 s of 9.6 s) — but the "narrower" groupBy +
+    // join-back alternative is WORSE (22.7 s): feeding the stripped
+    // columns into two join branches clones the HtmlStrip subtree into
+    // every consumer (10 strip instances in the optimized plan vs 2),
+    // because without the exchange barrier project-collapse re-inlines
+    // the expression per use. The window's exchange doubles as the
+    // materialization point for content/title_desc.
     val byFp = Window.partitionBy("fp")
     val deduped = articles
       .withColumn("fp", md5(normalizeText(col("content")).cast("binary")))
