@@ -1206,6 +1206,123 @@ object VectorQueries extends QueryPack {
               |SELECT k, n_recovered, round(n_recovered / 25.0, 6) AS recall
               |FROM sweep ORDER BY k""".stripMargin)),
 
+    // V10 — PRODUCT QUANTIZATION with ADC scoring (Jégou et al. 2011,
+    // the standard 100 TB ANN storage form; VERDICT r5 next #9
+    // stretch): the 64-dim space splits into 8 subspaces × 8 dims; each
+    // subspace has a 16-entry codebook (sampled deterministically from
+    // the corpus — the PQ analog of q_v6's sampled centroids, which
+    // keeps the whole train+encode+score pipeline SQL-mirrorable where
+    // k-means codebooks would not be); a vector encodes to 8 four-bit
+    // codes (4 BYTES at rest vs 256 for raw floats — 64×), and the
+    // query scores candidates via Asymmetric Distance Computation: the
+    // 8×16 query-to-codeword dot products and codeword norms are
+    // precomputed ON THE DRIVER (128 doubles — the classic ADC lookup
+    // table), so per-row scoring is 8 array lookups + a fixed-order
+    // sum, fully codegen'd, no vector arithmetic in the hot loop.
+    // Output: approx top-5 WITH exact scores per row, so PQ error is
+    // measured like q_v7 (int8) and q_v6f — hash-verified end-to-end.
+    QueryDef(
+      "q_v10_pq_adc",
+      (s, dir) => {
+        val S = 8; val D = 8; val K = 16
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("emb"))
+        // codebooks: subspace s entry j = vector j's s-th slice
+        val donors = e.filter(col("vec_id") < K).orderBy("vec_id").collect()
+          .map(_.getSeq[Double](2).toArray)
+        val cb = Array.tabulate(S, K, D)((s0, j, i) => donors(j)(s0 * D + i))
+        // driver-side ADC tables: qdot[s][j] = <q_s, cb[s][j]>,
+        // cn2[s][j] = ||cb[s][j]||² — left-assoc folds, mirrored in SQL
+        val qv = QueryVec
+        val adc = Array.tabulate(S, K) { (s0, j) =>
+          (0 until D).map(i => qv(s0 * D + i) * cb(s0)(j)(i)).reduceLeft(_ + _)
+        }
+        val cn2 = Array.tabulate(S, K) { (s0, j) =>
+          (0 until D).map(i => cb(s0)(j)(i) * cb(s0)(j)(i)).reduceLeft(_ + _)
+        }
+        val qNorm = math.sqrt(qv.map(x => x * x).reduceLeft(_ + _))
+        // encode: per subspace, argmin_j ||v_s − cb[s][j]||² (ties → j)
+        def codeOf(s0: Int): Column =
+          array_min(array((0 until K).map { j =>
+            val dist = (0 until D).map { i =>
+              val d = element_at(col("emb"), s0 * D + i + 1) - lit(cb(s0)(j)(i))
+              d * d
+            }.reduceLeft(_ + _)
+            struct(dist.as("dist"), lit(j).as("j"))
+          }: _*)).getField("j")
+        val coded = e.select(
+          col("vec_id") +: col("label") +:
+          (0 until S).map(s0 => codeOf(s0).as(s"c$s0")): _*)
+        // ADC score: 8 lookups into the driver tables, fixed-order sum
+        val dot = (0 until S).map(s0 =>
+          element_at(typedLit(adc(s0).toSeq), col(s"c$s0") + 1)).reduceLeft(_ + _)
+        val n2 = (0 until S).map(s0 =>
+          element_at(typedLit(cn2(s0).toSeq), col(s"c$s0") + 1)).reduceLeft(_ + _)
+        val top = coded
+          .withColumn("approx", dot / (lit(qNorm) * sqrt(n2)))
+          .orderBy(desc("approx"), col("vec_id"))
+          .limit(5)
+        top
+          .join(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+            Seq("vec_id"))
+          .withColumn("exact", cosine(col("embedding"), typedLit(qv)))
+          .select(col("vec_id"), col("label"),
+            round(col("approx"), 6).as("approx_score"),
+            round(col("exact"), 6).as("exact_score"),
+            round(abs(round(col("approx"), 6) - round(col("exact"), 6)), 6).as("abs_err"))
+          .orderBy(desc("approx_score"), col("vec_id"))
+      },
+      Some {
+        val qn = graft.operators.VectorOps.dl(
+          math.sqrt(QueryVec.map(x => x * x).reduceLeft(_ + _)))
+        def sq(i: Int) =
+          s"(e.emb[ss.s*8+$i]-cb.emb[ss.s*8+$i])*(e.emb[ss.s*8+$i]-cb.emb[ss.s*8+$i])"
+        val distSql = (1 to 8).map(sq).mkString(" + ")
+        val qdotSql = (1 to 8).map(i =>
+          s"qq.qv[c.s*8+$i]*cb.emb[c.s*8+$i]").mkString(" + ")
+        val cn2Sql = (1 to 8).map(i =>
+          s"cb.emb[c.s*8+$i]*cb.emb[c.s*8+$i]").mkString(" + ")
+        s"""WITH e AS (
+           |  SELECT vec_id, label,
+           |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           |  FROM embeddings
+           |), cb AS (SELECT vec_id AS j, emb FROM e WHERE vec_id < 16
+           |), ss AS (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS INT) AS s
+           |), qq AS (SELECT $qvSql AS qv
+           |), codes AS (
+           |  SELECT vec_id, label, s, j AS code FROM (
+           |    SELECT e.vec_id, e.label, ss.s, cb.j,
+           |           row_number() OVER (PARTITION BY e.vec_id, ss.s
+           |             ORDER BY $distSql, cb.j) AS rk
+           |    FROM e, ss, cb) t
+           |  WHERE rk = 1
+           |), terms AS (
+           |  SELECT c.vec_id, c.label, c.s,
+           |         $qdotSql AS qdot,
+           |         $cn2Sql AS cnorm2
+           |  FROM codes c JOIN cb ON cb.j = c.code CROSS JOIN qq
+           |), scored AS (
+           |  SELECT vec_id, any_value(label) AS label,
+           |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |           list(qdot ORDER BY s)), (a, b) -> a + b) AS dot,
+           |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |           list(cnorm2 ORDER BY s)), (a, b) -> a + b) AS n2
+           |  FROM terms GROUP BY vec_id
+           |), top AS (
+           |  SELECT s.vec_id, s.label,
+           |         s.dot / ($qn * sqrt(s.n2)) AS approx,
+           |         ${cosineSql("e.emb", qvSql)} AS exact
+           |  FROM scored s JOIN e ON e.vec_id = s.vec_id
+           |  ORDER BY approx DESC, s.vec_id LIMIT 5
+           |)
+           |SELECT vec_id, label,
+           |       round(approx, 6) AS approx_score,
+           |       round(exact, 6) AS exact_score,
+           |       round(abs(round(approx, 6) - round(exact, 6)), 6) AS abs_err
+           |FROM top ORDER BY round(approx, 6) DESC, vec_id""".stripMargin
+      }),
+
     // V5 — embedding-cosine near-duplicate pairs. The corpus is augmented
     // with perturbed copies of the first 25 vectors (deterministic +0.01
     // shift, ids offset by 1e6) so near-dups exist; candidate pairs come
