@@ -99,6 +99,53 @@ object MultimodalQueries extends QueryPack {
              |FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // MM4 — RESIZE (the remaining multimodal op of the builder brief:
+    // decode / feature-extract / resize / frame-sample): nearest-
+    // neighbor downsample of the container's byte grid to 16×16. The
+    // pixel decode itself is the brief's sanctioned deterministic fake
+    // (no image libs in this container — the "pixel" at (x, y) is the
+    // payload byte at the grid index, wrapped modulo payload length);
+    // everything Spark-side is real plumbing: the source geometry comes
+    // from the same doc_id encode rule as q_mm2's GRFT header, the
+    // index arithmetic is pure int ops inside codegen, and the 256
+    // sampled bytes reassemble per row with no shuffle. Fully oracled —
+    // DuckDB re-derives every sampled byte with identical arithmetic.
+    QueryDef(
+      "q_mm4_resize",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("src_w", (col("doc_id") % 1280 + 64).cast("int"))
+        .withColumn("src_h", (col("doc_id") % 720 + 64).cast("int"))
+        .withColumn("resized", expr(
+          """array_join(transform(sequence(0, 255), i ->
+            |  substring(text,
+            |    CAST((((i div 16) * src_h div 16) * src_w
+            |          + ((i % 16) * src_w div 16))
+            |         % greatest(length(text), 1) AS INT) + 1,
+            |    1)), '')""".stripMargin))
+        .select(col("doc_id"), col("src_w"), col("src_h"),
+          lit(16).as("out_w"), lit(16).as("out_h"),
+          md5(col("resized").cast("binary")).as("resized_md5"),
+          substring(col("resized"), 1, 16).as("head"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, src_w, src_h, 16 AS out_w, 16 AS out_h,
+             |       md5(resized) AS resized_md5,
+             |       substring(resized, 1, 16) AS head
+             |FROM (
+             |  SELECT doc_id, src_w, src_h,
+             |         list_aggregate(list_transform(range(0, 256),
+             |           i -> substring(text,
+             |                  CAST((((i // 16) * src_h // 16) * src_w
+             |                        + ((i % 16) * src_w // 16))
+             |                       % greatest(length(text), 1) AS INT) + 1,
+             |                  1)),
+             |           'string_agg', '') AS resized, text
+             |  FROM (SELECT doc_id, text,
+             |               CAST(doc_id % 1280 + 64 AS INT) AS src_w,
+             |               CAST(doc_id % 720 + 64 AS INT) AS src_h
+             |        FROM documents) g
+             |) t
+             |ORDER BY doc_id""".stripMargin)),
+
     // MM3 — frame sampling over a synthetic "video": 64-byte frames,
     // every 4th kept; per-frame checksum. Pure byte slicing — oracled.
     QueryDef(
