@@ -1221,6 +1221,16 @@ object VectorQueries extends QueryPack {
     // sum, fully codegen'd, no vector arithmetic in the hot loop.
     // Output: approx top-5 WITH exact scores per row, so PQ error is
     // measured like q_v7 (int8) and q_v6f — hash-verified end-to-end.
+    //
+    // Cost note (measured sf0.1): the encode projection inlines
+    // 8 subspaces × 16 codewords × 8-term distances (~2k expression
+    // nodes); whole-stage codegen compiles it but the generated method
+    // is past JIT-friendly size, so per-row encode is ~ms-scale —
+    // fine for the oracled demonstration, and encode is a build-time
+    // (not serve-time) cost in a real index. The production path is a
+    // fused Catalyst Expression (doGenCode with a codebook loop, the
+    // HashEmbed pattern) or mapPartitions over primitive arrays; ADC
+    // SERVING cost (8 array lookups/row) is already the cheap part.
     QueryDef(
       "q_v10_pq_adc",
       (s, dir) => {
