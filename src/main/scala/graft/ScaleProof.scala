@@ -35,8 +35,12 @@ object ScaleProof {
     java.nio.file.Files.write(tmp,
       rel.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
         .mkString("{", ",", "}").getBytes("UTF-8"))
+    // merge stderr into stdout (ADVICE r6): an undrained stderr pipe can
+    // fill and deadlock both processes; the regex scan below tolerates
+    // any interleaved warning lines.
     val proc = new ProcessBuilder(
-      "python3", "tools/time_duckdb.py", scaledDir, tmp.toString).start()
+      "python3", "tools/time_duckdb.py", scaledDir, tmp.toString)
+      .redirectErrorStream(true).start()
     val outS = scala.io.Source.fromInputStream(proc.getInputStream).mkString.trim
     require(proc.waitFor() == 0 && outS.nonEmpty, "time_duckdb.py failed")
     val pair = """"([^"]+)":\s*(-?[0-9.eE+]+)""".r

@@ -18,7 +18,7 @@ import VectorOps.cosine
   * {{{
   *   <path>/centroids/           (cent_id BIGINT, cvec ARRAY<double-ish>)
   *   <path>/cells/cent_id=<c>/   corpus rows partitioned by cell id
-  *   <path>/_INDEX_READY         marker: "v1,count=<corpus rows>"
+  *   <path>/_INDEX_READY         marker: "v1,k=<cells>,count=<corpus rows>"
   * }}}
   *
   * Scale shape: the build is one narrow argmax assignment pass plus one
@@ -60,6 +60,12 @@ object IvfIndex {
     val in = fs.open(marker)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
+
+  private def markerField(stamp: String, key: String): Long =
+    stamp.split(",").collectFirst {
+      case kv if kv.startsWith(key + "=") => kv.substring(key.length + 1).toLong
+    }.getOrElse(throw new IllegalStateException(
+      s"IvfIndex: no $key in marker '$stamp'"))
 
   /** Nearest-centroid assignment of `e` (vec_id, label, embedding)
     * against a centroid table (cent_id, cvec): the k×dim centroid set
@@ -109,7 +115,11 @@ object IvfIndex {
       val root = new Path(path)
       val marker = new Path(root, Marker)
       val layout = if (quantize) QuantLayoutVersion else LayoutVersion
-      val stamp = s"$layout,count=${e.count()}"
+      // k is part of the stamp (ADVICE r6): a quantizer-sizing change
+      // (e.g. ivfK(n) growing past a previously-built constant k) must
+      // invalidate the persisted cell geometry, or searches probe stale
+      // cells while the oracle computes the new ones.
+      val stamp = s"$layout,k=${cents.count()},count=${e.count()}"
       if (fs.exists(marker) && readMarker(fs, marker) == stamp) return
       // unique tmp per attempt (ADVICE r5): a fixed ".build" path lets two
       // concurrent first builds interleave delete/write/rename and corrupt
@@ -164,9 +174,12 @@ object IvfIndex {
                   else assigned
       cells.write.mode("append").partitionBy("cent_id")
         .parquet(s"$path/cells")
-      val oldCount = old.split("count=")(1).toLong
+      val oldCount = markerField(old, "count")
+      // re-derive k from the stored centroid table (tiny) rather than the
+      // old marker: also normalizes pre-k-stamp legacy markers on append.
       val out = fs.create(marker, true)
-      try out.write(s"$layout,count=${oldCount + added}".getBytes("UTF-8"))
+      try out.write(
+        s"$layout,k=${cents.count()},count=${oldCount + added}".getBytes("UTF-8"))
       finally out.close()
     }
 
