@@ -128,11 +128,12 @@ object Bench {
         .drop("copy_i")
       val scoredDocs = nDocs * copies
       def scorerPlan(in: org.apache.spark.sql.DataFrame) = {
-        val withC = graft.operators.Scorers.withFieldStats(in, "c", col("text"))
+        val withC = graft.operators.Scorers.withFieldStats(
+          in, "c", col("text"), keepTh = true)
         val staged = graft.operators.Scorers.withFieldStats(
           withC, "t", substring(col("text"), 1, 80))
         staged
-          .withColumn("th", graft.operators.Scorers.tokenHashes(col("text")))
+          .withColumn("th", col("c_th"))
           .withColumn("raw", graft.operators.Scorers.rawEmbeddingFromHashes(col("th"), 16))
           .select(col("doc_id"), col("c_pos"), col("c_neg"), col("t_pos"),
             col("t_neg"), element_at(col("raw"), 1).as("e0"))

@@ -149,6 +149,16 @@ object GraftSession {
           (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
             graft.functions.HtmlStrip(children.head)))
         ext.injectFunction((
+          FunctionIdentifier("graft_norm"),
+          new ExpressionInfo(classOf[graft.functions.Normalize].getName, "graft_norm"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            graft.functions.Normalize(children.head)))
+        ext.injectFunction((
+          FunctionIdentifier("graft_field_stats"),
+          new ExpressionInfo(classOf[graft.functions.FieldStats].getName, "graft_field_stats"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            graft.functions.FieldStats(children.head)))
+        ext.injectFunction((
           FunctionIdentifier("graft_token_hashes"),
           new ExpressionInfo(classOf[graft.functions.TokenHashes].getName, "graft_token_hashes"),
           (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

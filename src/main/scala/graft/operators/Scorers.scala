@@ -113,23 +113,33 @@ object Scorers {
   def negCountSql(toks: String): String =
     s"len(list_filter($toks, t -> list_contains($negList, t)))"
 
+  /** Fused per-field statistics: `graft_field_stats(text)` — ONE byte
+    * pass producing struct(pos, neg, hash, th); see
+    * [[graft.functions.FieldStats]] for the exact-parity contract with
+    * the composed normalize→tokenize→count/hash pipeline it replaces
+    * (VERDICT r6 next #1 — the q_e2 scoring fan-out outlier). */
+  def fieldStats(text: Column): Column =
+    call_function("graft_field_stats", text)
+
   /** Materialize the per-field scoring statistics once: given a text
     * column, adds `<p>_pos`, `<p>_neg` (lexicon counts) and `<p>_hash`
-    * (polyHash of the normalized text). All models then score from these
-    * three cheap columns — one tokenize+hash per field total, exactly
-    * like the oracle SQL's `counts` CTE.
+    * (polyHash of the normalized text); with `keepTh` also `<p>_th`
+    * (per-token hashes — the M2 embedding input). All models then score
+    * from these cheap columns. Backed by the single-pass
+    * [[graft.functions.FieldStats]] expression: the struct is computed
+    * once per row (CollapseProject never clones a non-cheap expression
+    * used by several consumers), so the WHOLE fan-out costs one text
+    * traversal per field, with no regex anywhere.
     */
   def withFieldStats(df: org.apache.spark.sql.DataFrame, p: String,
-      text: Column): org.apache.spark.sql.DataFrame = {
-    // one codegen'd pass for both lexicon counts (the per-token lambda
-    // dispatch of the HOF filter form dominated the 100k-doc sweep)
-    val lcCol = s"${p}_lc"
-    df.withColumn(lcCol,
-        call_function("graft_lexcount", tokens(normalizeText(text))))
-      .withColumn(s"${p}_pos", element_at(col(lcCol), 1))
-      .withColumn(s"${p}_neg", element_at(col(lcCol), 2))
-      .withColumn(s"${p}_hash", polyHash(normalizeText(text)))
-      .drop(lcCol)
+      text: Column, keepTh: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val fs = s"${p}_fs"
+    val base = df.withColumn(fs, fieldStats(text))
+      .withColumn(s"${p}_pos", col(s"$fs.pos"))
+      .withColumn(s"${p}_neg", col(s"$fs.neg"))
+      .withColumn(s"${p}_hash", col(s"$fs.hash"))
+    (if (keepTh) base.withColumn(s"${p}_th", col(s"$fs.th")) else base)
+      .drop(fs)
   }
 
   // ------------------------------------------------------------ M2

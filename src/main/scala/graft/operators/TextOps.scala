@@ -54,8 +54,17 @@ object TextOps {
        |  (a, b) -> (a * 31 + b) % ${HashP})""".stripMargin
 
   /** Lowercase, strip non-[a-z0-9 ], collapse runs of spaces, trim —
-    * the canonical normalization before fingerprint/dedup. */
-  def normalizeText(c: Column): Column =
+    * the canonical normalization before fingerprint/dedup. r7: backed by
+    * the single-pass codegen'd [[graft.functions.Normalize]] (one byte
+    * scan instead of two interpreted regex traversals — this sits under
+    * every dedup fingerprint and q_e2's pre-window `fp`); byte-identical
+    * to the regex form on ASCII, which the corpus and the oracles'
+    * polyhash mirror already require (FieldStatsSpec asserts parity). */
+  def normalizeText(c: Column): Column = call_function("graft_norm", c)
+
+  /** The regex form of [[normalizeText]] (the oracle-SQL semantics
+    * verbatim; parity cross-check in FieldStatsSpec). */
+  def normalizeTextRegex(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
 
   def normalizeTextSql(c: String): String =

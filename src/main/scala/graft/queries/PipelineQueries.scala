@@ -310,10 +310,14 @@ object PipelineQueries extends QueryPack {
       .withColumn("n_dups", count(lit(1)).over(byFp))
       .filter(col("fetch_id") === col("best_fetch"))
     // semantic_analysis: M4 fan-out with M3's per-row fallback channel
-    val withC = Scorers.withFieldStats(deduped, "c", col("content"))
+    // r7: the whole fan-out reads from TWO single-pass fused stats
+    // structs (pos/neg/hash/th per field — functions.FieldStats); the
+    // old shape re-traversed content ~3× through regex normalizes
+    // (VERDICT r6 wrong #1, the ×10-scale outlier)
+    val withC = Scorers.withFieldStats(deduped, "c", col("content"), keepTh = true)
     val withT = Scorers.withFieldStats(withC, "t", col("title_desc"))
     withT
-      .withColumn("th", tokenHashes(col("content")))
+      .withColumn("th", col("c_th"))
       .withColumn("raw", rawEmbeddingFromHashes(col("th"), 16))
       .withColumn("n", l2Norm(col("raw")))
       .select(

@@ -174,10 +174,10 @@ object ScorerQueries extends QueryPack {
         val base = Tables.documents(s, dir)
           .withColumn("content", stripped)
           .withColumn("title", substring(col("content"), 1, 80))
-        val withC = Scorers.withFieldStats(base, "c", col("content"))
+        val withC = Scorers.withFieldStats(base, "c", col("content"), keepTh = true)
         val withT = Scorers.withFieldStats(withC, "t", col("title"))
         withT
-          .withColumn("th", tokenHashes(col("content")))
+          .withColumn("th", col("c_th"))
           .withColumn("raw", rawEmbeddingFromHashes(col("th"), 16))
           .withColumn("n", l2Norm(col("raw")))
           .select(
