@@ -157,8 +157,16 @@ object GraphAnn {
       * as `vecs`), skipping [[build]] — the serve-from-disk path. */
     def withAdjacency(rows: IndexedSeq[Array[Int]]): this.type = {
       require(rows.length == n, s"adjacency rows ${rows.length} != nodes $n")
+      withAdjacencyPrefix(rows)
+    }
+
+    /** Install a prebuilt adjacency for the FIRST `rows.length` nodes
+      * only — the incremental-append start state: the old shard graph
+      * occupies the prefix, [[insertFrom]] then links the suffix in. */
+    def withAdjacencyPrefix(rows: IndexedSeq[Array[Int]]): this.type = {
+      require(rows.length <= n, s"adjacency rows ${rows.length} > nodes $n")
       var i = 0
-      while (i < n) {
+      while (i < rows.length) {
         val r = rows(i)
         require(r.length <= maxDeg, s"node $i degree ${r.length} > cap $maxDeg")
         System.arraycopy(r, 0, adj(i), 0, r.length)
@@ -168,11 +176,15 @@ object GraphAnn {
       this
     }
 
-    /** NSW construction: insert nodes in order, linking each to its `m`
-      * nearest among the already-inserted (found via the beam search over
-      * the partial graph — the graph bootstraps its own navigability). */
-    def build(): this.type = {
-      var i = 1
+    /** Insert nodes [start, n) into the graph over [0, start) using the
+      * standard NSW insertion (beam search for the m nearest, then
+      * bidirectional links with degree pruning). `insertFrom(k)` on a
+      * graph whose first k nodes were built in the same order is
+      * IDENTICAL to a from-scratch [[build]] of all n — the append path
+      * ([[NswIndex.append]]) relies on this for batch-build parity when
+      * ingested ids ascend. */
+    def insertFrom(start: Int): this.type = {
+      var i = math.max(start, 1) // node 0 is the seed, never "inserted"
       while (i < n) {
         val nbrs = search(vecs(i), math.max(params.efConstruction, params.m))
         var t = 0
@@ -186,6 +198,11 @@ object GraphAnn {
       }
       this
     }
+
+    /** NSW construction: insert nodes in order, linking each to its `m`
+      * nearest among the already-inserted (found via the beam search over
+      * the partial graph — the graph bootstraps its own navigability). */
+    def build(): this.type = insertFrom(1)
   }
 
   private val outSchema = StructType(Seq(
