@@ -46,8 +46,16 @@ object GraphAnn {
   /** `m`: links added per inserted node (degree cap 2m). `efConstruction`
     * / `efSearch`: beam widths for insertion and query search. Defaults
     * scaled down from the reference's (m=32, ef_construct=128) for the
-    * testdata corpus size; recall-vs-beam is measured, not assumed. */
-  final case class Params(m: Int = 8, efConstruction: Int = 32, efSearch: Int = 32)
+    * testdata corpus size; recall-vs-beam is measured, not assumed.
+    * `entryProbes`: beam entry points, evaluated over a deterministic
+    * stride sample of the built nodes and seeded best-first — the
+    * flat-graph stand-in for HNSW's upper layers (init_qdrant.py:45-50),
+    * which exist to skip the same long-range approach hops. -1 (default)
+    * = auto ceil(sqrt(n)); 1 = the pre-r7 single entry at node 0 (the
+    * stride sample of size 1 is exactly index 0), kept addressable so
+    * q_v8d can measure what the probes buy. */
+  final case class Params(m: Int = 8, efConstruction: Int = 32, efSearch: Int = 32,
+      entryProbes: Int = -1)
 
   /** One shard's NSW graph over `vecs` (insertion order = array order).
     * Package-private so [[NswIndex]] can persist built adjacencies and
@@ -63,8 +71,19 @@ object GraphAnn {
     // adjacency: deg(i) entries in adj(i)(0 until deg(i))
     private val adj = Array.fill(n)(new Array[Int](maxDeg + 1))
     private val deg = new Array[Int](n)
+    // nodes visible to search-entry sampling: during construction only
+    // the already-inserted prefix is linked, so probes must stay inside
+    // it; n once built/loaded
+    private var frontier = n
+    // distance evaluations since the last reset — the cost instrument
+    // q_v8d/GraphAnnSpec read (counter only; racy under concurrent
+    // serve-path searches, which only blurs stats, never results)
+    private var evalsCtr = 0L
+    def evals: Long = evalsCtr
+    def resetEvals(): Unit = evalsCtr = 0L
 
     private def cos(q: Array[Double], qNorm: Double, i: Int): Double = {
+      evalsCtr += 1
       val v = vecs(i)
       var s = 0.0; var d = 0
       while (d < v.length) { s += q(d) * v(d); d += 1 }
@@ -93,10 +112,26 @@ object GraphAnn {
       }
       val cands = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(candOrd)
       val res = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(candOrd.reverse)
-      val s0 = cos(q, qNorm, 0)
-      visited.set(0)
-      cands.enqueue((s0, 0))
-      res.enqueue((s0, 0))
+      // entry: evaluate a deterministic stride sample of the built nodes
+      // and seed the beam with all of them (best seeds steer; poor seeds
+      // evict) — with probes=1 the sample is exactly {0}, the legacy
+      // single-entry behavior
+      val lim = frontier
+      val nProbes =
+        if (params.entryProbes > 0) math.min(params.entryProbes, lim)
+        else math.min(lim, math.ceil(math.sqrt(lim.toDouble)).toInt).max(1)
+      var p = 0
+      while (p < nProbes) {
+        val idx = ((p.toLong * lim) / nProbes).toInt
+        if (!visited.get(idx)) {
+          visited.set(idx)
+          val sp = cos(q, qNorm, idx)
+          cands.enqueue((sp, idx))
+          res.enqueue((sp, idx))
+          if (res.size > ef) res.dequeue()
+        }
+        p += 1
+      }
       while (cands.nonEmpty) {
         val (csim, c) = cands.dequeue()
         val (wsim, wid) = res.head
@@ -186,6 +221,7 @@ object GraphAnn {
     def insertFrom(start: Int): this.type = {
       var i = math.max(start, 1) // node 0 is the seed, never "inserted"
       while (i < n) {
+        frontier = i // entry probes sample only the linked prefix
         val nbrs = search(vecs(i), math.max(params.efConstruction, params.m))
         var t = 0
         while (t < params.m && t < nbrs.length) {
@@ -196,6 +232,7 @@ object GraphAnn {
         }
         i += 1
       }
+      frontier = n
       this
     }
 
@@ -209,6 +246,11 @@ object GraphAnn {
     StructField("qid", LongType, nullable = false),
     StructField("vec_id", LongType, nullable = false),
     StructField("score", DoubleType, nullable = false)))
+
+  private val statsSchema = StructType(Seq(
+    StructField("nodes", LongType, nullable = false),
+    StructField("searches", LongType, nullable = false),
+    StructField("evals", LongType, nullable = false)))
 
   /** Multi-query shard search: builds each shard's graph once, searches it
     * for EVERY query, and emits up to `kPerShard` (qid, vec_id, score)
@@ -244,6 +286,45 @@ object GraphAnn {
           }
         }
       }(Encoders.row(outSchema))
+  }
+
+  /** The entry-cost instrument behind q_v8d (VERDICT r6 next #5): same
+    * shard build + searches as [[searchShards]], but emits ONE row per
+    * non-empty shard — (nodes, searches, evals) where `evals` counts
+    * distance evaluations across that shard's query searches (entry
+    * probes included; build cost excluded). Deterministic (stride-probe
+    * entries, Murmur3 shard assignment), so the sweep built on it is a
+    * stable rows-only query, with no accumulator double-count risk under
+    * task retry. */
+  def shardSearchStats(
+      e: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: Seq[(Long, Seq[Double])],
+      kPerShard: Int,
+      params: Params = Params(),
+      numShards: Int = 8): DataFrame = {
+    val qArr = queries.map { case (qid, v) => (qid, v.toArray) }.toArray
+    val bc = e.sparkSession.sparkContext.broadcast(qArr)
+    e.select(col(idCol).cast("long").as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .repartition(numShards, col("vec_id"))
+      .mapPartitions { it =>
+        val rows = it.map { r =>
+          (r.getLong(0), r.getSeq[Double](1).toArray)
+        }.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val nsw = new Nsw(rows.map(_._2), params).build()
+          nsw.resetEvals()
+          var searches = 0L
+          bc.value.foreach { case (_, q) =>
+            nsw.search(q, math.max(params.efSearch, kPerShard))
+            searches += 1
+          }
+          Iterator.single(Row(rows.length.toLong, searches, nsw.evals))
+        }
+      }(Encoders.row(statsSchema))
   }
 
   /** Single-query top-k: per-shard NSW search + global k-heap merge. */

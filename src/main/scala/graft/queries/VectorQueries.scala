@@ -995,6 +995,61 @@ object VectorQueries extends QueryPack {
       },
       None),
 
+    // V8d — what the stride-probe beam entry buys (VERDICT r6 next #5:
+    // the flat-graph stand-in for HNSW's upper layers,
+    // init_qdrant.py:45-50): for entry mode {single = the pre-r7 node-0
+    // entry, probed = ceil(sqrt(n)) stride sample} × shard count {8,
+    // 1 = one 8x-size shard standing in for the 10x-shard regime}, the
+    // measured mean recall@5 over the 8 standard query points AND the
+    // mean distance-evaluations per search (GraphAnn.shardSearchStats —
+    // deterministic rows, probe evals included, build excluded).
+    // Measured, not asserted — and the measurement CORRECTED the
+    // prediction: on a 10x shard the single-entry beam doesn't spend
+    // extra hops approaching, it gets STUCK (GraphAnnSpec's matrix:
+    // recall pinned at 0.400 from ef=32 to ef=256 while evals triple);
+    // the probes dominate the eval->recall frontier (0.750 at 295
+    // evals vs 0.400 at 455). rows-only: a pointer-graph walk has no
+    // SQL mirror.
+    QueryDef(
+      "q_v8d_nsw_entry_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir)
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val exact = exactTopK(e, q, 5)
+        val qPts = q.select(col("qid"), transform(col("qvec"),
+            x => x.cast("double")).as("qv"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+          .sortBy(_._1)
+        val modes = Seq(("single", 1), ("probed", -1))
+        val shardCounts = Seq(8, 1)
+        modes.flatMap { case (mode, probes) =>
+          shardCounts.map { ns =>
+            val params = graft.operators.GraphAnn.Params(entryProbes = probes)
+            val ann = graft.operators.GraphAnn
+              .searchShards(e, "vec_id", "embedding", qPts, kPerShard = 6,
+                params, numShards = ns)
+              .filter(col("vec_id") =!= col("qid"))
+              .groupBy("qid")
+              .agg(call_function("graft_topk", col("score"), col("vec_id"), lit(5)).as("nbrs"))
+            val rec = recallOf(q, exact, ann, 5)
+              .agg(round(avg(col("recall")), 6).as("mean_recall"))
+            val stats = graft.operators.GraphAnn
+              .shardSearchStats(e, "vec_id", "embedding", qPts, kPerShard = 6,
+                params, numShards = ns)
+              .agg((sum(col("evals")) / sum(col("searches")))
+                .cast("double").as("epq"))
+            rec.crossJoin(stats).select(
+              lit(mode).as("entry"), lit(ns).as("shards"),
+              col("mean_recall"), round(col("epq"), 1).as("evals_per_search"))
+          }
+        }.reduce(_ unionByName _)
+          .orderBy(col("entry"), col("shards"))
+      },
+      None),
+
     // V7 — int8 scalar quantization (the reference's Qdrant storage
     // config: scalar int8, quantile 1.0, init_qdrant.py:51-57): each
     // vector stores round(v/scale) in [-127,127] with scale =

