@@ -776,23 +776,26 @@ object VectorQueries extends QueryPack {
         val eDouble = e.select(col("vec_id"), col("label"),
           transform(col("embedding"), x => x.cast("double")).as("emb"))
         val k = ivfK(e.count())
-        val init = eDouble.filter(col("vec_id") < k)
-          .orderBy("vec_id")
-          .collect()
-          .map(_.getAs[scala.collection.Seq[Double]]("emb").toSeq).toSeq
-        val refined = kmeansCentroids(eDouble, "emb", init, iters = 2)
-        val cell = nearestCentroid(col("embedding"), refined)
-        val cells = e.select(col("vec_id"), col("embedding"),
-          cell.as("cent_id"))
+        // r7 (VERDICT r6 next #7): the seed set (vec_id < k — the same
+        // SQL-mirrorable rule as the whole q_v6 family) stays a
+        // DataFrame; the Lloyd loop never collects k×dim doubles to the
+        // driver. At the ivfK clamp max that collect was a ~400 MB
+        // driver-heap spike.
+        val seeds = eDouble.filter(col("vec_id") < k)
+          .select(col("vec_id").cast("int").as("cent_id"), col("emb").as("cvec"))
+        val refined = kmeansCentroidsDf(eDouble, "emb", seeds, iters = 2,
+          dim = Dim)
+        val cells = graft.operators.IvfIndex.assignCells(e, refined
+          .select(col("cent_id"), col("cvec")))
         val q = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val exact = exactTopK(e, q, 5)
-        val probes = q.select(col("qid"),
-          explode(slice(transform(
-            array_sort(array(refined.zipWithIndex.map { case (c, i) =>
-              struct((-cosine(col("qvec"), typedLit(c))).as("negsim"),
-                lit(i).as("cid"))
-            }: _*)), p => p.getField("cid")), 1, ivfNprobe(k))).as("cent_id"))
+        val probes = refined.crossJoin(broadcast(q))
+          .withColumn("sim", cosine(col("cvec"), col("qvec")))
+          .groupBy("qid")
+          .agg(call_function("graft_topk", col("sim"), col("cent_id").cast("long"),
+            lit(ivfNprobe(k))).as("pc"))
+          .select(col("qid"), explode(col("pc.vec_id")).as("cent_id"))
         val ann = cells.join(broadcast(probes), Seq("cent_id"))
           .join(broadcast(q), Seq("qid"))
           .filter(col("vec_id") =!= col("qid"))

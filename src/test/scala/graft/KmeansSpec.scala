@@ -29,6 +29,29 @@ class KmeansSpec extends AnyFunSuite {
     assert(a == b, "decimal-exact means must be partitioning-independent")
   }
 
+  test("DataFrame-native Lloyd matches the literal-seeded form bit-for-bit") {
+    // kmeansCentroidsDf (the production path since r7 — nothing k-sized
+    // ever collects to the driver) must produce the same centroids as
+    // the literal-seeded reference form: same seeds, same decimal-exact
+    // means, same empty-cell retention. Seeds are vec_id < 8, so
+    // cent_id i == literal index i and rows compare directly.
+    val dim = corpus.select(col("emb")).first()
+      .getAs[scala.collection.Seq[Double]](0).length
+    val seeds = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cent_id"), col("emb").as("cvec"))
+    val viaDf = kmeansCentroidsDf(corpus, "emb", seeds, iters = 2, dim = dim)
+      .collect().map(r => r.getInt(0) ->
+        r.getAs[scala.collection.Seq[Double]](1).toSeq).sortBy(_._1).map(_._2).toSeq
+    val viaLiteral = kmeansCentroids(corpus, "emb", init, iters = 2)
+    assert(viaDf == viaLiteral)
+    // and it is partitioning-independent like the literal form
+    val viaDf2 = kmeansCentroidsDf(corpus.repartition(7), "emb", seeds,
+      iters = 2, dim = dim)
+      .collect().map(r => r.getInt(0) ->
+        r.getAs[scala.collection.Seq[Double]](1).toSeq).sortBy(_._1).map(_._2).toSeq
+    assert(viaDf2 == viaDf)
+  }
+
   test("refinement moves centroids and keeps k, dim, and full coverage") {
     val refined = kmeansCentroids(corpus, "emb", init, iters = 2)
     assert(refined.size == init.size)
