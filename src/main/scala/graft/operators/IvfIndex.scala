@@ -45,6 +45,23 @@ object IvfIndex {
     * bit-for-bit; searches dequantize in-plan (q·scale) and score the
     * dequantized vector. */
   private val QuantLayoutVersion = "v2q"
+  /** Layout stamp for PQ-coded cells — the Jégou et al. IVFADC
+    * composition (VERDICT r6 next #8), the layout production ANN stores
+    * actually run at 100 TB: the coarse quantizer routes a vector to its
+    * cell, and the cell stores only the PRODUCT-QUANTIZED RESIDUAL
+    * (vector − centroid) as S one-byte codes — S bytes per vector at
+    * rest (vs 64 int8 bytes / 256+ raw bytes at Dim=64). Search
+    * reconstructs nothing: scoring is ADC — per-subspace table lookups
+    * against driver-computed tables, exactly q_v10's oracled fold
+    * orders, extended with the per-cell centroid terms
+    * (<q,c>, |c|², <c_s, cb_s[j]>). Codebook entries are the residuals
+    * of the first [[PqK]] corpus vectors, sliced per subspace — the
+    * same deterministic donor rule q_v10 pins, so the whole
+    * build+search is SQL-mirrorable and q_v11 is hash-oracled. */
+  private val PqLayoutVersion = "v3pq"
+  /** PQ geometry: S subspaces × K codebook entries (codes fit a byte). */
+  private val PqS = 8
+  private val PqK = 16
 
   /** Per-index-path JVM lock: serializes this process's build/append
     * mutations so the marker read-modify-write can't interleave
@@ -144,6 +161,122 @@ object IvfIndex {
       } finally fs.delete(tmp, true) // no-op after a successful rename
     }
 
+  /** Build the IVF+PQ index at `path` unless a current one is there
+    * (marker: layout + k + corpus count). Layout:
+    * {{{
+    *   <path>/centroids/           (cent_id, cvec)           — as v1
+    *   <path>/codebooks/           (s, j, remb ARRAY<DOUBLE>) — S×K rows
+    *   <path>/cells/cent_id=<c>/   (vec_id, label, code ARRAY<TINYINT>)
+    *   <path>/_INDEX_READY         "v3pq,k=…,count=…,pqs=8,pqk=16"
+    * }}}
+    * The build is the v1 assignment pass plus a narrow residual-encode
+    * projection (argmin over K per subspace, ties to the smallest j) —
+    * rows still move exactly once, keyed by cent_id. Driver state is
+    * the K donor residuals (PqK×dim — bounded, the same class as the
+    * centroid cache). */
+  def buildPqIfAbsent(e: DataFrame, cents: DataFrame, path: String): Unit =
+    lockFor(path).synchronized {
+      val spark = e.sparkSession
+      val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val root = new Path(path)
+      val marker = new Path(root, Marker)
+      val stamp = s"$PqLayoutVersion,k=${cents.count()},count=${e.count()}," +
+        s"pqs=$PqS,pqk=$PqK"
+      if (fs.exists(marker) && readMarker(fs, marker) == stamp) return
+      val tmp = new Path(
+        path + ".build-" + java.util.UUID.randomUUID().toString.take(8))
+      try {
+        cents.coalesce(1).write.mode("overwrite")
+          .parquet(new Path(tmp, "centroids").toString)
+        // residual per row: v − centroid of its assigned cell
+        val assigned = assignWithResidual(e, cents)
+        val dim = e.select(size(col("embedding"))).first().getInt(0)
+        require(dim % PqS == 0, s"IvfIndex PQ: dim $dim not divisible by $PqS")
+        val d = dim / PqS
+        // codebooks: donor j's residual, sliced per subspace (the q_v10
+        // donor rule — deterministic, SQL-mirrorable)
+        val donors = assigned.filter(col("vec_id") < PqK).orderBy("vec_id")
+          .select(col("res")).collect()
+          .map(_.getSeq[Double](0).toArray)
+        require(donors.length == PqK,
+          s"IvfIndex PQ: need $PqK donor vectors, corpus has ${donors.length}")
+        val cb = Array.tabulate(PqS, PqK, d)((s0, j, i) => donors(j)(s0 * d + i))
+        import spark.implicits._
+        cb.zipWithIndex.flatMap { case (entries, s0) =>
+          entries.zipWithIndex.map { case (v, j) => (s0, j, v.toSeq) }
+        }.toSeq.toDF("s", "j", "remb")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new Path(tmp, "codebooks").toString)
+        pqEncoded(assigned, cb, d)
+          .write.mode("overwrite").partitionBy("cent_id")
+          .parquet(new Path(tmp, "cells").toString)
+        val out = fs.create(new Path(tmp, Marker), true)
+        try out.write(stamp.getBytes("UTF-8")) finally out.close()
+        if (fs.exists(marker) && readMarker(fs, marker) == stamp) return
+        fs.delete(root, true)
+        if (!fs.rename(tmp, root))
+          throw new IllegalStateException(s"IvfIndex: rename $tmp -> $root failed")
+      } finally fs.delete(tmp, true)
+    }
+
+  /** Residuals + PQ codes for assigned rows: argmin_j ||res_s − cb[s][j]||²
+    * per subspace (ties → smallest j), as narrow codegen'd expressions —
+    * shared by the initial build and [[append]] so appended rows encode
+    * against the SAME codebook the index serves with. Expects `assigned`
+    * to carry a `res` column (vector − its cell's centroid). */
+  private def pqEncoded(assigned: DataFrame,
+      cb: Array[Array[Array[Double]]], d: Int): DataFrame = {
+    def codeOf(s0: Int) =
+      array_min(array((0 until PqK).map { j =>
+        val dist = (0 until d).map { i =>
+          val diff = element_at(col("res"), s0 * d + i + 1) - lit(cb(s0)(j)(i))
+          diff * diff
+        }.reduceLeft(_ + _)
+        struct(dist.as("dist"), lit(j).as("j"))
+      }: _*)).getField("j").cast("tinyint")
+    assigned
+      .withColumn("code", array((0 until PqS).map(codeOf): _*))
+      .select(col("vec_id"), col("label"), col("code"), col("cent_id"))
+  }
+
+  /** Assignment + residual column against a centroid table — the input
+    * [[pqEncoded]] expects. */
+  private def assignWithResidual(e: DataFrame, cents: DataFrame): DataFrame = {
+    val centsD = cents.select(col("cent_id"),
+      transform(col("cvec"), x => x.cast("double")).as("cvec_d"))
+    assignCells(e, cents)
+      .join(broadcast(centsD), Seq("cent_id"))
+      .withColumn("res", zip_with(
+        transform(col("embedding"), x => x.cast("double")), col("cvec_d"),
+        (a, b) => a - b))
+  }
+
+  /** Codebook cache, keyed like [[centCache]]: cb(s)(j) = the D-dim
+    * residual codebook entry — PqS×PqK×D doubles, bounded. */
+  private val cbCache =
+    new java.util.LinkedHashMap[(String, String), Array[Array[Array[Double]]]](8, 0.75f, true) {
+      override def removeEldestEntry(
+          eldest: java.util.Map.Entry[(String, String), Array[Array[Array[Double]]]]): Boolean =
+        size() > 32
+    }
+
+  private def codebooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val key = (path, markerStamp(fs, path))
+    cbCache.synchronized {
+      val hit = cbCache.get(key)
+      if (hit != null) hit
+      else {
+        val rows = spark.read.parquet(s"$path/codebooks").collect()
+          .map(r => ((r.getInt(r.fieldIndex("s")), r.getInt(r.fieldIndex("j"))),
+            r.getSeq[Double](r.fieldIndex("remb")).toArray)).toMap
+        val arr = Array.tabulate(PqS, PqK)((s0, j) => rows((s0, j)))
+        cbCache.put(key, arr)
+        arr
+      }
+    }
+  }
+
   /** Incremental ingest into an EXISTING index (the reference upserts
     * embeddings into its Qdrant collection continuously as news
     * arrives — build-once/serve-many needs an append path, not a
@@ -169,17 +302,27 @@ object IvfIndex {
       val added = newVectors.count()
       val old = readMarker(fs, marker)
       val layout = old.split(",")(0) // appended rows match the stored layout
-      val assigned = assignCells(newVectors, cents)
-      val cells = if (layout == QuantLayoutVersion) quantizeCells(assigned)
-                  else assigned
+      val cells =
+        if (layout == PqLayoutVersion) {
+          // PQ index: encode against the STORED codebooks (read under the
+          // current stamp, before the marker advances) so appended codes
+          // dequantize against exactly what searches look up
+          val cb = codebooks(spark, path)
+          pqEncoded(assignWithResidual(newVectors, cents), cb, cb(0)(0).length)
+        } else {
+          val assigned = assignCells(newVectors, cents)
+          if (layout == QuantLayoutVersion) quantizeCells(assigned) else assigned
+        }
       cells.write.mode("append").partitionBy("cent_id")
         .parquet(s"$path/cells")
       val oldCount = markerField(old, "count")
       // re-derive k from the stored centroid table (tiny) rather than the
       // old marker: also normalizes pre-k-stamp legacy markers on append.
+      val suffix = if (layout == PqLayoutVersion) s",pqs=$PqS,pqk=$PqK" else ""
       val out = fs.create(marker, true)
       try out.write(
-        s"$layout,k=${cents.count()},count=${oldCount + added}".getBytes("UTF-8"))
+        (s"$layout,k=${cents.count()},count=${oldCount + added}" + suffix)
+          .getBytes("UTF-8"))
       finally out.close()
     }
 
@@ -246,7 +389,10 @@ object IvfIndex {
   def searchTopK(spark: SparkSession, path: String, queryVec: Seq[Double],
       nprobe: Int, k: Int): DataFrame = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val quantized = markerStamp(fs, path).startsWith(QuantLayoutVersion)
+    val stamp = markerStamp(fs, path)
+    if (stamp.startsWith(PqLayoutVersion))
+      return searchTopKPq(spark, path, queryVec, nprobe, k)
+    val quantized = stamp.startsWith(QuantLayoutVersion)
     val probeIds = centroids(spark, path)
       .map { case (id, v) => (cosineJvm(v, queryVec), id) }
       .sortBy { case (sim, id) => (-sim, id) }
@@ -260,6 +406,67 @@ object IvfIndex {
       .orderBy(desc("score"), col("vec_id"))
       .limit(k)
       .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
+  }
+
+  /** ADC search against a PQ index ([[PqLayoutVersion]]): probe
+    * selection on the cached centroids (no job), ADC tables computed on
+    * the driver (PqS×PqK query dots + residual norms, plus per-PROBED-
+    * cell centroid terms — nprobe×PqS×PqK doubles, never k-sized), then
+    * ONE partition-pruned cell scan whose scoring is pure table
+    * lookups: approx cos(q, c + r̂) =
+    * (⟨q,c⟩ + Σₛ qdotr[s][code_s]) /
+    * (‖q‖ · sqrt(‖c‖² + 2·Σₛ cdotr[s][code_s] + Σₛ rn2[s][code_s])).
+    * Fold orders are fixed (left-assoc, subspaces ascending) and
+    * mirrored verbatim in q_v11's oracle SQL. */
+  private def searchTopKPq(spark: SparkSession, path: String,
+      queryVec: Seq[Double], nprobe: Int, k: Int): DataFrame =
+    searchScoredPq(spark, path, queryVec, nprobe)
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
+
+  /** The ADC-scored candidate set of a PQ search BEFORE the top-k cut,
+    * scores unrounded — the recall instrument (q_v11b) ranks on these
+    * so its oracle can mirror the ordering exactly. */
+  def searchScoredPq(spark: SparkSession, path: String,
+      queryVec: Seq[Double], nprobe: Int): DataFrame = {
+    val cents = centroids(spark, path)
+    val cb = codebooks(spark, path)
+    val d = queryVec.length / PqS
+    val qv = queryVec.toArray
+    def foldDot(a: Int => Double, b: Int => Double, n: Int): Double =
+      (0 until n).map(i => a(i) * b(i)).reduceLeft(_ + _)
+    val qdotr = Array.tabulate(PqS, PqK)((s0, j) =>
+      foldDot(i => qv(s0 * d + i), i => cb(s0)(j)(i), d))
+    val rn2 = Array.tabulate(PqS, PqK)((s0, j) =>
+      foldDot(i => cb(s0)(j)(i), i => cb(s0)(j)(i), d))
+    val qNorm = math.sqrt(foldDot(qv(_), qv(_), qv.length))
+    val probes = cents
+      .map { case (id, v) => (cosineJvm(v, qv), id, v) }
+      .sortBy { case (sim, id, _) => (-sim, id) }
+      .take(nprobe)
+    import spark.implicits._
+    val probeTable = probes.toSeq.map { case (_, id, cvec) =>
+      val qc = foldDot(qv(_), cvec(_), qv.length)
+      val cn2 = foldDot(cvec(_), cvec(_), cvec.length)
+      val cdotr = (0 until PqS).map(s0 => (0 until PqK).map(j =>
+        foldDot(i => cvec(s0 * d + i), i => cb(s0)(j)(i), d)).toSeq).toSeq
+      (id, qc, cn2, cdotr)
+    }.toDF("cent_id", "qc", "cn2", "cdotr")
+    def codeAt(s0: Int) = element_at(col("code"), s0 + 1).cast("int") + 1
+    val dotr = (0 until PqS).map(s0 =>
+      element_at(typedLit(qdotr(s0).toSeq), codeAt(s0))).reduceLeft(_ + _)
+    val cdr = (0 until PqS).map(s0 =>
+      element_at(element_at(col("cdotr"), s0 + 1), codeAt(s0))).reduceLeft(_ + _)
+    val rn2s = (0 until PqS).map(s0 =>
+      element_at(typedLit(rn2(s0).toSeq), codeAt(s0))).reduceLeft(_ + _)
+    spark.read.parquet(s"$path/cells")
+      .filter(col("cent_id").isin(probes.map(_._2): _*))
+      .join(broadcast(probeTable), Seq("cent_id"))
+      .withColumn("score",
+        (col("qc") + dotr) /
+          (lit(qNorm) * sqrt(col("cn2") + lit(2.0) * cdr + rn2s)))
+      .select(col("vec_id"), col("label"), col("score"))
   }
 
   /** Total data bytes under the cell directories — the at-rest payload

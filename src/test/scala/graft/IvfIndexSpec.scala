@@ -105,6 +105,47 @@ class IvfIndexSpec extends AnyFunSuite {
         nprobe = 2, k = 5).collect().map(_.getLong(0)).toSeq)
   }
 
+  test("PQ index: 8-byte codes at rest, marker discipline, append encodes against stored codebooks") {
+    val pq = freshPath()
+    IvfIndex.buildPqIfAbsent(corpus(), cents(), pq)
+    // cells store ONLY the codes — no raw or int8 payload
+    val schema = spark.read.parquet(s"$pq/cells").schema.fieldNames.toSet
+    assert(schema.contains("code") && !schema.contains("embedding")
+      && !schema.contains("q"))
+    // at-rest payload materially below even the int8 cells (8 B vs 64 B
+    // of payload per vector before parquet framing)
+    val quant = freshPath()
+    IvfIndex.buildIfAbsent(corpus(), cents(), quant, quantize = true)
+    val pqBytes = IvfIndex.cellBytes(spark, pq)
+    val qBytes = IvfIndex.cellBytes(spark, quant)
+    assert(pqBytes < qBytes / 2,
+      s"PQ cells $pqBytes B not materially smaller than int8 $qBytes B")
+    // ADC search: k deterministic rows
+    def search(p: String) = IvfIndex
+      .searchTopK(spark, p, VectorQueries.QueryVec, nprobe = 2, k = 5)
+      .collect().map(_.toSeq).toSeq
+    val first = search(pq)
+    assert(first.length == 5 && first == search(pq))
+    // DDL-if-absent: marker untouched on a matching rebuild
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val mPath = new Path(pq, "_INDEX_READY")
+    val before = fs.getFileStatus(mPath).getModificationTime
+    IvfIndex.buildPqIfAbsent(corpus(), cents(), pq)
+    assert(fs.getFileStatus(mPath).getModificationTime == before)
+    // append parity: a PREFIX build (so the vec_id < 16 codebook donors
+    // are present) plus an append of the rest equals the full build —
+    // appended rows must encode against the STORED codebooks
+    val n = corpus().count()
+    val part = freshPath()
+    IvfIndex.buildPqIfAbsent(corpus().filter(col("vec_id") < n / 2), cents(), part)
+    IvfIndex.append(corpus().filter(col("vec_id") >= n / 2), part)
+    assert(search(part) == first)
+    // marker advanced: buildPqIfAbsent over the grown corpus no-ops
+    val pBefore = fs.getFileStatus(new Path(part, "_INDEX_READY")).getModificationTime
+    IvfIndex.buildPqIfAbsent(corpus(), cents(), part)
+    assert(fs.getFileStatus(new Path(part, "_INDEX_READY")).getModificationTime == pBefore)
+  }
+
   test("incremental append equals a full build over the grown corpus") {
     val path = freshPath()
     val half = corpus().filter(col("vec_id") % 2 === 0)
