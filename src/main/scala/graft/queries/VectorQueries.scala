@@ -1639,6 +1639,156 @@ object VectorQueries extends QueryPack {
            |ORDER BY qs.qid""".stripMargin
       }),
 
+    // V11c — the production IVFADC SERVING pattern (Jégou et al. §V:
+    // ADC shortlist, then exact re-rank of the shortlist against raw
+    // vectors fetched by id): the 8-byte codes do candidate GENERATION
+    // (top-50 by ADC from the probed cells), and only those ~50 rows
+    // touch raw embeddings. Recall recovers from ADC's ~0.13 to what
+    // the shortlist contains — measured here per qid, hash-oracled.
+    // Scale shape: the rerank side is a 50-row broadcast join per
+    // query; raw vectors are fetched for the shortlist ONLY, so the
+    // 32x storage saving stands while serving recall approaches
+    // flat-IVF's.
+    QueryDef(
+      "q_v11c_ivfpq_rerank_recall",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val k = ivfK(e.count())
+        val cents = e.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+        val path = s.conf.getOption("spark.graft.ivfPqIndexDir").getOrElse(
+          System.getProperty("java.io.tmpdir") + "/graft_ivfpq_" +
+            dir.replaceAll("[^A-Za-z0-9]", "_"))
+        graft.operators.IvfIndex.buildPqIfAbsent(e, cents, path)
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val exact = exactTopK(e, q, 5)
+        val qPts = q.select(col("qid"), transform(col("qvec"),
+            x => x.cast("double")).as("qv"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+          .sortBy(_._1)
+        val ann = qPts.map { case (qid, qv) =>
+          val short = graft.operators.IvfIndex
+            .searchScoredPq(s, path, qv, nprobe = ivfNprobe(k))
+            .orderBy(desc("score"), col("vec_id")).limit(50)
+            .select(col("vec_id"))
+          short
+            .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+            .select(lit(qid).as("qid"), col("vec_id"),
+              cosine(col("embedding"), typedLit(qv)).as("score"))
+        }.reduce(_ unionByName _)
+          .filter(col("vec_id") =!= col("qid"))
+          .groupBy("qid")
+          .agg(call_function("graft_topk", col("score"), col("vec_id"), lit(5)).as("nbrs"))
+        recallOf(q, exact, ann, 5)
+      },
+      Some {
+        def res(pfx: String, idx: String) =
+          s"($pfx.emb[$idx] - $pfx.cvec[$idx])"
+        val distSql = (1 to 8).map(i =>
+          s"(${res("cl", s"ss.s*8+$i")} - d.remb[ss.s*8+$i])" +
+          s" * (${res("cl", s"ss.s*8+$i")} - d.remb[ss.s*8+$i])")
+          .mkString(" + ")
+        val qdotrSql = (1 to 8).map(i =>
+          s"qs.qv[c.s*8+$i] * d.remb[c.s*8+$i]").mkString(" + ")
+        val cdotrSql = (1 to 8).map(i =>
+          s"cl.cvec[c.s*8+$i] * d.remb[c.s*8+$i]").mkString(" + ")
+        val rn2Sql = (1 to 8).map(i =>
+          s"d.remb[c.s*8+$i] * d.remb[c.s*8+$i]").mkString(" + ")
+        def fold(expr: String) =
+          s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |  list($expr ORDER BY s)), (a, b) -> a + b)""".stripMargin
+        s"""WITH ${kkCtes("embeddings")},
+           |e AS (
+           |  SELECT vec_id, label,
+           |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           |  FROM embeddings
+           |), cents AS (
+           |  SELECT vec_id AS cent_id, emb AS cvec FROM e, kk WHERE vec_id < kk.k
+           |), cells AS (
+           |  SELECT vec_id, label, emb, cent_id, cvec
+           |  FROM (SELECT e.vec_id, e.label, e.emb, c.cent_id, c.cvec,
+           |               row_number() OVER (PARTITION BY e.vec_id
+           |                 ORDER BY ${cosineSql("e.emb", "c.cvec")} DESC,
+           |                          c.cent_id) AS rk
+           |        FROM e, cents c) t
+           |  WHERE rk = 1
+           |), donors AS (
+           |  SELECT vec_id AS j,
+           |         list_transform(list_zip(emb, cvec),
+           |           p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS remb
+           |  FROM cells WHERE vec_id < 16
+           |), ss AS (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS INT) AS s
+           |), codes AS (
+           |  SELECT vec_id, s, j AS code FROM (
+           |    SELECT cl.vec_id, ss.s, d.j,
+           |           row_number() OVER (PARTITION BY cl.vec_id, ss.s
+           |             ORDER BY $distSql, d.j) AS rk
+           |    FROM cells cl, ss, donors d) t
+           |  WHERE rk = 1
+           |), qs AS (
+           |  SELECT vec_id AS qid, emb AS qv FROM e WHERE vec_id < 8
+           |), probes AS (
+           |  SELECT qid, cent_id FROM (
+           |    SELECT qs.qid, c.cent_id, row_number() OVER (PARTITION BY qs.qid
+           |      ORDER BY ${cosineSql("c.cvec", "qs.qv")} DESC, c.cent_id) AS rk
+           |    FROM cents c, qs) t, kk
+           |  WHERE rk <= kk.np
+           |), terms AS (
+           |  SELECT qs.qid, cl.vec_id, c.s,
+           |         ${dotSql("cl.cvec", "qs.qv")} AS qc,
+           |         ${norm2Sql("cl.cvec")} AS cn2,
+           |         ${norm2Sql("qs.qv")} AS qn2,
+           |         $qdotrSql AS qdotr,
+           |         $cdotrSql AS cdotr,
+           |         $rn2Sql AS rn2
+           |  FROM codes c
+           |    JOIN cells cl ON cl.vec_id = c.vec_id
+           |    JOIN probes p ON p.cent_id = cl.cent_id
+           |    JOIN qs ON qs.qid = p.qid
+           |    JOIN donors d ON d.j = c.code
+           |), scored AS (
+           |  SELECT qid, vec_id,
+           |         any_value(qc) AS qc, any_value(cn2) AS cn2,
+           |         any_value(qn2) AS qn2,
+           |         ${fold("qdotr")} AS dotr,
+           |         ${fold("cdotr")} AS cdr,
+           |         ${fold("rn2")} AS rn2s
+           |  FROM terms GROUP BY qid, vec_id
+           |), short AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT sc.qid, sc.vec_id, row_number() OVER (PARTITION BY sc.qid
+           |      ORDER BY (sc.qc + sc.dotr) /
+           |               (sqrt(sc.qn2) * sqrt(sc.cn2 + 2.0 * sc.cdr + sc.rn2s))
+           |               DESC, sc.vec_id) AS rk
+           |    FROM scored sc) t
+           |  WHERE rk <= 50
+           |), ann AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT sh.qid, sh.vec_id, row_number() OVER (PARTITION BY sh.qid
+           |      ORDER BY ${cosineSql("e.emb", "qs.qv")} DESC, sh.vec_id) AS rk
+           |    FROM short sh JOIN e ON e.vec_id = sh.vec_id
+           |                  JOIN qs ON qs.qid = sh.qid
+           |    WHERE sh.vec_id <> sh.qid) t
+           |  WHERE rk <= 5
+           |), exact AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qs.qid, e.vec_id, row_number() OVER (PARTITION BY qs.qid
+           |      ORDER BY ${cosineSql("e.emb", "qs.qv")} DESC, e.vec_id) AS rk
+           |    FROM e, qs WHERE e.vec_id <> qs.qid) t
+           |  WHERE rk <= 5
+           |), common AS (
+           |  SELECT ex.qid, count(*) AS n
+           |  FROM exact ex JOIN ann ON ex.qid = ann.qid AND ex.vec_id = ann.vec_id
+           |  GROUP BY ex.qid
+           |)
+           |SELECT qs.qid, COALESCE(n, 0) AS n_common,
+           |       round(COALESCE(n, 0) / 5.0, 6) AS recall
+           |FROM qs LEFT JOIN common ON qs.qid = common.qid
+           |ORDER BY qs.qid""".stripMargin
+      }),
+
     // V5 — embedding-cosine near-duplicate pairs. The corpus is augmented
     // with perturbed copies of the first 25 vectors (deterministic +0.01
     // shift, ids offset by 1e6) so near-dups exist; candidate pairs come
