@@ -281,7 +281,8 @@ object Bench {
         s""""v6b_ivf":${meanRecall("q_v6b_recall")},""" +
         s""""v6d_ivf_kmeans":${meanRecall("q_v6d_ivf_kmeans_recall")},""" +
         s""""v8b_nsw":${meanRecall("q_v8b_nsw_recall")},""" +
-        s""""v11b_ivfpq":${meanRecall("q_v11b_ivfpq_recall")}}""")
+        s""""v11b_ivfpq":${meanRecall("q_v11b_ivfpq_recall")},""" +
+        s""""v11c_ivfpq_rerank":${meanRecall("q_v11c_ivfpq_rerank_recall")}}""")
     } catch {
       case e: Throwable =>
         errors("__recall") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -404,6 +405,7 @@ object Bench {
     // scaled DuckDB seconds so the caller can pick the next tier's
     // subset from MEASURED times.
     def scaledProofAt(mult: Int, label: String, names: Seq[String],
+        subsetLabel: String,
         rel: Map[String, String], writeJson: Map[String, String] => java.nio.file.Path,
         runDuck: (String, java.nio.file.Path) => Option[Map[String, Double]])
         : Map[String, Double] = try {
@@ -438,7 +440,7 @@ object Bench {
       val freshMed = med(pairs.map(_._2._2))
       scaledBlocks = scaledBlocks :+ (
         s""""$label":{"scale_mult":$mult,"base_sf":${jstr(sfDir)},""" +
-        s""""n_compared":${pairs.size},""" +
+        s""""n_compared":${pairs.size},"subset":${jstr(subsetLabel)},""" +
         f""""median_ratio_exec_heavy":$execMed%.3f,""" +
         f""""median_ratio_fresh_heavy":$freshMed%.3f}""")
       duckScaled
@@ -459,11 +461,16 @@ object Bench {
       val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "5").toInt
       val heavyNames = duckSec.toSeq.filter(_._2 >= 0.05).map(_._1).sorted
       val duckAtMult = scaledProofAt(mult, "duckdb_scaled", heavyNames,
-        rel, writeJson, runDuck)
+        "full_heavy_set", rel, writeJson, runDuck)
       if (mult != 10) {
         val top8 = duckAtMult.toSeq.filter(_._2 >= 0.05 * mult)
           .sortBy(-_._2).take(8).map(_._1)
-        scaledProofAt(10, "duckdb_scaled_x10", top8, rel, writeJson, runDuck)
+        // subset honesty: the x10 median runs over the 8 heaviest-by-
+        // DuckDB-time queries (the execution-dominated tail), NOT the
+        // full heavy set — the JSON says so, so the two medians are
+        // never read as like-for-like
+        scaledProofAt(10, "duckdb_scaled_x10", top8,
+          "top8_by_x5_duck_time", rel, writeJson, runDuck)
       }
     }
     // ---- DuckDB wall-time comparison (BASELINE.md "relational < 2x
