@@ -44,6 +44,20 @@ object GraftSession {
     * foldable integral expression (`2 + 3`), keeping a clear error for
     * truly non-constant or non-integral arguments (ADVICE r3).
     */
+  private def constDoubleArray(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Array[Double] = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val ok = e.foldable && (e.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (!ok) throw new IllegalArgumentException(
+      s"$what must be a constant ARRAY<DOUBLE> expression, got $e")
+    e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray()
+  }
+
   private def constInt(
       e: org.apache.spark.sql.catalyst.expressions.Expression,
       what: String): Int = {
@@ -148,6 +162,18 @@ object GraftSession {
           new ExpressionInfo(classOf[graft.functions.HtmlStrip].getName, "graft_html_strip"),
           (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
             graft.functions.HtmlStrip(children.head)))
+        ext.injectFunction((
+          FunctionIdentifier("graft_pq_encode"),
+          new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "graft_pq_encode"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+            require(children.length == 5,
+              "graft_pq_encode(vec, flatCb, s, k, d) takes 5 arguments")
+            graft.functions.PqEncode(children.head,
+              constDoubleArray(children(1), "graft_pq_encode: flatCb"),
+              constInt(children(2), "graft_pq_encode: s"),
+              constInt(children(3), "graft_pq_encode: k"),
+              constInt(children(4), "graft_pq_encode: d"))
+          }))
         ext.injectFunction((
           FunctionIdentifier("graft_norm"),
           new ExpressionInfo(classOf[graft.functions.Normalize].getName, "graft_norm"),

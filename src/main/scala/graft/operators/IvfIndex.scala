@@ -226,16 +226,14 @@ object IvfIndex {
     * to carry a `res` column (vector − its cell's centroid). */
   private def pqEncoded(assigned: DataFrame,
       cb: Array[Array[Array[Double]]], d: Int): DataFrame = {
-    def codeOf(s0: Int) =
-      array_min(array((0 until PqK).map { j =>
-        val dist = (0 until d).map { i =>
-          val diff = element_at(col("res"), s0 * d + i + 1) - lit(cb(s0)(j)(i))
-          diff * diff
-        }.reduceLeft(_ + _)
-        struct(dist.as("dist"), lit(j).as("j"))
-      }: _*)).getField("j").cast("tinyint")
+    // r7: the fused graft_pq_encode expression — ONE codegen'd
+    // triple loop per row instead of S×K×D literal sub-expressions
+    // (the q_v10 scaladoc's named production path; PqEncodeSpec pins
+    // bit-parity with the literal argmin chain)
+    val flat = cb.flatMap(_.flatMap(_.toSeq)).toSeq
     assigned
-      .withColumn("code", array((0 until PqS).map(codeOf): _*))
+      .withColumn("code", call_function("graft_pq_encode",
+        col("res"), typedLit(flat), lit(PqS), lit(PqK), lit(d)))
       .select(col("vec_id"), col("label"), col("code"), col("cent_id"))
   }
 

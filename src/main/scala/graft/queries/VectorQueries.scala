@@ -1280,15 +1280,16 @@ object VectorQueries extends QueryPack {
     // Output: approx top-5 WITH exact scores per row, so PQ error is
     // measured like q_v7 (int8) and q_v6f — hash-verified end-to-end.
     //
-    // Cost note (measured sf0.1): the encode projection inlines
-    // 8 subspaces × 16 codewords × 8-term distances (~2k expression
-    // nodes); whole-stage codegen compiles it but the generated method
-    // is past JIT-friendly size, so per-row encode is ~ms-scale —
-    // fine for the oracled demonstration, and encode is a build-time
-    // (not serve-time) cost in a real index. The production path is a
-    // fused Catalyst Expression (doGenCode with a codebook loop, the
-    // HashEmbed pattern) or mapPartitions over primitive arrays; ADC
-    // SERVING cost (8 array lookups/row) is already the cheap part.
+    // Cost note: through r6 the encode projection inlined 8 subspaces
+    // × 16 codewords × 8-term distances (~2k expression nodes) — past
+    // JIT-friendly generated-method size, ~ms/row. r7 ships the
+    // production path that note promised: `graft_pq_encode`, a fused
+    // Catalyst Expression whose doGenCode emits one tight triple loop
+    // over a double[]-referenced codebook (the HashEmbed pattern);
+    // PqEncodeSpec pins bit-parity with the literal chain (ascending-i
+    // accumulation, first-minimum tie rule), so this query's oracle
+    // hash is unchanged. ADC SERVING cost (8 array lookups/row) was
+    // already the cheap part.
     QueryDef(
       "q_v10_pq_adc",
       (s, dir) => {
@@ -1311,17 +1312,17 @@ object VectorQueries extends QueryPack {
         }
         val qNorm = math.sqrt(qv.map(x => x * x).reduceLeft(_ + _))
         // encode: per subspace, argmin_j ||v_s − cb[s][j]||² (ties → j)
-        def codeOf(s0: Int): Column =
-          array_min(array((0 until K).map { j =>
-            val dist = (0 until D).map { i =>
-              val d = element_at(col("emb"), s0 * D + i + 1) - lit(cb(s0)(j)(i))
-              d * d
-            }.reduceLeft(_ + _)
-            struct(dist.as("dist"), lit(j).as("j"))
-          }: _*)).getField("j")
-        val coded = e.select(
+        // — r7: the fused graft_pq_encode loop (the production path this
+        // query's earlier rounds named in scaladoc: the S×K×D literal
+        // sub-expression chain was the dominant cost of the two slowest
+        // bench queries; PqEncodeSpec pins bit-parity)
+        val flatCb = cb.flatMap(_.flatMap(_.toSeq)).toSeq
+        val codeArr = call_function("graft_pq_encode",
+          col("emb"), typedLit(flatCb), lit(S), lit(K), lit(D))
+        val coded = e.withColumn("pqc", codeArr).select(
           col("vec_id") +: col("label") +:
-          (0 until S).map(s0 => codeOf(s0).as(s"c$s0")): _*)
+          (0 until S).map(s0 =>
+            element_at(col("pqc"), s0 + 1).cast("int").as(s"c$s0")): _*)
         // ADC score: 8 lookups into the driver tables, fixed-order sum
         val dot = (0 until S).map(s0 =>
           element_at(typedLit(adc(s0).toSeq), col(s"c$s0") + 1)).reduceLeft(_ + _)
