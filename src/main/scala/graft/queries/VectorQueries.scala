@@ -1643,13 +1643,21 @@ object VectorQueries extends QueryPack {
     // V11c — the production IVFADC SERVING pattern (Jégou et al. §V:
     // ADC shortlist, then exact re-rank of the shortlist against raw
     // vectors fetched by id): the 8-byte codes do candidate GENERATION
-    // (top-50 by ADC from the probed cells), and only those ~50 rows
-    // touch raw embeddings. Recall recovers from ADC's ~0.13 to what
-    // the shortlist contains — measured here per qid, hash-oracled.
-    // Scale shape: the rerank side is a 50-row broadcast join per
-    // query; raw vectors are fetched for the shortlist ONLY, so the
-    // 32x storage saving stands while serving recall approaches
-    // flat-IVF's.
+    // (top-L by ADC from the probed cells), and only those L rows touch
+    // raw embeddings. Recall recovers from ADC's ~0.13 to what the
+    // shortlist contains — measured here per qid, hash-oracled.
+    // L = max(50, n/20) — a constant FRACTION (~40%) of the probed
+    // candidate set under this family's geometry (nprobe = k/8 probes
+    // ~n/8 candidates), mirrored SQL-side from count(*): a FIXED L
+    // measured 0.90 at n=1e3 but 0.40 at n=1e4 because it shrank to 4%
+    // of probed — the shortlist knob must scale like every other knob
+    // in the q_v6 family (ivfK, nprobe). Measured: 0.90 at n=1e3,
+    // 0.775 at n=1e4 (vs flat-IVF 0.925/1.0 and ADC-only 0.13/0.05) —
+    // the residual gap is ADC ranking quality on this degenerate
+    // corpus, bought back by raising L. Scale shape: the rerank side
+    // is an L-row broadcast join per query; raw vectors are fetched
+    // for the shortlist ONLY, so the 32x storage saving stands while
+    // serving recall approaches flat-IVF's.
     QueryDef(
       "q_v11c_ivfpq_rerank_recall",
       (s, dir) => {
@@ -1669,10 +1677,11 @@ object VectorQueries extends QueryPack {
           .collect()
           .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
           .sortBy(_._1)
+        val shortlistL = math.max(50, (e.count() / 20).toInt)
         val ann = qPts.map { case (qid, qv) =>
           val short = graft.operators.IvfIndex
             .searchScoredPq(s, path, qv, nprobe = ivfNprobe(k))
-            .orderBy(desc("score"), col("vec_id")).limit(50)
+            .orderBy(desc("score"), col("vec_id")).limit(shortlistL)
             .select(col("vec_id"))
           short
             .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
@@ -1757,14 +1766,17 @@ object VectorQueries extends QueryPack {
            |         ${fold("cdotr")} AS cdr,
            |         ${fold("rn2")} AS rn2s
            |  FROM terms GROUP BY qid, vec_id
+           |), ll AS (
+           |  SELECT greatest(50, CAST(count(*) // 20 AS INT)) AS l
+           |  FROM embeddings
            |), short AS (
            |  SELECT qid, vec_id FROM (
            |    SELECT sc.qid, sc.vec_id, row_number() OVER (PARTITION BY sc.qid
            |      ORDER BY (sc.qc + sc.dotr) /
            |               (sqrt(sc.qn2) * sqrt(sc.cn2 + 2.0 * sc.cdr + sc.rn2s))
            |               DESC, sc.vec_id) AS rk
-           |    FROM scored sc) t
-           |  WHERE rk <= 50
+           |    FROM scored sc) t, ll
+           |  WHERE rk <= ll.l
            |), ann AS (
            |  SELECT qid, vec_id FROM (
            |    SELECT sh.qid, sh.vec_id, row_number() OVER (PARTITION BY sh.qid
