@@ -11,6 +11,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * interpreted higher-order folds that cost ~1 µs per token per lambda —
   * at ~200 tokens/doc × 4 count passes that dominated the 100k-doc
   * scoring sweep.
+  *
+  * r7: the scoring fan-out itself moved onto the single-pass
+  * [[FieldStats]] struct, which fuses this counting with normalization
+  * and hashing. [[TokenLexCount]] remains the SQL-callable
+  * (`graft_lexcount`) compositional form and the executable parity
+  * reference FieldStatsSpec checks the fused loop against — same role
+  * `TextOps.normalizeTextRegex` plays for `graft_norm`.
+  * [[TokenHashes]] stays the hot path wherever only token hashes are
+  * needed (q_m2, dup-n-gram windows).
   */
 
 /** Counts positive/negative lexicon hits over a token array in one pass:
