@@ -43,6 +43,13 @@ final case class PqEncode(child: Expression, cbFlat: Array[Double],
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    // on UnsafeArrayData an out-of-bounds getDouble can silently read
+    // garbage instead of throwing, and the function is SQL-registered —
+    // fail loudly on a short vector (ADVICE r7, low)
+    if (v.numElements() < s * d)
+      throw new IllegalArgumentException(
+        s"graft_pq_encode: vector has ${v.numElements()} elements, " +
+          s"need at least s*d = ${s * d}")
     val codes = new Array[Byte](s)
     var s0 = 0
     while (s0 < s) {
@@ -80,6 +87,11 @@ final case class PqEncode(child: Expression, cbFlat: Array[Double],
       val best = ctx.freshName("best")
       val bestDist = ctx.freshName("bestDist")
       s"""
+         |if ($c.numElements() < ${s * d}) {
+         |  throw new IllegalArgumentException(
+         |    "graft_pq_encode: vector has " + $c.numElements() +
+         |    " elements, need at least s*d = " + ${s * d});
+         |}
          |byte[] $codes = new byte[$s];
          |for (int $s0 = 0; $s0 < $s; $s0++) {
          |  int $best = 0; double $bestDist = Double.POSITIVE_INFINITY;

@@ -59,9 +59,36 @@ object IvfIndex {
     * same deterministic donor rule q_v10 pins, so the whole
     * build+search is SQL-mirrorable and q_v11 is hash-oracled. */
   private val PqLayoutVersion = "v3pq"
+  /** Layout stamp for TRAINED-codebook PQ cells (VERDICT r7 next #1):
+    * same on-disk shape as [[PqLayoutVersion]], but the codebooks are
+    * per-subspace k-means over the residuals — donor slices as the
+    * deterministic init, Lloyd-refined under the L2 metric the encoder
+    * minimizes ([[VectorOps.kmeansCentroidsL2Df]]). This is what the
+    * reference's store quantizes (init_qdrant.py:41-57 — trained
+    * quantization over real-manifold vectors), and what decouples the
+    * serving shortlist from corpus size (q_v12c): donor codebooks
+    * measured ADC-only recall 0.05–0.13, forcing an L ∝ n exact rerank.
+    * A distinct layout version + ti= field: the codebook RULE is build
+    * semantics, so a donor-built index must never serve as a trained
+    * one (the same stamp discipline as NswIndex's ep= field). Trained
+    * codebooks are not SQL-mirrorable — the q_v12 family is rows-only,
+    * pinned by IvfPqTrainedSpec bit-parity instead (the NSW-family
+    * pattern); q_v11 keeps ti=0 so the ADC fold semantics stay
+    * hash-oracled. */
+  private val TrainedPqLayoutVersion = "v4pqt"
   /** PQ geometry: S subspaces × K codebook entries (codes fit a byte). */
   private val PqS = 8
   private val PqK = 16
+  /** Default Lloyd iterations for trained codebooks: k-means on clustered
+    * data converges fast; 3 iterations capture most of the gain and keep
+    * the build 8·3 bounded aggregation jobs. */
+  val PqTrainItersDefault = 3
+  /** Training-sample cap: per-subspace k-means fits 16 centroids — a
+    * bounded uniform sample is statistically identical to the full
+    * corpus for that, and at 100 TB training on every row would make
+    * codebook fitting the build bottleneck. Deterministic stride sample
+    * by vec_id keeps the build reproducible. */
+  private val PqTrainSampleMax = 65536L
 
   /** Per-index-path JVM lock: serializes this process's build/append
     * mutations so the marker read-modify-write can't interleave
@@ -430,7 +457,13 @@ object IvfIndex {
       queryVec: Seq[Double], nprobe: Int): DataFrame = {
     val cents = centroids(spark, path)
     val cb = codebooks(spark, path)
-    val d = queryVec.length / PqS
+    // derive the subspace width from the STORED codebook, and fail loudly
+    // on a query of mismatched dimension — integer division from the
+    // query would silently mis-slice the ADC tables (ADVICE r7, low)
+    val d = cb(0)(0).length
+    require(queryVec.length == PqS * d,
+      s"IvfIndex PQ search: query dim ${queryVec.length} != " +
+        s"PqS*d = ${PqS * d} of the stored codebook")
     val qv = queryVec.toArray
     def foldDot(a: Int => Double, b: Int => Double, n: Int): Double =
       (0 until n).map(i => a(i) * b(i)).reduceLeft(_ + _)

@@ -18,7 +18,7 @@ import GraphAnn.{Nsw, Params}
   * On-disk layout (plain parquet):
   * {{{
   *   <path>/graph/shard=<s>/  (vec_id BIGINT, v ARRAY<DOUBLE>, nbrs ARRAY<BIGINT>)
-  *   <path>/_GRAPH_READY      marker: "v1,count=<n>,m=<m>,efc=<efc>,shards=<s>"
+  *   <path>/_GRAPH_READY      marker: "v2,count=<n>,m=<m>,efc=<efc>,ep=<entryProbes>,shards=<s>"
   * }}}
   * `nbrs` stores NEIGHBOR vec_ids (not local indexes), so a reloaded
   * shard is self-describing; shard membership is the same
@@ -36,7 +36,11 @@ import GraphAnn.{Nsw, Params}
   */
 object NswIndex {
   private val Marker = "_GRAPH_READY"
-  private val LayoutVersion = "v1"
+  // v2: entry-probe seeding (r7) changed graph CONSTRUCTION (insertFrom's
+  // beam seeds from a stride sample), so the stamp must carry ep and any
+  // v1 index must read as stale (ADVICE r7, medium) — same discipline as
+  // IvfIndex's k= stamp field.
+  private val LayoutVersion = "v2"
 
   private val pathLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -55,7 +59,8 @@ object NswIndex {
     StructField("nbrs", ArrayType(LongType, containsNull = false), nullable = false)))
 
   private def stampOf(n: Long, params: Params, numShards: Int): String =
-    s"$LayoutVersion,count=$n,m=${params.m},efc=${params.efConstruction},shards=$numShards"
+    s"$LayoutVersion,count=$n,m=${params.m},efc=${params.efConstruction}," +
+      s"ep=${params.entryProbes},shards=$numShards"
 
   private def field(stamp: String, key: String): Long =
     stamp.split(",").collectFirst {
@@ -137,8 +142,12 @@ object NswIndex {
       require(fs.exists(marker), s"NswIndex.append: no index at $path")
       val stamp = readMarker(fs, marker)
       val numShards = field(stamp, "shards").toInt
+      // entryProbes comes from the marker, not a default: insertion seeds
+      // from the stride probes, so append==rebuild parity needs the build's
+      // own ep (ADVICE r7, medium)
       val params = Params(m = field(stamp, "m").toInt,
-        efConstruction = field(stamp, "efc").toInt)
+        efConstruction = field(stamp, "efc").toInt,
+        entryProbes = field(stamp, "ep").toInt)
       val fresh = newVectors.select(col(idCol).cast("long").as("vec_id"),
           transform(col(vecCol), x => x.cast("double")).as("v"))
         .withColumn("shard",
@@ -255,7 +264,8 @@ object NswIndex {
     val stamp = readMarker(fs, new Path(new Path(path), Marker))
     val numShards = field(stamp, "shards").toInt
     val params = Params(m = field(stamp, "m").toInt,
-      efConstruction = field(stamp, "efc").toInt, efSearch = efSearch)
+      efConstruction = field(stamp, "efc").toInt, efSearch = efSearch,
+      entryProbes = field(stamp, "ep").toInt)
     val qArr = queries.map { case (qid, v) => (qid, v.toArray) }.toArray
     val bc = spark.sparkContext.broadcast(qArr)
     val outSchema = StructType(Seq(
