@@ -191,6 +191,62 @@ object VectorOps {
     cents
   }
 
+  /** Σ (aᵢ−bᵢ)², left fold from 0.0 in ascending element order — the
+    * squared Euclidean distance PQ encoding minimizes
+    * ([[graft.functions.PqEncode]] accumulates diff² in exactly this
+    * order, so L2-assigned k-means codebooks and the encoder agree on
+    * every tie). */
+  def l2dist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** DataFrame-native Lloyd refinement under SQUARED-EUCLIDEAN
+    * assignment — the k-means that trains PQ codebooks (VERDICT r7 next
+    * #1): [[kmeansCentroidsDf]] assigns by cosine (the IVF coarse
+    * quantizer's metric), but PQ encodes residuals by L2 argmin
+    * ([[graft.functions.PqEncode]]), and codebooks must be trained under
+    * the metric they serve. Same scale shape as the cosine form: the
+    * centroid set stays a DataFrame end to end, assignment is a
+    * broadcast-argmin narrow projection (ties → smallest cent_id, via
+    * max over (−dist, −cent_id) structs), the update is ONE
+    * partial-aggregated groupBy with decimal-exact per-dimension means
+    * (order-independent ⇒ identical centroids for any partitioning; the
+    * mean is the exact L2 Lloyd update), empty cells keep their previous
+    * centroid, and a localCheckpoint per iteration cuts lineage.
+    * Nothing k-sized collects to the driver. KmeansSpec pins bit-parity
+    * with a literal driver-side reference. */
+  def kmeansCentroidsL2Df(
+      e: org.apache.spark.sql.DataFrame,
+      vecCol: String,
+      cents0: org.apache.spark.sql.DataFrame,
+      iters: Int,
+      dim: Int): org.apache.spark.sql.DataFrame = {
+    var cents = cents0.select(col("cent_id").cast("int").as("cent_id"),
+      transform(col("cvec"), x => x.cast("double")).as("cvec"))
+    for (_ <- 0 until iters) {
+      val centsArr = cents.agg(
+        collect_list(struct(col("cent_id"), col("cvec"))).as("cs"))
+      val best = array_max(transform(col("cs"), c =>
+        struct((-l2dist(col(vecCol), c.getField("cvec"))).as("negd"),
+          (-c.getField("cent_id")).as("nid"))))
+      val dims = (0 until dim).map { dIdx =>
+        (sum(element_at(col(vecCol), dIdx + 1).cast("decimal(28,12)")) /
+          count(lit(1))).cast("double").as(s"m$dIdx")
+      }
+      val updated = e.crossJoin(broadcast(centsArr))
+        .withColumn("__cell", -best.getField("nid"))
+        .groupBy("__cell")
+        .agg(dims.head, dims.tail: _*)
+        .select(col("__cell").as("cent_id"),
+          array((0 until dim).map(d => col(s"m$d")): _*).as("uvec"))
+      cents = cents.join(updated, Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("uvec"), col("cvec")).as("cvec"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   def lshBucketSql(v: String, hps: Seq[Seq[Double]]): String =
     hps.zipWithIndex.map { case (hp, k) =>
       s"(CASE WHEN (${dotConstSql(v, hp)}) > 0.0 THEN ${1L << k} ELSE 0 END)"

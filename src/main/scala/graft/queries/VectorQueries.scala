@@ -185,6 +185,86 @@ object VectorQueries extends QueryPack {
       .orderBy("qid")
   }
 
+  // ---- clustered synthetic corpus for the trained-PQ family (q_v12).
+  /** The `embeddings` table is near-orthogonal — PQ's degenerate case
+    * (no low-dimensional structure for a 16-entry codebook to exploit;
+    * q_v11b keeps that floor measured). Real embedding corpora are the
+    * opposite: locally low-rank (the reference quantizes CryptoBERT
+    * vectors, init_qdrant.py:41-57). This corpus has that shape —
+    * [[ClustC]] deterministic cluster centers, each vector =
+    * center(id % C) + Σ_{r<Rank} coef_r(id) · dir(c, r): per-cluster
+    * RANK-dimensional local structure, so residuals after coarse
+    * quantization live near a low-dimensional manifold — the case
+    * trained codebooks capture and donors don't. Deterministic on any
+    * JVM/partitioning: centers and directions from the seeded
+    * hyperplane LCG, coefficients from Murmur3 of (id, r). */
+  private[graft] val ClustC = 32
+  private[graft] val ClustRank = 4
+  private[graft] val ClustCoefAmp = 0.6
+  private lazy val clustCenters: Seq[Seq[Double]] =
+    hyperplanes(ClustC, Dim, seed = 101L)
+  private lazy val clustDirs: Seq[Seq[Double]] =
+    hyperplanes(ClustC * ClustRank, Dim, seed = 103L)
+
+  private[graft] def clusteredCorpus(s: SparkSession, n: Long): DataFrame = {
+    val centersFlat = typedLit(clustCenters.flatten)
+    val dirsFlat = typedLit(clustDirs.flatten)
+    // coef_r(id) uniform over {-1.0, -0.999, …, 1.0} · amp
+    def coef(r: Int) =
+      (pmod(hash(col("id"), lit(r)), lit(2001)).cast("double") / lit(1000.0)
+        - lit(1.0)) * lit(ClustCoefAmp)
+    s.range(n)
+      .select(col("id"), (col("id") % ClustC).cast("int").as("c"),
+        coef(0).as("k0"), coef(1).as("k1"), coef(2).as("k2"), coef(3).as("k3"))
+      .select(
+        col("id").as("vec_id"),
+        concat(lit("c"), col("c").cast("string")).as("label"),
+        transform(sequence(lit(0), lit(Dim - 1)), j =>
+          element_at(centersFlat, col("c") * Dim + j + 1)
+            + col("k0") * element_at(dirsFlat, (col("c") * ClustRank + 0) * Dim + j + 1)
+            + col("k1") * element_at(dirsFlat, (col("c") * ClustRank + 1) * Dim + j + 1)
+            + col("k2") * element_at(dirsFlat, (col("c") * ClustRank + 2) * Dim + j + 1)
+            + col("k3") * element_at(dirsFlat, (col("c") * ClustRank + 3) * Dim + j + 1))
+          .as("embedding"))
+  }
+
+  /** Rerank-shortlist rule for the TRAINED serving path (q_v12c):
+    * L = [[RerankMult]] · k · nprobe — a CONSTANT multiple of the result
+    * size times the probed-cell count, independent of corpus size
+    * (VERDICT r7 next #2: q_v11c's L = max(50, n/20) compensates for
+    * untrained codebooks with an exact-rerank set that grows linearly —
+    * 5e7 reranks/query at 1e9 vectors; with trained codebooks the ADC
+    * shortlist is accurate enough that a fixed multiple suffices, so
+    * serving cost is O(probed cells + L), independent of n). */
+  private[graft] val RerankMult = 8
+
+  /** Shared build of the trained-PQ index over the clustered corpus:
+    * same centroid rule as the q_v11 family (first ivfK(n) vectors), the
+    * ONLY delta is the codebook rule — so q_v11b vs q_v12b reads as
+    * donor-vs-trained, not as a different index. */
+  private def trainedPqIndex(s: SparkSession, dir: String): (DataFrame, Int, String) = {
+    val n = Tables.embeddings(s, dir).count()
+    val e = clusteredCorpus(s, n)
+    val k = ivfK(n)
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val path = s.conf.getOption("spark.graft.ivfPqTrainedIndexDir").getOrElse(
+      System.getProperty("java.io.tmpdir") + "/graft_ivfpqt_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_"))
+    graft.operators.IvfIndex.buildPqIfAbsent(e, cents, path)
+    (e, k, path)
+  }
+
+  /** The 8 standard query points (vec_id < 8) of a corpus, collected
+    * driver-side for the per-query index searches. */
+  private def queryPoints(e: DataFrame): Seq[(Long, Seq[Double])] =
+    e.filter(col("vec_id") < 8)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+      .sortBy(_._1)
+
   override def queries: Seq[QueryDef] = Seq(
 
     // V2 — exact kNN: top-10 by cosine to a fixed query vector
@@ -1414,7 +1494,8 @@ object VectorQueries extends QueryPack {
         val path = s.conf.getOption("spark.graft.ivfPqIndexDir").getOrElse(
           System.getProperty("java.io.tmpdir") + "/graft_ivfpq_" +
             dir.replaceAll("[^A-Za-z0-9]", "_"))
-        graft.operators.IvfIndex.buildPqIfAbsent(e, cents, path)
+        graft.operators.IvfIndex.buildPqIfAbsent(e, cents, path,
+          trainIters = 0) // donor rule: this family is the SQL-mirrored ADC pin
         graft.operators.IvfIndex.searchTopK(s, path, QueryVec,
           nprobe = ivfNprobe(k), k = 5)
       },
@@ -1523,7 +1604,8 @@ object VectorQueries extends QueryPack {
         val path = s.conf.getOption("spark.graft.ivfPqIndexDir").getOrElse(
           System.getProperty("java.io.tmpdir") + "/graft_ivfpq_" +
             dir.replaceAll("[^A-Za-z0-9]", "_"))
-        graft.operators.IvfIndex.buildPqIfAbsent(e, cents, path)
+        graft.operators.IvfIndex.buildPqIfAbsent(e, cents, path,
+          trainIters = 0) // donor rule: this family is the SQL-mirrored ADC pin
         val q = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val exact = exactTopK(e, q, 5)
@@ -1668,7 +1750,8 @@ object VectorQueries extends QueryPack {
         val path = s.conf.getOption("spark.graft.ivfPqIndexDir").getOrElse(
           System.getProperty("java.io.tmpdir") + "/graft_ivfpq_" +
             dir.replaceAll("[^A-Za-z0-9]", "_"))
-        graft.operators.IvfIndex.buildPqIfAbsent(e, cents, path)
+        graft.operators.IvfIndex.buildPqIfAbsent(e, cents, path,
+          trainIters = 0) // donor rule: this family is the SQL-mirrored ADC pin
         val q = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val exact = exactTopK(e, q, 5)
@@ -1801,6 +1884,85 @@ object VectorQueries extends QueryPack {
            |FROM qs LEFT JOIN common ON qs.qid = common.qid
            |ORDER BY qs.qid""".stripMargin
       }),
+
+    // V12 — IVFADC with TRAINED codebooks on a clustered corpus (VERDICT
+    // r7 next #1, the production rule): per-subspace L2 k-means over
+    // residual slices (donor init, 3 Lloyd iterations, bounded stride
+    // sample) replaces the raw donor entries; measured on the low-rank
+    // clustered corpus because that is the manifold shape real embedding
+    // tables have (the near-orthogonal `embeddings` table is PQ's
+    // degenerate case and stays measured by q_v11b). Rows-only by
+    // design: Lloyd iterations are not reasonably SQL-mirrorable —
+    // IvfPqTrainedSpec pins the codebooks bit-for-bit against a literal
+    // driver-side reference instead (the NSW-family pattern), and the
+    // ADC fold semantics stay hash-oracled via q_v11.
+    QueryDef(
+      "q_v12_ivfpq_trained",
+      (s, dir) => {
+        val (e, k, path) = trainedPqIndex(s, dir)
+        val qv = queryPoints(e).head._2
+        graft.operators.IvfIndex.searchTopK(s, path, qv,
+          nprobe = ivfNprobe(k), k = 5)
+      },
+      None),
+
+    // V12b — ADC-only recall of the trained codebooks: same instrument
+    // as q_v11b (8 query points, |ADC top-5 ∩ exact top-5| / 5,
+    // candidates ranked on the unrounded ADC score), same centroid rule,
+    // same geometry — the delta vs q_v11b is the codebook rule and the
+    // corpus manifold. Read the pair together: donor-on-degenerate
+    // 0.13/0.05 is the floor; trained-on-clustered is what a real corpus
+    // gets from the 8-byte codes BEFORE any rerank.
+    QueryDef(
+      "q_v12b_ivfpq_trained_recall",
+      (s, dir) => {
+        val (e, k, path) = trainedPqIndex(s, dir)
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val exact = exactTopK(e, q, 5)
+        val ann = queryPoints(e).map { case (qid, qv) =>
+          graft.operators.IvfIndex
+            .searchScoredPq(s, path, qv, nprobe = ivfNprobe(k))
+            .select(lit(qid).as("qid"), col("vec_id"), col("score"))
+        }.reduce(_ unionByName _)
+          .filter(col("vec_id") =!= col("qid"))
+          .groupBy("qid")
+          .agg(call_function("graft_topk", col("score"), col("vec_id"), lit(5)).as("nbrs"))
+        recallOf(q, exact, ann, 5)
+      },
+      None),
+
+    // V12c — the trained SERVING path: ADC shortlist of CONSTANT size
+    // L = RerankMult·k·nprobe (independent of corpus size — VERDICT r7
+    // next #2), exact rerank of only those L rows. With trained
+    // codebooks the shortlist is accurate enough that L no longer needs
+    // to grow with n (q_v11c's L = max(50, n/20) is the measured cost of
+    // NOT training — kept as that instrument); serving cost is
+    // O(probed cells + L) per query at any corpus size.
+    QueryDef(
+      "q_v12c_ivfpq_trained_rerank",
+      (s, dir) => {
+        val (e, k, path) = trainedPqIndex(s, dir)
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val exact = exactTopK(e, q, 5)
+        val shortlistL = RerankMult * 5 * ivfNprobe(k)
+        val ann = queryPoints(e).map { case (qid, qv) =>
+          val short = graft.operators.IvfIndex
+            .searchScoredPq(s, path, qv, nprobe = ivfNprobe(k))
+            .orderBy(desc("score"), col("vec_id")).limit(shortlistL)
+            .select(col("vec_id"))
+          short
+            .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+            .select(lit(qid).as("qid"), col("vec_id"),
+              cosine(col("embedding"), typedLit(qv)).as("score"))
+        }.reduce(_ unionByName _)
+          .filter(col("vec_id") =!= col("qid"))
+          .groupBy("qid")
+          .agg(call_function("graft_topk", col("score"), col("vec_id"), lit(5)).as("nbrs"))
+        recallOf(q, exact, ann, 5)
+      },
+      None),
 
     // V5 — embedding-cosine near-duplicate pairs. The corpus is augmented
     // with perturbed copies of the first 25 vectors (deterministic +0.01
