@@ -561,7 +561,7 @@ object IvfIndex {
     val rn2s = (0 until PqS).map(s0 =>
       element_at(typedLit(rn2(s0).toSeq), codeAt(s0))).reduceLeft(_ + _)
     spark.read.parquet(s"$path/cells")
-      .filter(col("cent_id").isin(probes.map(_._2): _*))
+      .filter(col("cent_id").isin(probes.map(_._1): _*))
       .join(broadcast(probeTable), Seq("cent_id"))
       .withColumn("score",
         (col("qc") + dotr) /

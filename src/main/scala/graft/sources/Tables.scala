@@ -72,12 +72,15 @@ object Tables {
       }
     }
 
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects outright; `spark.sql.legacy.parquet.nanosAsLong` (set in
-    * [[graft.GraftSession]]) surfaces it as a Long of epoch-nanos. We floor
-    * to micros and expose a proper TimestampType `ts` (session TZ is UTC),
-    * keeping the raw nanos as `ts_ns` for exact ordering parity with engines
-    * that keep full nanosecond resolution.
+  /** Normalizes whatever physical encoding `events.ts` arrives in to a
+    * session-UTC TimestampType `ts` plus epoch-nanos Long `ts_ns`:
+    *  - parquet INT64 TIMESTAMP(NANOS) surfaces as Long epoch-nanos via
+    *    `spark.sql.legacy.parquet.nanosAsLong` (set in [[graft.GraftSession]]);
+    *    we floor to micros for `ts` and keep the raw nanos in `ts_ns`.
+    *  - parquet timestamp[us] without timezone surfaces as TIMESTAMP_NTZ;
+    *    the cast to TimestampType interprets the wall-clock in the session
+    *    timezone (pinned UTC), matching DuckDB's naive-timestamp reading.
+    *  - TIMESTAMP (LTZ) passes through unchanged.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -88,6 +91,9 @@ object Tables {
         // plain `div` truncates toward zero and would round those up).
         raw.withColumn("ts_ns", col("ts"))
           .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
       case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
     }
   }

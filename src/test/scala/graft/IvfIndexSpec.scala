@@ -132,17 +132,25 @@ class IvfIndexSpec extends AnyFunSuite {
     val before = fs.getFileStatus(mPath).getModificationTime
     IvfIndex.buildPqIfAbsent(corpus(), cents(), pq)
     assert(fs.getFileStatus(mPath).getModificationTime == before)
-    // append parity: a PREFIX build (so the vec_id < 16 codebook donors
-    // are present) plus an append of the rest equals the full build —
-    // appended rows must encode against the STORED codebooks
+    // append parity under the DONOR rule: prefix and full builds share
+    // the vec_id < 16 donor codebooks bit-for-bit, so a PREFIX build
+    // plus an append of the rest must equal the full build EXACTLY —
+    // appended rows must encode against the STORED codebooks. (The
+    // default TRAINED rule retrains on the build input, so full-vs-
+    // prefix codebooks legitimately differ; trained append is pinned by
+    // IvfPqTrainedSpec via codebook immutability + the rerank serving
+    // shape instead.)
     val n = corpus().count()
+    val donorFull = freshPath()
+    IvfIndex.buildPqIfAbsent(corpus(), cents(), donorFull, trainIters = 0)
     val part = freshPath()
-    IvfIndex.buildPqIfAbsent(corpus().filter(col("vec_id") < n / 2), cents(), part)
+    IvfIndex.buildPqIfAbsent(corpus().filter(col("vec_id") < n / 2), cents(), part,
+      trainIters = 0)
     IvfIndex.append(corpus().filter(col("vec_id") >= n / 2), part)
-    assert(search(part) == first)
+    assert(search(part) == search(donorFull))
     // marker advanced: buildPqIfAbsent over the grown corpus no-ops
     val pBefore = fs.getFileStatus(new Path(part, "_INDEX_READY")).getModificationTime
-    IvfIndex.buildPqIfAbsent(corpus(), cents(), part)
+    IvfIndex.buildPqIfAbsent(corpus(), cents(), part, trainIters = 0)
     assert(fs.getFileStatus(new Path(part, "_INDEX_READY")).getModificationTime == pBefore)
   }
 
