@@ -1106,11 +1106,17 @@ object VectorQueries extends QueryPack {
           .collect()
           .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
           .sortBy(_._1)
-        val modes = Seq(("single", 1), ("probed", -1))
+        // layered (r9): the HNSW hierarchy proper — geometric levels,
+        // greedy descent, diversity-heuristic links (GraphAnnSpec: 1.000
+        // recall at 217 evals/search on the 12k clustered shard, vs
+        // probed 0.750 at 295)
+        val modes = Seq(
+          ("single", graft.operators.GraphAnn.Params(entryProbes = 1)),
+          ("probed", graft.operators.GraphAnn.Params()),
+          ("layered", graft.operators.GraphAnn.Params(layered = true)))
         val shardCounts = Seq(8, 1)
-        modes.flatMap { case (mode, probes) =>
+        modes.flatMap { case (mode, params) =>
           shardCounts.map { ns =>
-            val params = graft.operators.GraphAnn.Params(entryProbes = probes)
             val ann = graft.operators.GraphAnn
               .searchShards(e, "vec_id", "embedding", qPts, kPerShard = 6,
                 params, numShards = ns)

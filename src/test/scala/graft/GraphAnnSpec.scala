@@ -119,49 +119,55 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(wide >= 0.7, f"wide-beam recall $wide%.3f collapsed on one shard")
   }
 
-  test("stride-probe entry cuts distance evals on a 10x shard at held recall") {
-    // VERDICT r6 next #5: a 12000-node single shard (~10x the bench
-    // shard) on the clustered manifold of the stress test above. The
-    // probed entry (ceil(sqrt(n)) stride sample seeding the beam) must
-    // reduce measured distance evaluations per search vs the legacy
-    // node-0 entry (entryProbes = 1) without giving up recall — the
-    // flat-graph counterpart of what HNSW's upper layers buy.
-    val dim = 24
-    val n = 12000
-    val nClusters = 50
-    def centerCol(d: Int) = sin((col("id") % nClusters).cast("double") * (2.17 + d) + lit(d * 0.91))
-    val vecs = spark.range(n).select(
+  // 12000-node single-shard clustered corpus (~10x the bench shard) —
+  // the regime where entry strategy dominates search cost; shared by the
+  // stride-probe matrix and the layered-HNSW test below.
+  private val bigShardDim = 24
+  private val bigShardClusters = 50
+  private lazy val bigShardVecs = {
+    def centerCol(d: Int) = sin((col("id") % bigShardClusters).cast("double") * (2.17 + d) + lit(d * 0.91))
+    spark.range(12000).select(
       col("id").as("vec_id"),
-      array((0 until dim).map(d =>
+      array((0 until bigShardDim).map(d =>
         centerCol(d) + sin(col("id").cast("double") * (5.3 + d)) * 0.15): _*)
         .as("embedding"))
-    val qs = (0L until 8L).map { qid =>
-      val r = new java.util.Random(qid)
-      val c = qid * 6 % nClusters
-      qid -> (0 until dim).map(d =>
-        math.sin(c.toDouble * (2.17 + d) + d * 0.91) + (r.nextDouble() - 0.5) * 0.1).toSeq
-    }
-    val exactByQ = qs.map { case (qid, qv) =>
-      qid -> vecs
-        .withColumn("score", cosine(col("embedding"), typedLit(qv)))
-        .orderBy(desc("score"), col("vec_id")).limit(5)
-        .collect().map(_.getLong(0)).toSet
-    }.toMap
-    def run(probes: Int, ef: Int = 64): (Double, Double) = {
-      val params = Params(m = 8, efConstruction = 32, efSearch = ef,
-        entryProbes = probes)
-      val ann = GraphAnn.searchShards(vecs, "vec_id", "embedding", qs,
-        kPerShard = 5, params, numShards = 1)
-      val annIds = ann.collect().groupBy(_.getLong(0))
-        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
-      val recall = qs.map { case (qid, _) =>
-        annIds.getOrElse(qid, Set.empty).count(exactByQ(qid)).toDouble / 5.0
-      }.sum / qs.size
-      val st = GraphAnn.shardSearchStats(vecs, "vec_id", "embedding", qs,
-        kPerShard = 5, params, numShards = 1).collect()
-      val epq = st.map(_.getLong(2)).sum.toDouble / st.map(_.getLong(1)).sum
-      (recall, epq)
-    }
+  }
+  private lazy val bigShardQs: Seq[(Long, Seq[Double])] = (0L until 8L).map { qid =>
+    val r = new java.util.Random(qid)
+    val c = qid * 6 % bigShardClusters
+    qid -> (0 until bigShardDim).map(d =>
+      math.sin(c.toDouble * (2.17 + d) + d * 0.91) + (r.nextDouble() - 0.5) * 0.1).toSeq
+  }
+  private lazy val bigShardExact: Map[Long, Set[Long]] = bigShardQs.map { case (qid, qv) =>
+    qid -> bigShardVecs
+      .withColumn("score", cosine(col("embedding"), typedLit(qv)))
+      .orderBy(desc("score"), col("vec_id")).limit(5)
+      .collect().map(_.getLong(0)).toSet
+  }.toMap
+  /** (recall@5, evals/search) for one Params on the 12k shard. */
+  private def bigShardRun(params: Params): (Double, Double) = {
+    val ann = GraphAnn.searchShards(bigShardVecs, "vec_id", "embedding", bigShardQs,
+      kPerShard = 5, params, numShards = 1)
+    val annIds = ann.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = bigShardQs.map { case (qid, _) =>
+      annIds.getOrElse(qid, Set.empty).count(bigShardExact(qid)).toDouble / 5.0
+    }.sum / bigShardQs.size
+    val st = GraphAnn.shardSearchStats(bigShardVecs, "vec_id", "embedding", bigShardQs,
+      kPerShard = 5, params, numShards = 1).collect()
+    val epq = st.map(_.getLong(2)).sum.toDouble / st.map(_.getLong(1)).sum
+    (recall, epq)
+  }
+
+  test("stride-probe entry cuts distance evals on a 10x shard at held recall") {
+    // VERDICT r6 next #5: the probed entry (ceil(sqrt(n)) stride sample
+    // seeding the beam) must reduce measured distance evaluations per
+    // search vs the legacy node-0 entry (entryProbes = 1) without
+    // giving up recall — the flat-graph counterpart of what HNSW's
+    // upper layers buy.
+    def run(probes: Int, ef: Int = 64): (Double, Double) =
+      bigShardRun(Params(m = 8, efConstruction = 32, efSearch = ef,
+        entryProbes = probes))
     // measured matrix (kept for the record): single-entry recall is
     // STUCK at 0.400 from ef=32 (119 evals) to ef=256 (455 evals) — a
     // wider beam cannot escape node 0's basin on a 10x shard; probed
@@ -175,6 +181,28 @@ class GraphAnnSpec extends AnyFunSuite {
       f"probed@ef64 must cost fewer evals than single@ef256 ($eSingle%.0f -> $eProbed%.0f)")
     assert(rProbed > rSingle,
       f"probed@ef64 must beat single@ef256 recall ($rSingle%.3f -> $rProbed%.3f)")
+  }
+
+  test("HNSW layers reach probed-entry recall at materially fewer evals") {
+    // VERDICT r7/r8 stretch: the layer hierarchy proper replaces the
+    // O(sqrt(n)) stride probes (~110 entry evals on a 12k shard) with an
+    // O(log n) greedy descent. Bar: recall at least matches the probed
+    // entry at the same layer-0 beam, with materially (>=25%) fewer
+    // distance evals per search.
+    val (rProbed, eProbed) = bigShardRun(
+      Params(m = 8, efConstruction = 32, efSearch = 64, entryProbes = -1))
+    val (rLayered, eLayered) = bigShardRun(
+      Params(m = 8, efConstruction = 32, efSearch = 64, layered = true))
+    info(f"probed ef=64: recall $rProbed%.3f, $eProbed%.0f evals/search; " +
+      f"layered ef=64: recall $rLayered%.3f, $eLayered%.0f evals/search")
+    assert(rLayered >= rProbed,
+      f"layered recall $rLayered%.3f must not trail probed $rProbed%.3f")
+    assert(eLayered <= eProbed * 0.75,
+      f"layered must cut evals/search materially ($eProbed%.0f -> $eLayered%.0f)")
+    // determinism: the layered walk is hash-seeded, not RNG-seeded
+    val again = bigShardRun(
+      Params(m = 8, efConstruction = 32, efSearch = 64, layered = true))
+    assert(again == ((rLayered, eLayered)), "layered search must be deterministic")
   }
 
   test("persisted shard graphs serve the exact rows of the per-call rebuild") {
