@@ -65,9 +65,19 @@ object Bench {
     def spreadJson(s: Seq[Double]): String =
       s"[${s.map(v => f"$v%.3f").mkString(",")}]"
     def best(f: => Unit): Double = spreadOf(f).head
+    // 1-minute load average at probe start: the probes are best-of-5 on
+    // an otherwise-quiet JVM, so a high machine load here is the ONLY
+    // way min can diverge from median (r8's 33x knn outlier bisected to
+    // environment contention — HEAD and r7 measure identically on a
+    // quiet box); stamping it makes contended runs self-identifying.
+    def loadAvg(): Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
     val throughput = try {
       spark.catalog.clearCache()
       System.gc()
+      val load0 = loadAvg()
       // frame-kernel probe: SMA30 + Bollinger(20,2) over 20M synthetic
       // rows across 1000 series — one shuffle, windowed aggregates in
       // whole-stage codegen
@@ -215,7 +225,9 @@ object Bench {
       nswFs.delete(new org.apache.hadoop.fs.Path(nswIdxPath), true)
       vecs.unpersist()
       Some(
-        s""""throughput":{"order":"pre-sweep","frame_rows":$frameRows,"frame_sec":$frameSec,""" +
+        s""""throughput":{"order":"pre-sweep",""" +
+        f""""loadavg_start":$load0%.2f,"loadavg_end":${loadAvg()}%.2f,""" +
+        s""""frame_rows":$frameRows,"frame_sec":$frameSec,""" +
         s""""frame_rows_per_s":${(frameRows / frameSec).toLong},""" +
         s""""frame_narrow_sec":$narrowSec,""" +
         s""""frame_narrow_rows_per_s":${(frameRows / narrowSec).toLong},""" +

@@ -252,23 +252,26 @@ object IvfIndex {
           if (trainIters <= 0) cb0
           else {
             // deterministic bounded training sample; localCheckpoint the
-            // residual projection once so the 8 per-subspace refinements
-            // don't each re-run the assignment lineage
+            // residual projection once so the refinement doesn't re-run
+            // the assignment lineage. All PqS subspaces train in ONE
+            // grouped Lloyd chain (r9): the per-subspace form ran
+            // 8 sequential chains of tiny jobs whose fixed overhead
+            // dominated the build (43 s of the sf0.01 sweep);
+            // kmeansCentroidsL2GroupedDf is bit-identical per subspace.
             val stride = math.max(1L, n / PqTrainSampleMax)
             val sample = (if (stride == 1L) assigned
               else assigned.filter(pmod(col("vec_id"), lit(stride)) === 0))
               .select(col("res")).localCheckpoint()
-            Array.tabulate(PqS) { s0 =>
-              val sub = sample.select(slice(col("res"), s0 * d + 1, d).as("sub"))
-              val init = (0 until PqK).map(j => (j, cb0(s0)(j).toSeq))
-                .toDF("cent_id", "cvec")
-              val refined = VectorOps.kmeansCentroidsL2Df(
-                  sub, "sub", init, trainIters, d)
-                .collect()
-                .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-                .toMap
-              Array.tabulate(PqK)(j => refined(j))
-            }
+            val subRows = sample.select(posexplode(array((0 until PqS).map(s0 =>
+              slice(col("res"), s0 * d + 1, d)): _*)).as(Seq("s", "sub")))
+            val init = (0 until PqS).flatMap(s0 => (0 until PqK).map(j =>
+              (s0, j, cb0(s0)(j).toSeq))).toDF("s", "cent_id", "cvec")
+            val refined = VectorOps.kmeansCentroidsL2GroupedDf(
+                subRows, "sub", init, trainIters, d)
+              .collect()
+              .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+              .toMap
+            Array.tabulate(PqS, PqK)((s0, j) => refined((s0, j)))
           }
         cb.zipWithIndex.flatMap { case (entries, s0) =>
           entries.zipWithIndex.map { case (v, j) => (s0, j, v.toSeq) }
