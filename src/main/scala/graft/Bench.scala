@@ -223,6 +223,30 @@ object Bench {
         }
       } / nswServe
       nswFs.delete(new org.apache.hadoop.fs.Path(nswIdxPath), true)
+      // layered-HNSW persisted variant (r9 — layout v3): same corpus,
+      // same shard count; the hierarchy replaces the per-insert stride
+      // probes (the flat build's dominant cost) and the per-search
+      // entry evals. Reported side by side so the flat-vs-layered
+      // build/serve tradeoff lives in the artifact of record.
+      val nswlPath = nswIdxPath + "_l"
+      nswFs.delete(new org.apache.hadoop.fs.Path(nswlPath), true)
+      val nswlBuildSec = time {
+        graft.operators.NswIndex.buildIfAbsent(
+          nswCorpus, "vec_id", "embedding", nswlPath,
+          graft.operators.GraphAnn.Params(layered = true),
+          numShards = Runtime.getRuntime.availableProcessors())
+      }
+      val nswlFirstSec = time {
+        graft.operators.NswIndex.searchTopK(
+          spark, nswlPath, qvFull, k = 10).collect()
+      }
+      val nswlAmortSec = time {
+        (1 to nswServe).foreach { _ =>
+          graft.operators.NswIndex.searchTopK(
+            spark, nswlPath, qvFull, k = 10).collect()
+        }
+      } / nswServe
+      nswFs.delete(new org.apache.hadoop.fs.Path(nswlPath), true)
       vecs.unpersist()
       Some(
         s""""throughput":{"order":"pre-sweep",""" +
@@ -238,7 +262,10 @@ object Bench {
         s""""nsw_index":{"build_sec":${f"$nswBuildSec%.3f"},""" +
         s""""first_search_sec":${f"$nswFirstSec%.3f"},""" +
         s""""query_amortized_sec":${f"$nswAmortSec%.4f"},""" +
-        s""""rebuild_per_query_sec":${f"$nswSec%.3f"}},""" +
+        s""""rebuild_per_query_sec":${f"$nswSec%.3f"},""" +
+        s""""layered_build_sec":${f"$nswlBuildSec%.3f"},""" +
+        s""""layered_first_search_sec":${f"$nswlFirstSec%.3f"},""" +
+        s""""layered_query_amortized_sec":${f"$nswlAmortSec%.4f"}},""" +
         s""""spread":{"frame":${spreadJson(frameSpread)},""" +
         s""""narrow":${spreadJson(narrowSpread)},""" +
         s""""scorer":${spreadJson(scorerSpread)},""" +

@@ -447,8 +447,64 @@ object GraphAnn {
       * [[NswIndex]] stores them keyed by vec_id). */
     def adjacencyRows: IndexedSeq[Array[Int]] = {
       require(!params.layered,
-        "layered NSW graphs are in-memory only; the persisted layout is flat")
+        "flat adjacencyRows on a layered graph loses the hierarchy; use layeredState")
       (0 until n).map(i => adj(i).take(deg(i)))
+    }
+
+    /** The built LAYERED graph for persisting: per-node (level, layer-0
+      * adjacency, upper adjacency rows for layers 1..level), local
+      * indexes. The [[NswIndex]] v3 layout stores these keyed by
+      * vec_id. */
+    def layeredState: IndexedSeq[(Int, Array[Int], Array[Array[Int]])] = {
+      require(params.layered, "layeredState requires layered params")
+      (0 until n).map { i =>
+        (levels(i), adj(i).take(deg(i)),
+          Array.tabulate(levels(i))(l => upperNbrsRead(i, l + 1).toArray))
+      }
+    }
+
+    /** Install a prebuilt LAYERED graph for the FIRST `state.length`
+      * nodes (local indexes, same insertion order as `vecs`) — the
+      * serve-from-disk and incremental-append start state for v3
+      * indexes. Restored levels OVERRIDE the tabulated ones (an
+      * interleaved-id append changes local indexes, so levels must
+      * travel with the graph); suffix nodes keep their tabulated level,
+      * which for ascending-id appends equals a full rebuild's. The
+      * entry is recomputed as the FIRST node at the maximum restored
+      * level — [[insertLayered]] advances the entry only on strictly
+      * greater levels, so this is exactly the entry the original build
+      * held. */
+    def withLayeredState(state: IndexedSeq[(Int, Array[Int], Array[Array[Int]])]): this.type = {
+      require(params.layered, "withLayeredState requires layered params")
+      require(state.length <= n, s"layered state ${state.length} > nodes $n")
+      var i = 0
+      while (i < state.length) {
+        val (lvl, base, uppers) = state(i)
+        levels(i) = lvl
+        require(base.length <= maxDeg, s"node $i degree ${base.length} > cap $maxDeg")
+        System.arraycopy(base, 0, adj(i), 0, base.length)
+        deg(i) = base.length
+        require(uppers.length == lvl, s"node $i upper layers ${uppers.length} != level $lvl")
+        if (lvl > 0) {
+          upper.put(i, Array.tabulate(lvl) { l =>
+            val b = new scala.collection.mutable.ArrayBuffer[Int](params.m + 1)
+            b ++= uppers(l)
+            b
+          })
+        }
+        i += 1
+      }
+      var maxL = -1
+      var first = 0
+      i = 0
+      while (i < state.length) {
+        if (levels(i) > maxL) { maxL = levels(i); first = i }
+        i += 1
+      }
+      entryNode = if (state.isEmpty) -1 else first
+      entryLevel = maxL
+      frontier = state.length
+      this
     }
 
     /** Install a prebuilt adjacency (local indexes, same insertion order
@@ -486,12 +542,15 @@ object GraphAnn {
     def insertFrom(start: Int): this.type = {
       if (params.layered) {
         // HNSW build: node 0 is the initial entry at its own level; the
-        // hierarchy replaces the frontier/stride-probe machinery. No
-        // prefix-append contract (withAdjacencyPrefix rejects layered).
-        require(start <= 1,
-          "layered NSW graphs do not support prefix-append")
-        if (n > 0 && entryNode < 0) { entryNode = 0; entryLevel = levels(0) }
-        var i = 1
+        // hierarchy replaces the frontier/stride-probe machinery.
+        // Prefix-append (start > 1) requires a restored layered state
+        // ([[withLayeredState]]) so the hierarchy exists to insert into.
+        if (n > 0 && entryNode < 0) {
+          require(start <= 1,
+            "layered prefix-append requires withLayeredState first")
+          entryNode = 0; entryLevel = levels(0)
+        }
+        var i = math.max(start, 1)
         while (i < n) { insertLayered(i); i += 1 }
         frontier = n
         return this

@@ -19,6 +19,9 @@ import GraphAnn.{Nsw, Params}
   * {{{
   *   <path>/graph/shard=<s>/  (vec_id BIGINT, v ARRAY<DOUBLE>, nbrs ARRAY<BIGINT>)
   *   <path>/_GRAPH_READY      marker: "v2,count=<n>,m=<m>,efc=<efc>,ep=<entryProbes>,shards=<s>"
+  *   -- layered (HNSW proper, r9): rows additionally carry
+  *   --   lvl INT, unbrs ARRAY<ARRAY<BIGINT>>   (layers 1..lvl, neighbor vec_ids)
+  *   --   marker: "v3,count=…,m=…,efc=…,ep=…,lay=1,shards=…"
   * }}}
   * `nbrs` stores NEIGHBOR vec_ids (not local indexes), so a reloaded
   * shard is self-describing; shard membership is the same
@@ -41,6 +44,13 @@ object NswIndex {
   // v1 index must read as stale (ADVICE r7, medium) — same discipline as
   // IvfIndex's k= stamp field.
   private val LayoutVersion = "v2"
+  // v3 (r9): the layered-HNSW layout — rows additionally carry the node's
+  // level and its per-upper-layer adjacency (neighbor vec_ids), because
+  // levels derive from LOCAL insertion index and an interleaved-id append
+  // would re-derive them differently on reload. Flat v2 indexes are
+  // untouched (separate stamp string, separate schema — no forced
+  // rebuild of existing indexes).
+  private val LayeredLayoutVersion = "v3"
 
   private val pathLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -58,9 +68,18 @@ object NswIndex {
     StructField("v", ArrayType(DoubleType, containsNull = false), nullable = false),
     StructField("nbrs", ArrayType(LongType, containsNull = false), nullable = false)))
 
+  private val layeredSchema = StructType(graphSchema.fields.toSeq ++ Seq(
+    StructField("lvl", IntegerType, nullable = false),
+    StructField("unbrs", ArrayType(ArrayType(LongType, containsNull = false),
+      containsNull = false), nullable = false)))
+
   private def stampOf(n: Long, params: Params, numShards: Int): String =
-    s"$LayoutVersion,count=$n,m=${params.m},efc=${params.efConstruction}," +
-      s"ep=${params.entryProbes},shards=$numShards"
+    if (params.layered)
+      s"$LayeredLayoutVersion,count=$n,m=${params.m},efc=${params.efConstruction}," +
+        s"ep=${params.entryProbes},lay=1,shards=$numShards"
+    else
+      s"$LayoutVersion,count=$n,m=${params.m},efc=${params.efConstruction}," +
+        s"ep=${params.entryProbes},shards=$numShards"
 
   private def field(stamp: String, key: String): Long =
     stamp.split(",").collectFirst {
@@ -78,6 +97,7 @@ object NswIndex {
       val marker = new Path(root, Marker)
       val stamp = stampOf(e.count(), params, numShards)
       if (fs.exists(marker) && readMarker(fs, marker) == stamp) return
+      val layered = params.layered
       val rows = e.select(col(idCol).cast("long").as("vec_id"),
           transform(col(vecCol), x => x.cast("double")).as("v"))
         .withColumn("shard",
@@ -91,12 +111,21 @@ object NswIndex {
             val sorted = rs.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
               .sortBy(_._1) // deterministic insertion order
             val nsw = new Nsw(sorted.map(_._2), params).build()
-            val adjRows = nsw.adjacencyRows
-            sorted.iterator.zipWithIndex.map { case ((id, v), i) =>
-              Row(shard, id, v.toSeq, adjRows(i).map(j => sorted(j)._1).toSeq)
+            if (layered) {
+              val st = nsw.layeredState
+              sorted.iterator.zipWithIndex.map { case ((id, v), i) =>
+                val (lvl, base, uppers) = st(i)
+                Row(shard, id, v.toSeq, base.map(j => sorted(j)._1).toSeq,
+                  lvl, uppers.map(_.map(j => sorted(j)._1).toSeq).toSeq)
+              }
+            } else {
+              val adjRows = nsw.adjacencyRows
+              sorted.iterator.zipWithIndex.map { case ((id, v), i) =>
+                Row(shard, id, v.toSeq, adjRows(i).map(j => sorted(j)._1).toSeq)
+              }
             }
           }
-        }(Encoders.row(graphSchema))
+        }(Encoders.row(if (layered) layeredSchema else graphSchema))
       val tmp = new Path(
         path + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       try {
@@ -142,12 +171,14 @@ object NswIndex {
       require(fs.exists(marker), s"NswIndex.append: no index at $path")
       val stamp = readMarker(fs, marker)
       val numShards = field(stamp, "shards").toInt
+      val layered = stamp.startsWith(LayeredLayoutVersion + ",")
       // entryProbes comes from the marker, not a default: insertion seeds
       // from the stride probes, so append==rebuild parity needs the build's
       // own ep (ADVICE r7, medium)
       val params = Params(m = field(stamp, "m").toInt,
         efConstruction = field(stamp, "efc").toInt,
-        entryProbes = field(stamp, "ep").toInt)
+        entryProbes = field(stamp, "ep").toInt,
+        layered = layered)
       val fresh = newVectors.select(col(idCol).cast("long").as("vec_id"),
           transform(col(vecCol), x => x.cast("double")).as("v"))
         .withColumn("shard",
@@ -156,36 +187,66 @@ object NswIndex {
       if (added == 0L) return
       val touched = fresh.select("shard").distinct().collect().map(_.getInt(0))
       // partition-pruned: only the touched shard dirs are scanned
+      val existingCols =
+        Seq(col("shard").cast("int").as("shard"),
+          col("vec_id"), col("v"), col("nbrs")) ++
+        (if (layered) Seq(col("lvl"), col("unbrs")) else Nil)
       val existing = spark.read.parquet(s"$path/graph")
-        .select(col("shard").cast("int").as("shard"),
-          col("vec_id"), col("v"), col("nbrs"))
+        .select(existingCols: _*)
         .filter(col("shard").isin(touched.map(Int.box): _*))
-      val unioned = existing.unionByName(
-        fresh.select(col("shard"), col("vec_id"), col("v"),
-          lit(null).cast("array<bigint>").as("nbrs")))
+      val freshCols =
+        Seq(col("shard"), col("vec_id"), col("v"),
+          lit(null).cast("array<bigint>").as("nbrs")) ++
+        (if (layered)
+          Seq(lit(null).cast("int").as("lvl"),
+            lit(null).cast("array<array<bigint>>").as("unbrs"))
+        else Nil)
+      val unioned = existing.unionByName(fresh.select(freshCols: _*))
       val rows = unioned
         .repartition(math.max(touched.length, 1), col("shard"))
         .mapPartitions { it =>
           it.toArray.groupBy(_.getInt(0)).iterator.flatMap { case (shard, rs) =>
             val (oldRows, newRows) = rs.partition(r => !r.isNullAt(3))
-            val oldSorted = oldRows.map(r =>
-                (r.getLong(1), r.getSeq[Double](2).toArray, r.getSeq[Long](3)))
-              .sortBy(_._1)
             val newSorted = newRows.map(r =>
               (r.getLong(1), r.getSeq[Double](2).toArray)).sortBy(_._1)
-            val ids = oldSorted.map(_._1) ++ newSorted.map(_._1)
-            val vecs = oldSorted.map(_._2) ++ newSorted.map(_._2)
-            val idToIdx = ids.iterator.zipWithIndex.toMap
-            val nsw = new Nsw(vecs, params)
-              .withAdjacencyPrefix(
-                oldSorted.toIndexedSeq.map(_._3.map(idToIdx).toArray))
-              .insertFrom(oldSorted.length)
-            val adjRows = nsw.adjacencyRows
-            ids.indices.iterator.map { i =>
-              Row(shard, ids(i), vecs(i).toSeq, adjRows(i).map(j => ids(j)).toSeq)
+            if (layered) {
+              val oldSorted = oldRows.map(r =>
+                  (r.getLong(1), r.getSeq[Double](2).toArray, r.getSeq[Long](3),
+                    r.getInt(4), r.getSeq[scala.collection.Seq[Long]](5)))
+                .sortBy(_._1)
+              val ids = oldSorted.map(_._1) ++ newSorted.map(_._1)
+              val vecs = oldSorted.map(_._2) ++ newSorted.map(_._2)
+              val idToIdx = ids.iterator.zipWithIndex.toMap
+              val nsw = new Nsw(vecs, params)
+                .withLayeredState(oldSorted.toIndexedSeq.map { case (_, _, nbrs, lvl, unbrs) =>
+                  (lvl, nbrs.map(idToIdx).toArray,
+                    unbrs.map(_.map(idToIdx).toArray).toArray)
+                })
+                .insertFrom(oldSorted.length)
+              val st = nsw.layeredState
+              ids.indices.iterator.map { i =>
+                val (lvl, base, uppers) = st(i)
+                Row(shard, ids(i), vecs(i).toSeq, base.map(j => ids(j)).toSeq,
+                  lvl, uppers.map(_.map(j => ids(j)).toSeq).toSeq)
+              }
+            } else {
+              val oldSorted = oldRows.map(r =>
+                  (r.getLong(1), r.getSeq[Double](2).toArray, r.getSeq[Long](3)))
+                .sortBy(_._1)
+              val ids = oldSorted.map(_._1) ++ newSorted.map(_._1)
+              val vecs = oldSorted.map(_._2) ++ newSorted.map(_._2)
+              val idToIdx = ids.iterator.zipWithIndex.toMap
+              val nsw = new Nsw(vecs, params)
+                .withAdjacencyPrefix(
+                  oldSorted.toIndexedSeq.map(_._3.map(idToIdx).toArray))
+                .insertFrom(oldSorted.length)
+              val adjRows = nsw.adjacencyRows
+              ids.indices.iterator.map { i =>
+                Row(shard, ids(i), vecs(i).toSeq, adjRows(i).map(j => ids(j)).toSeq)
+              }
             }
           }
-        }(Encoders.row(graphSchema))
+        }(Encoders.row(if (layered) layeredSchema else graphSchema))
       rows.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("shard")
@@ -235,15 +296,30 @@ object NswIndex {
     }
 
   /** Reconstruct one shard's servable graph from its persisted rows
-    * (layout: shard, vec_id, v, nbrs — neighbor VEC_IDs, see class doc). */
+    * (layout: shard, vec_id, v, nbrs — neighbor VEC_IDs, see class doc;
+    * v3 rows additionally carry lvl + per-upper-layer unbrs). */
   private def reconstruct(rs: Array[Row], params: Params): ServedShard = {
-    val sorted = rs.map(r =>
-        (r.getLong(1), r.getSeq[Double](2).toArray, r.getSeq[Long](3)))
-      .sortBy(_._1)
-    val idToIdx = sorted.iterator.map(_._1).zipWithIndex.toMap
-    val adj = sorted.toIndexedSeq.map(_._3.map(idToIdx).toArray)
-    new ServedShard(sorted.map(_._1),
-      new Nsw(sorted.map(_._2), params).withAdjacency(adj))
+    if (params.layered) {
+      val sorted = rs.map(r =>
+          (r.getLong(1), r.getSeq[Double](2).toArray, r.getSeq[Long](3),
+            r.getInt(4), r.getSeq[scala.collection.Seq[Long]](5)))
+        .sortBy(_._1)
+      val idToIdx = sorted.iterator.map(_._1).zipWithIndex.toMap
+      new ServedShard(sorted.map(_._1),
+        new Nsw(sorted.map(_._2), params).withLayeredState(
+          sorted.toIndexedSeq.map { case (_, _, nbrs, lvl, unbrs) =>
+            (lvl, nbrs.map(idToIdx).toArray,
+              unbrs.map(_.map(idToIdx).toArray).toArray)
+          }))
+    } else {
+      val sorted = rs.map(r =>
+          (r.getLong(1), r.getSeq[Double](2).toArray, r.getSeq[Long](3)))
+        .sortBy(_._1)
+      val idToIdx = sorted.iterator.map(_._1).zipWithIndex.toMap
+      val adj = sorted.toIndexedSeq.map(_._3.map(idToIdx).toArray)
+      new ServedShard(sorted.map(_._1),
+        new Nsw(sorted.map(_._2), params).withAdjacency(adj))
+    }
   }
 
   /** Multi-query search over the PREBUILT graphs. First call per
@@ -263,9 +339,10 @@ object NswIndex {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val stamp = readMarker(fs, new Path(new Path(path), Marker))
     val numShards = field(stamp, "shards").toInt
+    val layered = stamp.startsWith(LayeredLayoutVersion + ",")
     val params = Params(m = field(stamp, "m").toInt,
       efConstruction = field(stamp, "efc").toInt, efSearch = efSearch,
-      entryProbes = field(stamp, "ep").toInt)
+      entryProbes = field(stamp, "ep").toInt, layered = layered)
     val qArr = queries.map { case (qid, v) => (qid, v.toArray) }.toArray
     val bc = spark.sparkContext.broadcast(qArr)
     val outSchema = StructType(Seq(
@@ -275,9 +352,12 @@ object NswIndex {
     val served = servedRows.synchronized {
       Option(servedRows.get((path, stamp, graft.GraftSession.sessionUuid(spark))))
     }.getOrElse {
+      val serveCols =
+        Seq(col("shard").cast("int").as("shard"),
+          col("vec_id"), col("v"), col("nbrs")) ++
+        (if (layered) Seq(col("lvl"), col("unbrs")) else Nil)
       val df = spark.read.parquet(s"$path/graph")
-        .select(col("shard").cast("int").as("shard"),
-          col("vec_id"), col("v"), col("nbrs"))
+        .select(serveCols: _*)
         .repartition(numShards, col("shard"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // population job: materializes the columnar cache, reconstructs

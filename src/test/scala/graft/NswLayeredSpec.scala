@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{GraphAnn, NswIndex}
+import graft.operators.GraphAnn.Params
+
+/** Contract of the PERSISTED layered-HNSW index (NswIndex layout v3 —
+  * r9): the persisted graphs are identical to the in-memory layered
+  * build, serving answers match the per-call rebuild path row for row,
+  * ascending-id appends are bit-identical to a full rebuild of the
+  * grown corpus, and flat v2 indexes coexist untouched.
+  */
+class NswLayeredSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.get(4)
+
+  private val dim = 16
+  private val n = 3000
+  private def corpus(upTo: Long) = {
+    def centerCol(d: Int) =
+      sin((col("id") % 20).cast("double") * (2.17 + d) + lit(d * 0.91))
+    spark.range(upTo).select(
+      col("id").as("vec_id"),
+      array((0 until dim).map(d =>
+        centerCol(d) + sin(col("id").cast("double") * (5.3 + d)) * 0.15): _*)
+        .as("embedding"))
+  }
+
+  private val layeredParams = Params(layered = true)
+  private val query: Seq[Double] = (0 until dim).map(d =>
+    math.sin(7.0 * (2.17 + d) + d * 0.91)).toSeq
+
+  private def freshPath(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft_nswl_$tag").toString
+    new java.io.File(p).delete()
+    p
+  }
+
+  test("persisted layered graphs serve the exact rows of the per-call rebuild") {
+    val path = freshPath("serve")
+    NswIndex.buildIfAbsent(corpus(n), "vec_id", "embedding", path,
+      layeredParams, numShards = 4)
+    val persisted = NswIndex.searchTopK(spark, path, query, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rebuilt = GraphAnn.searchTopK(corpus(n), "vec_id", "embedding", query,
+      k = 5, layeredParams, numShards = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(persisted == rebuilt,
+      "persisted layered serving must equal the in-memory layered walk")
+    assert(persisted.length == 5)
+  }
+
+  test("v3 marker carries the layered stamp and a flat index stays v2") {
+    val path = freshPath("marker")
+    NswIndex.buildIfAbsent(corpus(500), "vec_id", "embedding", path,
+      layeredParams, numShards = 2)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def marker(p: String): String = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(p, "_GRAPH_READY"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    assert(marker(path).startsWith("v3,") && marker(path).contains(",lay=1,"))
+    val flat = freshPath("flat")
+    NswIndex.buildIfAbsent(corpus(500), "vec_id", "embedding", flat,
+      Params(), numShards = 2)
+    assert(marker(flat).startsWith("v2,"))
+    // layered rows persist the hierarchy columns; flat rows don't
+    val lCols = spark.read.parquet(s"$path/graph").columns.toSet
+    assert(lCols.contains("lvl") && lCols.contains("unbrs"))
+    val fCols = spark.read.parquet(s"$flat/graph").columns.toSet
+    assert(!fCols.contains("lvl") && !fCols.contains("unbrs"))
+  }
+
+  test("ascending-id append is bit-identical to a full layered rebuild") {
+    val grown = freshPath("append")
+    NswIndex.buildIfAbsent(corpus(n - 300), "vec_id", "embedding", grown,
+      layeredParams, numShards = 4)
+    NswIndex.append(corpus(n).filter(col("vec_id") >= n - 300),
+      "vec_id", "embedding", grown)
+    val full = freshPath("full")
+    NswIndex.buildIfAbsent(corpus(n), "vec_id", "embedding", full,
+      layeredParams, numShards = 4)
+    def rows(p: String) = spark.read.parquet(s"$p/graph")
+      .select(col("shard").cast("int"), col("vec_id"), col("nbrs"),
+        col("lvl"), col("unbrs"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toSeq,
+        r.getInt(3), r.getSeq[scala.collection.Seq[Long]](4).map(_.toSeq).toSeq))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows(grown) == rows(full),
+      "append of ascending ids must reproduce the full layered build bit-for-bit")
+    // marker count advanced; a rebuild over the grown corpus no-ops
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val mPath = new org.apache.hadoop.fs.Path(grown, "_GRAPH_READY")
+    val before = fs.getFileStatus(mPath).getModificationTime
+    NswIndex.buildIfAbsent(corpus(n), "vec_id", "embedding", grown,
+      layeredParams, numShards = 4)
+    assert(fs.getFileStatus(mPath).getModificationTime == before)
+    // the appended index serves identically to the full build
+    val a = NswIndex.searchTopK(spark, grown, query, k = 5).collect().toSeq
+    val b = NswIndex.searchTopK(spark, full, query, k = 5).collect().toSeq
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+  }
+}
