@@ -241,4 +241,34 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(pf.contains("cent_id") && pf.contains("IN"), pf)
     assert(!plan.toString.contains("Exchange"), "no shuffle in the serve path")
   }
+
+  test("PQ/ADC serving plan partition-prunes and broadcasts the probe table") {
+    // same invariant for the quantized path: the ADC scan must touch
+    // only the probed cell directories, join the nprobe-row probe table
+    // by broadcast, and introduce no shuffle exchange — at 100 TB the
+    // difference between this plan and a full cell scan IS the index.
+    val path = freshPath()
+    IvfIndex.buildPqIfAbsent(corpus(), cents(), path)
+    val df = IvfIndex.searchTopK(spark, path, VectorQueries.QueryVec,
+      nprobe = 2, k = 5)
+    // the broadcast join makes AQE wrap the plan; collect() doesn't
+    // descend into AdaptiveSparkPlanExec, so unwrap it first
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val cellScan = scans.find(_.metadata.get("Location").exists(_.contains("cells")))
+    assert(cellScan.isDefined, plan.toString)
+    val pf = cellScan.get.partitionFilters.mkString(";")
+    assert(pf.contains("cent_id") && pf.contains("IN"), pf)
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"),
+      "probe table must broadcast-join into the cell scan")
+    assert(!s.contains("ShuffleExchange") && !s.contains("Exchange hashpartitioning"),
+      "no shuffle in the ADC serve path")
+  }
 }

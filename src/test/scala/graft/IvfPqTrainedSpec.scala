@@ -166,6 +166,43 @@ class IvfPqTrainedSpec extends AnyFunSuite {
       "trained codebooks must be bit-identical for any input partitioning")
   }
 
+  test("grouped Lloyd equals the per-subspace form bit-for-bit") {
+    // the r9 build-path optimization (all PqS subspaces refined in ONE
+    // grouped chain) must be a pure job-count change: each (s, cell)
+    // argmin and decimal-exact mean sees exactly the rows the
+    // sequential per-subspace form sees, so centroids are identical.
+    val dim = VectorQueries.Dim
+    val half = dim / 2
+    val e = corpus.limit(200).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .localCheckpoint()
+    val seq2 = (0 until 2).map { s0 =>
+      val sub = e.select(slice(col("emb"), s0 * half + 1, half).as("sub"))
+      val init = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("cent_id"),
+          slice(col("emb"), s0 * half + 1, half).as("cvec"))
+      VectorOps.kmeansCentroidsL2Df(sub, "sub", init, iters = 2, dim = half)
+        .collect().map(r => (s0, r.getInt(0)) ->
+          r.getSeq[Double](1).toSeq).toMap
+    }.reduce(_ ++ _)
+    val subRows = e.select(posexplode(array(
+      slice(col("emb"), 1, half), slice(col("emb"), half + 1, half)))
+      .as(Seq("s", "sub")))
+    val initG = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cent_id"), col("emb"))
+      .select(explode(array(
+        struct(lit(0).as("s"), col("cent_id"), slice(col("emb"), 1, half).as("cvec")),
+        struct(lit(1).as("s"), col("cent_id"), slice(col("emb"), half + 1, half).as("cvec"))))
+        .as("r"))
+      .select(col("r.s"), col("r.cent_id"), col("r.cvec"))
+    val grouped = VectorOps.kmeansCentroidsL2GroupedDf(
+        subRows, "sub", initG, iters = 2, dim = half)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        r.getSeq[Double](2).toSeq).toMap
+    assert(grouped == seq2,
+      "grouped refinement must be bit-identical to the per-subspace chains")
+  }
+
   test("append encodes against stored trained codebooks; marker keeps layout and ti") {
     val e = corpus
     val path = freshPath("append")
