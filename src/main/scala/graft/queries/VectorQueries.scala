@@ -1102,11 +1102,13 @@ object VectorQueries extends QueryPack {
       },
       None),
 
-    // V8d — what the stride-probe beam entry buys (VERDICT r6 next #5:
-    // the flat-graph stand-in for HNSW's upper layers,
-    // init_qdrant.py:45-50): for entry mode {single = the pre-r7 node-0
-    // entry, probed = ceil(sqrt(n)) stride sample} × shard count {8,
-    // 1 = one 8x-size shard standing in for the 10x-shard regime}, the
+    // V8d — what the beam entry strategy buys (VERDICT r6 next #5: the
+    // stride probes are the flat-graph stand-in for HNSW's upper
+    // layers, init_qdrant.py:45-50; r9 adds the hierarchy proper): for
+    // entry mode {single = the pre-r7 node-0 entry, probed =
+    // ceil(sqrt(n)) stride sample, layered = the r9 HNSW layer stack
+    // with diversity-heuristic links} × shard count {8, 1 = one 8x-size
+    // shard standing in for the 10x-shard regime}, the
     // measured mean recall@5 over the 8 standard query points AND the
     // mean distance-evaluations per search (GraphAnn.shardSearchStats —
     // deterministic rows, probe evals included, build excluded).
