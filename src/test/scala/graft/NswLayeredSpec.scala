@@ -74,6 +74,43 @@ class NswLayeredSpec extends AnyFunSuite {
     assert(!fCols.contains("lvl") && !fCols.contains("unbrs"))
   }
 
+  test("persisted hierarchy honors the geometric level law and degree caps") {
+    // structural invariants of the v3 artifact, checked on disk: levels
+    // follow the HNSW geometric rule (P(level >= 1) = 1/m, so the
+    // level>=1 minority is ~n/m — the property that makes the upper
+    // layers cheap), upper-layer degrees cap at m, layer-0 at 2m, and
+    // every upper-layer neighbor is itself a node of that layer.
+    val path = freshPath("law")
+    NswIndex.buildIfAbsent(corpus(n), "vec_id", "embedding", path,
+      layeredParams, numShards = 4)
+    val rows = spark.read.parquet(s"$path/graph")
+      .select(col("shard").cast("int"), col("vec_id"), col("nbrs"),
+        col("lvl"), col("unbrs"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2),
+        r.getInt(3), r.getSeq[scala.collection.Seq[Long]](4)))
+    val m = layeredParams.m
+    val upFrac = rows.count(_._4 >= 1).toDouble / rows.length
+    assert(upFrac > 0.5 / m && upFrac < 2.0 / m,
+      f"level>=1 fraction $upFrac%.4f should be ~1/$m")
+    rows.foreach { case (_, id, nbrs, lvl, unbrs) =>
+      assert(nbrs.length <= 2 * m, s"node $id layer-0 degree ${nbrs.length}")
+      assert(unbrs.length == lvl, s"node $id carries ${unbrs.length} upper layers != lvl $lvl")
+      unbrs.foreach(u => assert(u.length <= m, s"node $id upper degree ${u.length}"))
+    }
+    // upper-layer closure per shard: a layer-L neighbor must itself
+    // have level >= L (links only exist between nodes of that layer)
+    rows.groupBy(_._1).foreach { case (_, shardRows) =>
+      val lvlOf = shardRows.map(r => r._2 -> r._4).toMap
+      shardRows.foreach { case (_, id, _, _, unbrs) =>
+        unbrs.zipWithIndex.foreach { case (u, li) =>
+          u.foreach(nb => assert(lvlOf(nb) >= li + 1,
+            s"node $id layer-${li + 1} neighbor $nb has level ${lvlOf(nb)}"))
+        }
+      }
+    }
+  }
+
   test("ascending-id append is bit-identical to a full layered rebuild") {
     val grown = freshPath("append")
     NswIndex.buildIfAbsent(corpus(n - 300), "vec_id", "embedding", grown,
