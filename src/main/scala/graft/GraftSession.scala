@@ -58,6 +58,34 @@ object GraftSession {
       .toDoubleArray()
   }
 
+  private def constLongArray(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Array[Long] = {
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val ok = e.foldable && (e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (!ok) throw new IllegalArgumentException(
+      s"$what must be a constant ARRAY<BIGINT> expression, got $e")
+    e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+  }
+
+  private def constDouble(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Double = {
+    import org.apache.spark.sql.types.DoubleType
+    val ok = e.foldable && e.dataType == DoubleType
+    if (!ok) throw new IllegalArgumentException(
+      s"$what must be a constant DOUBLE expression, got $e")
+    e.eval() match {
+      case n: java.lang.Number => n.doubleValue
+      case other => throw new IllegalArgumentException(
+        s"$what must be a constant DOUBLE expression, got $other")
+    }
+  }
+
   private def constInt(
       e: org.apache.spark.sql.catalyst.expressions.Expression,
       what: String): Int = {
@@ -173,6 +201,24 @@ object GraftSession {
               constInt(children(2), "graft_pq_encode: s"),
               constInt(children(3), "graft_pq_encode: k"),
               constInt(children(4), "graft_pq_encode: d"))
+          }))
+        ext.injectFunction((
+          FunctionIdentifier("graft_adc_score"),
+          new ExpressionInfo(classOf[graft.functions.AdcScore].getName, "graft_adc_score"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+            require(children.length == 11,
+              "graft_adc_score(code, cent_id, centIds, qc, cn2, cdotrFlat, " +
+                "qdotrFlat, rn2Flat, qNorm, s, k) takes 11 arguments")
+            graft.functions.AdcScore(children(0), children(1),
+              constLongArray(children(2), "graft_adc_score: centIds"),
+              constDoubleArray(children(3), "graft_adc_score: qc"),
+              constDoubleArray(children(4), "graft_adc_score: cn2"),
+              constDoubleArray(children(5), "graft_adc_score: cdotrFlat"),
+              constDoubleArray(children(6), "graft_adc_score: qdotrFlat"),
+              constDoubleArray(children(7), "graft_adc_score: rn2Flat"),
+              constDouble(children(8), "graft_adc_score: qNorm"),
+              constInt(children(9), "graft_adc_score: s"),
+              constInt(children(10), "graft_adc_score: k"))
           }))
         ext.injectFunction((
           FunctionIdentifier("graft_norm"),

@@ -528,9 +528,21 @@ object IvfIndex {
 
   /** The ADC-scored candidate set of a PQ search BEFORE the top-k cut,
     * scores unrounded — the recall instrument (q_v11b) ranks on these
-    * so its oracle can mirror the ordering exactly. */
+    * so its oracle can mirror the ordering exactly.
+    *
+    * The default serve plan is the FUSED one (r10 — VERDICT r9 next #1:
+    * the joined element_at form measured 1.93 s amortized vs int8's
+    * 0.14 s at identical nprobe, the wrong side of the tradeoff PQ
+    * implements): all ADC tables fold into a single codegen'd
+    * [[graft.functions.AdcScore]] expression, so serving is scan →
+    * partition-pruned filter → one expression → TakeOrderedAndProject,
+    * with no per-query broadcast join and no array-literal probe
+    * chains. `fused = false` keeps the joined element_at plan
+    * addressable — AdcScoreSpec pins bit-parity between the two, which
+    * is what keeps the q_v11 family's DuckDB hash oracle green across
+    * the swap. */
   def searchScoredPq(spark: SparkSession, path: String,
-      queryVec: Seq[Double], nprobe: Int): DataFrame = {
+      queryVec: Seq[Double], nprobe: Int, fused: Boolean = true): DataFrame = {
     val cb = codebooks(spark, path)
     // derive the subspace width from the STORED codebook, and fail loudly
     // on a query of mismatched dimension — integer division from the
@@ -548,28 +560,47 @@ object IvfIndex {
       foldDot(i => cb(s0)(j)(i), i => cb(s0)(j)(i), d))
     val qNorm = math.sqrt(foldDot(qv(_), qv(_), qv.length))
     val probes = selectProbes(spark, path, queryVec, nprobe)
-    import spark.implicits._
-    val probeTable = probes.toSeq.map { case (id, cvec) =>
-      val qc = foldDot(qv(_), cvec(_), qv.length)
-      val cn2 = foldDot(cvec(_), cvec(_), cvec.length)
-      val cdotr = (0 until PqS).map(s0 => (0 until PqK).map(j =>
-        foldDot(i => cvec(s0 * d + i), i => cb(s0)(j)(i), d)).toSeq).toSeq
-      (id, qc, cn2, cdotr)
-    }.toDF("cent_id", "qc", "cn2", "cdotr")
-    def codeAt(s0: Int) = element_at(col("code"), s0 + 1).cast("int") + 1
-    val dotr = (0 until PqS).map(s0 =>
-      element_at(typedLit(qdotr(s0).toSeq), codeAt(s0))).reduceLeft(_ + _)
-    val cdr = (0 until PqS).map(s0 =>
-      element_at(element_at(col("cdotr"), s0 + 1), codeAt(s0))).reduceLeft(_ + _)
-    val rn2s = (0 until PqS).map(s0 =>
-      element_at(typedLit(rn2(s0).toSeq), codeAt(s0))).reduceLeft(_ + _)
-    spark.read.parquet(s"$path/cells")
+    val cells = spark.read.parquet(s"$path/cells")
       .filter(col("cent_id").isin(probes.map(_._1): _*))
-      .join(broadcast(probeTable), Seq("cent_id"))
-      .withColumn("score",
-        (col("qc") + dotr) /
-          (lit(qNorm) * sqrt(col("cn2") + lit(2.0) * cdr + rn2s)))
-      .select(col("vec_id"), col("label"), col("score"))
+    if (fused) {
+      val centIds = probes.map(_._1)
+      val qcArr = probes.map { case (_, cvec) => foldDot(qv(_), cvec(_), qv.length) }
+      val cn2Arr = probes.map { case (_, cvec) => foldDot(cvec(_), cvec(_), cvec.length) }
+      val cdotrFlat = probes.flatMap { case (_, cvec) =>
+        (0 until PqS).flatMap(s0 => (0 until PqK).map(j =>
+          foldDot(i => cvec(s0 * d + i), i => cb(s0)(j)(i), d)))
+      }
+      cells
+        .withColumn("score", call_function("graft_adc_score",
+          col("code"), col("cent_id"),
+          typedLit(centIds.toSeq), typedLit(qcArr.toSeq), typedLit(cn2Arr.toSeq),
+          typedLit(cdotrFlat.toSeq),
+          typedLit(qdotr.flatten.toSeq), typedLit(rn2.flatten.toSeq),
+          lit(qNorm), lit(PqS), lit(PqK)))
+        .select(col("vec_id"), col("label"), col("score"))
+    } else {
+      import spark.implicits._
+      val probeTable = probes.toSeq.map { case (id, cvec) =>
+        val qc = foldDot(qv(_), cvec(_), qv.length)
+        val cn2 = foldDot(cvec(_), cvec(_), cvec.length)
+        val cdotr = (0 until PqS).map(s0 => (0 until PqK).map(j =>
+          foldDot(i => cvec(s0 * d + i), i => cb(s0)(j)(i), d)).toSeq).toSeq
+        (id, qc, cn2, cdotr)
+      }.toDF("cent_id", "qc", "cn2", "cdotr")
+      def codeAt(s0: Int) = element_at(col("code"), s0 + 1).cast("int") + 1
+      val dotr = (0 until PqS).map(s0 =>
+        element_at(typedLit(qdotr(s0).toSeq), codeAt(s0))).reduceLeft(_ + _)
+      val cdr = (0 until PqS).map(s0 =>
+        element_at(element_at(col("cdotr"), s0 + 1), codeAt(s0))).reduceLeft(_ + _)
+      val rn2s = (0 until PqS).map(s0 =>
+        element_at(typedLit(rn2(s0).toSeq), codeAt(s0))).reduceLeft(_ + _)
+      cells
+        .join(broadcast(probeTable), Seq("cent_id"))
+        .withColumn("score",
+          (col("qc") + dotr) /
+            (lit(qNorm) * sqrt(col("cn2") + lit(2.0) * cdr + rn2s)))
+        .select(col("vec_id"), col("label"), col("score"))
+    }
   }
 
   /** Total data bytes under the cell directories — the at-rest payload
