@@ -59,8 +59,9 @@ object GraphAnn {
     * m=32): node levels drawn geometrically with mL = 1/ln(m), greedy
     * ef=1 descent through the upper layers, beam only at layer 0 —
     * replaces the O(sqrt(n)) stride probes with O(log n) approach hops.
-    * In-memory shard graphs only ([[NswIndex]]'s persisted layout stays
-    * flat; prefix-append is a flat-graph contract). */
+    * Layered graphs persist via [[NswIndex]]'s v3 layout (lvl + unbrs
+    * columns) and restore with [[Nsw.withLayeredState]]; the flat
+    * adjacency-prefix path is the v2 contract only. */
   final case class Params(m: Int = 8, efConstruction: Int = 32, efSearch: Int = 32,
       entryProbes: Int = -1, layered: Boolean = false)
 
@@ -99,7 +100,12 @@ object GraphAnn {
     // the `upper` map.
     private val mL = 1.0 / math.log(math.max(params.m, 2).toDouble)
     private def levelOf(i: Int): Int = {
-      var h = i * -1640531527 // golden-ratio spread + fmix32 avalanche
+      // non-zero xor salt before the golden-ratio spread (ADVICE r9):
+      // the unsalted avalanche has a fixed point at 0 — node 0 drew the
+      // max level in EVERY shard, a deterministic dead tower over the
+      // real hierarchy. Salted, index 0 is an ordinary draw; the build
+      // stays deterministic (NswIndex stamps this rule as lay=2).
+      var h = (i ^ 0x5bd1e995) * -1640531527 // spread + fmix32 avalanche
       h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35; h ^= h >>> 16
       val u = ((h >>> 1) + 1).toDouble / 2147483648.0 // (0, 1]
       math.min(16, (-math.log(u) * mL).toInt)
@@ -519,7 +525,8 @@ object GraphAnn {
       * occupies the prefix, [[insertFrom]] then links the suffix in. */
     def withAdjacencyPrefix(rows: IndexedSeq[Array[Int]]): this.type = {
       require(!params.layered,
-        "layered NSW graphs are in-memory only; the persisted layout is flat")
+        "layered graphs restore via withLayeredState (NswIndex v3), " +
+          "not the flat adjacency prefix")
       require(rows.length <= n, s"adjacency rows ${rows.length} > nodes $n")
       var i = 0
       while (i < rows.length) {

@@ -33,6 +33,10 @@ import VectorOps.cosine
   */
 object IvfIndex {
   private val Marker = "_INDEX_READY"
+  /** Below this corpus size searches skip cell pruning and scan every
+    * cell — exact results for flat/int8 layouts, all-cells ADC for PQ
+    * (the reference's full_scan_threshold, init_qdrant.py:47). */
+  val FullScanThreshold = 100L
   private val LayoutVersion = "v1"
   /** Layout stamp for int8-quantized cell payloads (reference stores
     * scalar-int8 vectors always_ram, init_qdrant.py:51-57): cells carry
@@ -493,13 +497,25 @@ object IvfIndex {
       nprobe: Int, k: Int): DataFrame = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val stamp = markerStamp(fs, path)
+    // small-collection guard (init_qdrant.py:47, full_scan_threshold):
+    // below the threshold, skip cell pruning and scan everything — for
+    // flat/int8 layouts that is the EXACT brute-force answer; PQ layouts
+    // widen nprobe to every cell (still ADC — codes are all that's
+    // stored) so no probed-cell miss can cost recall at toy sizes.
+    val fullScan = markerField(stamp, "count") < FullScanThreshold
     if (stamp.startsWith(PqLayoutVersion) ||
-        stamp.startsWith(TrainedPqLayoutVersion))
-      return searchTopKPq(spark, path, queryVec, nprobe, k)
+        stamp.startsWith(TrainedPqLayoutVersion)) {
+      val np = if (fullScan) markerField(stamp, "k").toInt else nprobe
+      return searchTopKPq(spark, path, queryVec, np, k)
+    }
     val quantized = stamp.startsWith(QuantLayoutVersion)
-    val probeIds = selectProbes(spark, path, queryVec, nprobe).map(_._1)
-    val scored = spark.read.parquet(s"$path/cells")
-      .filter(col("cent_id").isin(probeIds: _*))
+    val scored =
+      if (fullScan) spark.read.parquet(s"$path/cells")
+      else {
+        val probeIds = selectProbes(spark, path, queryVec, nprobe).map(_._1)
+        spark.read.parquet(s"$path/cells")
+          .filter(col("cent_id").isin(probeIds: _*))
+      }
     val vec = if (quantized) dequant else col("embedding")
     scored
       .withColumn("score", cosine(vec, typedLit(queryVec)))

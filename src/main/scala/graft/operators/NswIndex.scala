@@ -3,9 +3,10 @@ package graft.operators
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 import GraphAnn.{Nsw, Params}
+import VectorOps.cosine
 
 /** Persisted per-shard NSW graphs — the build-once / serve-many form of
   * [[GraphAnn]] (VERDICT r5 missing #3), mirroring what [[IvfIndex]]
@@ -21,8 +22,24 @@ import GraphAnn.{Nsw, Params}
   *   <path>/_GRAPH_READY      marker: "v2,count=<n>,m=<m>,efc=<efc>,ep=<entryProbes>,shards=<s>"
   *   -- layered (HNSW proper, r9): rows additionally carry
   *   --   lvl INT, unbrs ARRAY<ARRAY<BIGINT>>   (layers 1..lvl, neighbor vec_ids)
-  *   --   marker: "v3,count=…,m=…,efc=…,ep=…,lay=1,shards=…"
+  *   --   marker: "v3,count=…,m=…,efc=…,ep=…,lay=2,shards=…"
+  *   -- int8-quantized payloads (r10): `v` is replaced by
+  *   --   q ARRAY<TINYINT>, scale DOUBLE        (v ≈ q·scale, q_v7's rule)
+  *   --   marker gains `qv=1,` before `shards=`
   * }}}
+  *
+  * Quantized payloads ([[buildIfAbsent]] `quantize = true`) are the
+  * reference's ACTUAL serving config — HNSW plus int8 scalar
+  * quantization, always-RAM (init_qdrant.py:51-57; VERDICT r9 next
+  * #4): stored vectors shrink 8× (tinyint vs double), which at 100 TB
+  * decides whether the resident graphs fit executor memory.
+  * Quantization happens BEFORE graph construction (scale = max|v|/127,
+  * q = round-half-up(v/scale) — exactly q_v7's oracled form), and the
+  * graph is built over the DEQUANTIZED vectors, so build, append, and
+  * serve all see identical doubles: append==rebuild parity and
+  * persisted==rebuilt serve parity hold bit-for-bit WITHIN the
+  * quantized index (NswQuantSpec); only the delta vs a raw-payload
+  * index is quantization error, which the spec bounds by recall.
   * `nbrs` stores NEIGHBOR vec_ids (not local indexes), so a reloaded
   * shard is self-describing; shard membership is the same
   * `pmod(hash(vec_id), numShards)` HashPartitioning that
@@ -51,6 +68,12 @@ object NswIndex {
   // untouched (separate stamp string, separate schema — no forced
   // rebuild of existing indexes).
   private val LayeredLayoutVersion = "v3"
+  // lay=2 (r10): the level rule gained a salt (ADVICE r9 — the fmix32
+  // avalanche fixed node 0 at hash 0, pinning every shard's entry to a
+  // dead level-10 tower). Level assignment is BUILD semantics, so the
+  // lay= generation bumps and pre-salt persisted hierarchies read as
+  // stale — the same stamp discipline as the ep= field.
+  private val LayeredGen = 2
 
   private val pathLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -73,13 +96,46 @@ object NswIndex {
     StructField("unbrs", ArrayType(ArrayType(LongType, containsNull = false),
       containsNull = false), nullable = false)))
 
-  private def stampOf(n: Long, params: Params, numShards: Int): String =
+  /** Quantized-payload variants: `v` becomes (q ARRAY<TINYINT>, scale). */
+  private def quantized(base: StructType): StructType = StructType(
+    base.fields.flatMap {
+      case f if f.name == "v" => Seq(
+        StructField("q", ArrayType(ByteType, containsNull = false), nullable = false),
+        StructField("scale", DoubleType, nullable = false))
+      case f => Seq(f)
+    })
+
+  private def schemaFor(layered: Boolean, quant: Boolean): StructType = {
+    val base = if (layered) layeredSchema else graphSchema
+    if (quant) quantized(base) else base
+  }
+
+  private def stampOf(n: Long, params: Params, numShards: Int,
+      quantize: Boolean): String = {
+    val qv = if (quantize) "qv=1," else ""
     if (params.layered)
       s"$LayeredLayoutVersion,count=$n,m=${params.m},efc=${params.efConstruction}," +
-        s"ep=${params.entryProbes},lay=1,shards=$numShards"
+        s"ep=${params.entryProbes},lay=$LayeredGen,$qv" + s"shards=$numShards"
     else
       s"$LayoutVersion,count=$n,m=${params.m},efc=${params.efConstruction}," +
-        s"ep=${params.entryProbes},shards=$numShards"
+        s"ep=${params.entryProbes},$qv" + s"shards=$numShards"
+  }
+
+  private def isQuant(stamp: String): Boolean = stamp.contains(",qv=1,")
+
+  /** In-plan int8 quantization of `vecCol` — exactly q_v7's oracled rule
+    * ([[IvfIndex]]'s cell quantization): scale = max|v|/127 (1.0 for the
+    * zero vector), q = HALF_UP round of v/scale. */
+  private def quantCols(vecCol: String): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val emb = transform(col(vecCol), x => x.cast("double"))
+    val absmax = aggregate(emb, lit(0.0), (a, v) => greatest(a, abs(v)))
+    val scale = when(absmax > 0.0, absmax / 127.0).otherwise(1.0)
+    (transform(emb, v => round(v / scale, 0).cast("tinyint")), scale)
+  }
+
+  /** In-plan dequantization back to the doubles the graph was built on. */
+  private def dequantV: org.apache.spark.sql.Column =
+    transform(col("q"), b => b.cast("double") * col("scale"))
 
   private def field(stamp: String, key: String): Long =
     stamp.split(",").collectFirst {
@@ -87,45 +143,68 @@ object NswIndex {
     }.getOrElse(throw new IllegalStateException(s"NswIndex: no $key in marker '$stamp'"))
 
   /** Build the per-shard graphs at `path` unless a current index is
-    * already there (marker matches layout, corpus count, build params). */
+    * already there (marker matches layout, corpus count, build params).
+    * `quantize = true` stores int8 payloads (see class doc): the graph
+    * is constructed over the dequantized vectors, so serve-time
+    * reconstruction walks exactly the geometry the build linked. */
   def buildIfAbsent(e: DataFrame, idCol: String, vecCol: String, path: String,
-      params: Params = Params(), numShards: Int = 8): Unit =
+      params: Params = Params(), numShards: Int = 8,
+      quantize: Boolean = false): Unit =
     lockFor(path).synchronized {
       val spark = e.sparkSession
       val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
       val root = new Path(path)
       val marker = new Path(root, Marker)
-      val stamp = stampOf(e.count(), params, numShards)
+      val stamp = stampOf(e.count(), params, numShards, quantize)
       if (fs.exists(marker) && readMarker(fs, marker) == stamp) return
       val layered = params.layered
-      val rows = e.select(col(idCol).cast("long").as("vec_id"),
-          transform(col(vecCol), x => x.cast("double")).as("v"))
+      val ided = e.select(col(idCol).cast("long").as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      // quantized builds: q/scale are computed in-plan and carried to the
+      // writer; `v` becomes the dequantized array so the mapPartitions
+      // below is layout-agnostic at positions 0..2
+      val prepared =
+        if (quantize) {
+          val (q, scale) = quantCols("v")
+          ided.withColumn("q", q).withColumn("scale", scale)
+            .select(col("vec_id"),
+              transform(col("q"), b => b.cast("double") * col("scale")).as("v"),
+              col("q"), col("scale"))
+        } else ided
+      val rows = prepared
         .withColumn("shard",
           pmod(hash(col("vec_id")), lit(numShards)).cast("int"))
         .repartition(numShards, col("shard"))
         .mapPartitions { it =>
           // a partition may hold several shard groups (hash-of-hash
           // collisions); each group is exactly one rebuild-path shard.
-          // row layout here: (vec_id, v, shard) — shard was appended last
-          it.toArray.groupBy(_.getInt(2)).iterator.flatMap { case (shard, rs) =>
-            val sorted = rs.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          // row layout: (vec_id, v[, q, scale], shard) — shard appended last
+          val shardIdx = if (quantize) 4 else 2
+          it.toArray.groupBy(_.getInt(shardIdx)).iterator.flatMap { case (shard, rs) =>
+            val sorted = rs.map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+                if (quantize) (r.getSeq[Byte](2), r.getDouble(3)) else null))
               .sortBy(_._1) // deterministic insertion order
             val nsw = new Nsw(sorted.map(_._2), params).build()
+            def payload(i: Int): Seq[Any] =
+              if (quantize) Seq(sorted(i)._3._1, sorted(i)._3._2)
+              else Seq(sorted(i)._2.toSeq)
             if (layered) {
               val st = nsw.layeredState
-              sorted.iterator.zipWithIndex.map { case ((id, v), i) =>
+              sorted.iterator.zipWithIndex.map { case ((id, _, _), i) =>
                 val (lvl, base, uppers) = st(i)
-                Row(shard, id, v.toSeq, base.map(j => sorted(j)._1).toSeq,
-                  lvl, uppers.map(_.map(j => sorted(j)._1).toSeq).toSeq)
+                Row.fromSeq(Seq[Any](shard, id) ++ payload(i) ++ Seq(
+                  base.map(j => sorted(j)._1).toSeq,
+                  lvl, uppers.map(_.map(j => sorted(j)._1).toSeq).toSeq))
               }
             } else {
               val adjRows = nsw.adjacencyRows
-              sorted.iterator.zipWithIndex.map { case ((id, v), i) =>
-                Row(shard, id, v.toSeq, adjRows(i).map(j => sorted(j)._1).toSeq)
+              sorted.iterator.zipWithIndex.map { case ((id, _, _), i) =>
+                Row.fromSeq(Seq[Any](shard, id) ++ payload(i) ++ Seq(
+                  adjRows(i).map(j => sorted(j)._1).toSeq))
               }
             }
           }
-        }(Encoders.row(if (layered) layeredSchema else graphSchema))
+        }(Encoders.row(schemaFor(layered, quantize)))
       val tmp = new Path(
         path + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       try {
@@ -172,6 +251,7 @@ object NswIndex {
       val stamp = readMarker(fs, marker)
       val numShards = field(stamp, "shards").toInt
       val layered = stamp.startsWith(LayeredLayoutVersion + ",")
+      val quant = isQuant(stamp)
       // entryProbes comes from the marker, not a default: insertion seeds
       // from the stride probes, so append==rebuild parity needs the build's
       // own ep (ADVICE r7, medium)
@@ -179,18 +259,31 @@ object NswIndex {
         efConstruction = field(stamp, "efc").toInt,
         entryProbes = field(stamp, "ep").toInt,
         layered = layered)
-      val fresh = newVectors.select(col(idCol).cast("long").as("vec_id"),
-          transform(col(vecCol), x => x.cast("double")).as("v"))
-        .withColumn("shard",
-          pmod(hash(col("vec_id")), lit(numShards)).cast("int"))
+      val freshIded = newVectors.select(col(idCol).cast("long").as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      // quantized indexes ingest through the same quantize-then-dequant
+      // the build used, so inserted nodes see the geometry searches score
+      val freshQ =
+        if (quant) {
+          val (q, scale) = quantCols("v")
+          freshIded.withColumn("q", q).withColumn("scale", scale)
+            .select(col("vec_id"),
+              transform(col("q"), b => b.cast("double") * col("scale")).as("v"),
+              col("q"), col("scale"))
+        } else freshIded
+      val fresh = freshQ.withColumn("shard",
+        pmod(hash(col("vec_id")), lit(numShards)).cast("int"))
       val added = fresh.count()
       if (added == 0L) return
       val touched = fresh.select("shard").distinct().collect().map(_.getInt(0))
-      // partition-pruned: only the touched shard dirs are scanned
+      // partition-pruned: only the touched shard dirs are scanned.
+      // Column layout: (shard, vec_id, v, nbrs[, lvl, unbrs][, q, scale])
+      // — positions 0..5 match the unquantized layout, payload at the end
       val existingCols =
-        Seq(col("shard").cast("int").as("shard"),
-          col("vec_id"), col("v"), col("nbrs")) ++
-        (if (layered) Seq(col("lvl"), col("unbrs")) else Nil)
+        Seq(col("shard").cast("int").as("shard"), col("vec_id"),
+          (if (quant) dequantV else col("v")).as("v"), col("nbrs")) ++
+        (if (layered) Seq(col("lvl"), col("unbrs")) else Nil) ++
+        (if (quant) Seq(col("q"), col("scale")) else Nil)
       val existing = spark.read.parquet(s"$path/graph")
         .select(existingCols: _*)
         .filter(col("shard").isin(touched.map(Int.box): _*))
@@ -200,25 +293,31 @@ object NswIndex {
         (if (layered)
           Seq(lit(null).cast("int").as("lvl"),
             lit(null).cast("array<array<bigint>>").as("unbrs"))
-        else Nil)
+        else Nil) ++
+        (if (quant) Seq(col("q"), col("scale")) else Nil)
       val unioned = existing.unionByName(fresh.select(freshCols: _*))
+      val qIdx = if (layered) 6 else 4 // q/scale positions when quant
       val rows = unioned
         .repartition(math.max(touched.length, 1), col("shard"))
         .mapPartitions { it =>
           it.toArray.groupBy(_.getInt(0)).iterator.flatMap { case (shard, rs) =>
             val (oldRows, newRows) = rs.partition(r => !r.isNullAt(3))
+            def payloadOf(r: Row): Seq[Any] =
+              if (quant) Seq(r.getSeq[Byte](qIdx), r.getDouble(qIdx + 1))
+              else null
             val newSorted = newRows.map(r =>
-              (r.getLong(1), r.getSeq[Double](2).toArray)).sortBy(_._1)
+              (r.getLong(1), r.getSeq[Double](2).toArray, payloadOf(r))).sortBy(_._1)
             if (layered) {
               val oldSorted = oldRows.map(r =>
                   (r.getLong(1), r.getSeq[Double](2).toArray, r.getSeq[Long](3),
-                    r.getInt(4), r.getSeq[scala.collection.Seq[Long]](5)))
+                    r.getInt(4), r.getSeq[scala.collection.Seq[Long]](5), payloadOf(r)))
                 .sortBy(_._1)
               val ids = oldSorted.map(_._1) ++ newSorted.map(_._1)
               val vecs = oldSorted.map(_._2) ++ newSorted.map(_._2)
+              val pays = oldSorted.map(_._6) ++ newSorted.map(_._3)
               val idToIdx = ids.iterator.zipWithIndex.toMap
               val nsw = new Nsw(vecs, params)
-                .withLayeredState(oldSorted.toIndexedSeq.map { case (_, _, nbrs, lvl, unbrs) =>
+                .withLayeredState(oldSorted.toIndexedSeq.map { case (_, _, nbrs, lvl, unbrs, _) =>
                   (lvl, nbrs.map(idToIdx).toArray,
                     unbrs.map(_.map(idToIdx).toArray).toArray)
                 })
@@ -226,15 +325,19 @@ object NswIndex {
               val st = nsw.layeredState
               ids.indices.iterator.map { i =>
                 val (lvl, base, uppers) = st(i)
-                Row(shard, ids(i), vecs(i).toSeq, base.map(j => ids(j)).toSeq,
-                  lvl, uppers.map(_.map(j => ids(j)).toSeq).toSeq)
+                val payload = if (quant) pays(i) else Seq(vecs(i).toSeq)
+                Row.fromSeq(Seq[Any](shard, ids(i)) ++ payload ++ Seq(
+                  base.map(j => ids(j)).toSeq,
+                  lvl, uppers.map(_.map(j => ids(j)).toSeq).toSeq))
               }
             } else {
               val oldSorted = oldRows.map(r =>
-                  (r.getLong(1), r.getSeq[Double](2).toArray, r.getSeq[Long](3)))
+                  (r.getLong(1), r.getSeq[Double](2).toArray, r.getSeq[Long](3),
+                    payloadOf(r)))
                 .sortBy(_._1)
               val ids = oldSorted.map(_._1) ++ newSorted.map(_._1)
               val vecs = oldSorted.map(_._2) ++ newSorted.map(_._2)
+              val pays = oldSorted.map(_._4) ++ newSorted.map(_._3)
               val idToIdx = ids.iterator.zipWithIndex.toMap
               val nsw = new Nsw(vecs, params)
                 .withAdjacencyPrefix(
@@ -242,18 +345,21 @@ object NswIndex {
                 .insertFrom(oldSorted.length)
               val adjRows = nsw.adjacencyRows
               ids.indices.iterator.map { i =>
-                Row(shard, ids(i), vecs(i).toSeq, adjRows(i).map(j => ids(j)).toSeq)
+                val payload = if (quant) pays(i) else Seq(vecs(i).toSeq)
+                Row.fromSeq(Seq[Any](shard, ids(i)) ++ payload ++ Seq(
+                  adjRows(i).map(j => ids(j)).toSeq))
               }
             }
           }
-        }(Encoders.row(if (layered) layeredSchema else graphSchema))
+        }(Encoders.row(schemaFor(layered, quant)))
       rows.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("shard")
         .parquet(s"$path/graph")
       val out = fs.create(marker, true)
       try out.write(
-        stampOf(field(stamp, "count") + added, params, numShards).getBytes("UTF-8"))
+        stampOf(field(stamp, "count") + added, params, numShards, quant)
+          .getBytes("UTF-8"))
       finally out.close()
     }
 
@@ -352,9 +458,12 @@ object NswIndex {
     val served = servedRows.synchronized {
       Option(servedRows.get((path, stamp, graft.GraftSession.sessionUuid(spark))))
     }.getOrElse {
+      // quantized payloads dequantize IN-PLAN (q·scale, the q_v6f
+      // pattern) so positions 0..5 match the raw layout and the
+      // reconstruction below is byte-layout-agnostic
       val serveCols =
-        Seq(col("shard").cast("int").as("shard"),
-          col("vec_id"), col("v"), col("nbrs")) ++
+        Seq(col("shard").cast("int").as("shard"), col("vec_id"),
+          (if (isQuant(stamp)) dequantV else col("v")).as("v"), col("nbrs")) ++
         (if (layered) Seq(col("lvl"), col("unbrs")) else Nil)
       val df = spark.read.parquet(s"$path/graph")
         .select(serveCols: _*)
@@ -413,11 +522,69 @@ object NswIndex {
     rows.toDF()
   }
 
-  /** Single-query top-k from the prebuilt graphs. */
+  /** Below this corpus size the graph walk is skipped and the query
+    * brute-force scans the stored vectors — exact results, no beam
+    * approximation. The reference's planner has the same guard
+    * (init_qdrant.py:47, full_scan_threshold=100): for a handful of
+    * vectors the index machinery costs more than reading everything. */
+  val FullScanThreshold = 100L
+
+  /** Single-query top-k from the prebuilt graphs; exact full scan below
+    * [[FullScanThreshold]]. */
   def searchTopK(spark: SparkSession, path: String, query: Seq[Double],
-      k: Int, efSearch: Int = Params().efSearch): DataFrame =
+      k: Int, efSearch: Int = Params().efSearch): DataFrame = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val stamp = readMarker(fs, new Path(new Path(path), Marker))
+    if (field(stamp, "count") < FullScanThreshold) {
+      val v = (if (isQuant(stamp)) dequantV else col("v")).as("v")
+      return spark.read.parquet(s"$path/graph")
+        .select(col("vec_id"), v)
+        .withColumn("score", cosine(col("v"), typedLit(query)))
+        .orderBy(desc("score"), col("vec_id"))
+        .limit(k)
+        .select(col("vec_id"), col("score"))
+    }
     searchShards(spark, path, Seq(0L -> query), k, efSearch)
       .orderBy(desc("score"), col("vec_id"))
       .limit(k)
       .select(col("vec_id"), col("score"))
+  }
+
+  /** Drop this JVM's resident serve state for `path` — cached columnar
+    * rows, shard graphs, and the broadcast partition map. Benchmarks use
+    * it to re-measure the FIRST-search load honestly (best-of-N needs
+    * the load re-paid); a rebuild/append invalidates by stamp anyway, so
+    * production serving never needs this. */
+  def evictServed(path: String): Unit = {
+    servedRows.synchronized {
+      val it = servedRows.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 == path) {
+          try e.getValue.df.unpersist(blocking = true)
+          catch { case _: Throwable => () }
+          it.remove()
+        }
+      }
+    }
+    builtShards.synchronized {
+      val it = builtShards.entrySet().iterator()
+      while (it.hasNext) {
+        if (it.next().getKey._1 == path) it.remove()
+      }
+    }
+  }
+
+  /** Total data bytes under the graph directories — the at-rest payload
+    * a quantized index shrinks (reported by Bench's nsw block). */
+  def graphBytes(spark: SparkSession, path: String): Long = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new Path(path, "graph"), true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && !f.getPath.getName.startsWith("_")) total += f.getLen
+    }
+    total
+  }
 }

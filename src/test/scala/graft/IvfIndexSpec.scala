@@ -242,17 +242,18 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(!plan.toString.contains("Exchange"), "no shuffle in the serve path")
   }
 
-  test("PQ/ADC serving plan partition-prunes and broadcasts the probe table") {
-    // same invariant for the quantized path: the ADC scan must touch
-    // only the probed cell directories, join the nprobe-row probe table
-    // by broadcast, and introduce no shuffle exchange — at 100 TB the
-    // difference between this plan and a full cell scan IS the index.
+  test("PQ/ADC serving plan partition-prunes, fuses scoring, and has no join") {
+    // the ADC scan must touch only the probed cell directories and score
+    // inside whole-stage codegen with NO join and NO shuffle exchange —
+    // r10 (VERDICT r9 next #1): the probe table no longer broadcast-joins
+    // per query; all ADC tables fold into the graft_adc_score expression,
+    // so the whole serve plan is scan → project → TakeOrderedAndProject.
+    // At 100 TB the difference between this plan and a full cell scan IS
+    // the index.
     val path = freshPath()
     IvfIndex.buildPqIfAbsent(corpus(), cents(), path)
     val df = IvfIndex.searchTopK(spark, path, VectorQueries.QueryVec,
       nprobe = 2, k = 5)
-    // the broadcast join makes AQE wrap the plan; collect() doesn't
-    // descend into AdaptiveSparkPlanExec, so unwrap it first
     val plan = df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan
@@ -266,8 +267,8 @@ class IvfIndexSpec extends AnyFunSuite {
     val pf = cellScan.get.partitionFilters.mkString(";")
     assert(pf.contains("cent_id") && pf.contains("IN"), pf)
     val s = plan.toString
-    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"),
-      "probe table must broadcast-join into the cell scan")
+    assert(s.contains("adcscore"), "scoring must be the fused expression")
+    assert(!s.contains("Join"), "no join in the fused ADC serve path")
     assert(!s.contains("ShuffleExchange") && !s.contains("Exchange hashpartitioning"),
       "no shuffle in the ADC serve path")
   }

@@ -62,7 +62,9 @@ class NswLayeredSpec extends AnyFunSuite {
       val in = fs.open(new org.apache.hadoop.fs.Path(p, "_GRAPH_READY"))
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     }
-    assert(marker(path).startsWith("v3,") && marker(path).contains(",lay=1,"))
+    // lay=2: the salted level rule (ADVICE r9) is build semantics — the
+    // generation stamp proves pre-salt hierarchies read as stale
+    assert(marker(path).startsWith("v3,") && marker(path).contains(",lay=2,"))
     val flat = freshPath("flat")
     NswIndex.buildIfAbsent(corpus(500), "vec_id", "embedding", flat,
       Params(), numShards = 2)
