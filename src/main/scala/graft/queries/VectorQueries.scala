@@ -1785,18 +1785,26 @@ object VectorQueries extends QueryPack {
     // (top-L by ADC from the probed cells), and only those L rows touch
     // raw embeddings. Recall recovers from ADC's ~0.13 to what the
     // shortlist contains — measured here per qid, hash-oracled.
-    // L = max(50, n/20) — a constant FRACTION (~40%) of the probed
-    // candidate set under this family's geometry (nprobe = k/8 probes
-    // ~n/8 candidates), mirrored SQL-side from count(*): a FIXED L
-    // measured 0.90 at n=1e3 but 0.40 at n=1e4 because it shrank to 4%
-    // of probed — the shortlist knob must scale like every other knob
-    // in the q_v6 family (ivfK, nprobe). Measured: 0.90 at n=1e3,
-    // 0.775 at n=1e4 (vs flat-IVF 0.925/1.0 and ADC-only 0.13/0.05) —
-    // the residual gap is ADC ranking quality on this degenerate
-    // corpus, bought back by raising L. Scale shape: the rerank side
-    // is an L-row broadcast join per query; raw vectors are fetched
-    // for the shortlist ONLY, so the 32x storage saving stands while
-    // serving recall approaches flat-IVF's.
+    // L = least(max(50, n/20), 1000) — a constant FRACTION (~40%) of
+    // the probed candidate set under this family's geometry (nprobe =
+    // k/8 probes ~n/8 candidates), mirrored SQL-side from count(*): a
+    // FIXED L measured 0.90 at n=1e3 but 0.40 at n=1e4 because it
+    // shrank to 4% of probed — the shortlist knob must scale like every
+    // other knob in the q_v6 family (ivfK, nprobe). Measured: 0.90 at
+    // n=1e3, 0.775 at n=1e4 (vs flat-IVF 0.925/1.0 and ADC-only
+    // 0.13/0.05) — the residual gap is ADC ranking quality on this
+    // degenerate corpus, bought back by raising L. The 1000 HARD CAP
+    // (r10 — VERDICT r9 next #5) bounds the driver-side top-L at a
+    // constant for any corpus size: past the cap this instrument's
+    // recall decays by design, which is the honest cost of serving
+    // UNTRAINED codebooks at scale — the production discipline is
+    // q_v12c's constant L = RerankMult·k·nprobe over TRAINED codebooks
+    // (recall 1.0), and this query exists to measure why training is
+    // not optional. INSTRUMENT-ONLY: no serve path should copy this
+    // shortlist rule. Scale shape: the rerank side is an L<=1000-row
+    // broadcast join per query; raw vectors are fetched for the
+    // shortlist ONLY, so the 32x storage saving stands while serving
+    // recall approaches flat-IVF's at small n.
     QueryDef(
       "q_v11c_ivfpq_rerank_recall",
       (s, dir) => {
@@ -1817,7 +1825,7 @@ object VectorQueries extends QueryPack {
           .collect()
           .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
           .sortBy(_._1)
-        val shortlistL = math.max(50, (e.count() / 20).toInt)
+        val shortlistL = math.min(math.max(50, (e.count() / 20).toInt), 1000)
         val ann = qPts.map { case (qid, qv) =>
           val short = graft.operators.IvfIndex
             .searchScoredPq(s, path, qv, nprobe = ivfNprobe(k))
@@ -1907,7 +1915,7 @@ object VectorQueries extends QueryPack {
            |         ${fold("rn2")} AS rn2s
            |  FROM terms GROUP BY qid, vec_id
            |), ll AS (
-           |  SELECT greatest(50, CAST(count(*) // 20 AS INT)) AS l
+           |  SELECT least(greatest(50, CAST(count(*) // 20 AS INT)), 1000) AS l
            |  FROM embeddings
            |), short AS (
            |  SELECT qid, vec_id FROM (
