@@ -79,6 +79,100 @@ object GraphAnn {
     // adjacency: deg(i) entries in adj(i)(0 until deg(i))
     private val adj = Array.fill(n)(new Array[Int](maxDeg + 1))
     private val deg = new Array[Int](n)
+    // ---- layered-mode incremental-prune state (r10). The overflow
+    // prune used to re-run the full diversity heuristic over the whole
+    // adjacency — O(deg²) pairwise sims per overflow, measured as ~60%
+    // of the layered build's distance evals. The memoized form keeps
+    // the adjacency sorted by (anchor sim desc, id asc) with cached
+    // anchor sims, and tracks per slot whether the member SURVIVED a
+    // previous prune ("verified"): a verified member was already
+    // dominance-tested against every verified member ranked before it,
+    // and passing against a superset implies passing against the
+    // surviving subset — so a re-prune only needs sims involving
+    // members appended since the last prune. The kept set is EXACTLY
+    // the full heuristic's (bit-identical graphs; the append path
+    // restores with verMask=0 = full re-tests, which the same argument
+    // makes equal too — NswLayeredSpec's append==rebuild pin
+    // cross-checks memoized-vs-unmemoized for free).
+    private val simAdj: Array[Array[Double]] =
+      if (params.layered) new Array[Array[Double]](n) else null
+    private val verMask: Array[Int] =
+      if (params.layered) new Array[Int](n) else null
+
+    /** Anchor-sim cache row for `from`, computed on first touch (restored
+      * graphs arrive without sims; fresh nodes start empty). */
+    private def ensureSims(from: Int): Array[Double] = {
+      var row = simAdj(from)
+      if (row == null) {
+        row = new Array[Double](maxDeg + 1)
+        var e = 0
+        while (e < deg(from)) {
+          row(e) = cos(vecs(from), norms(from), adj(from)(e))
+          e += 1
+        }
+        simAdj(from) = row
+      }
+      row
+    }
+
+    /** Layered link insertion: place `to` at its (sim desc, id asc)
+      * position (the order every prune sorts into anyway), cache the
+      * anchor sim — callers pass it from the beam/selection results, and
+      * the cosine fold is bit-symmetric, so reciprocal links reuse the
+      * same double — and prune incrementally on overflow. */
+    private def addLinkL(from: Int, to: Int, sim: Double): Unit = {
+      val row = ensureSims(from)
+      val d = deg(from)
+      var p = d
+      while (p > 0 && better(sim, to, row(p - 1), adj(from)(p - 1))) p -= 1
+      System.arraycopy(adj(from), p, adj(from), p + 1, d - p)
+      System.arraycopy(row, p, row, p + 1, d - p)
+      adj(from)(p) = to
+      row(p) = sim
+      val low = (1 << p) - 1
+      verMask(from) = (verMask(from) & low) | ((verMask(from) & ~low) << 1)
+      deg(from) = d + 1
+      if (deg(from) > maxDeg) pruneIncr(from)
+    }
+
+    /** Incremental diversity prune of `from` to [[maxDeg]]: identical
+      * output to selectHeuristic over the sorted adjacency (see the
+      * state comment), paying sims only for pairs involving
+      * since-last-prune members. */
+    private def pruneIncr(from: Int): Unit = {
+      val d = deg(from)
+      val row = simAdj(from)
+      val keptSlot = new Array[Int](maxDeg)
+      var k = 0
+      var keptNew = 0 // bit j: kept member j joined since the last prune
+      var e = 0
+      while (e < d && k < maxDeg) {
+        val m = adj(from)(e)
+        val simM = row(e)
+        val isVer = (verMask(from) >> e & 1) == 1
+        var ok = true
+        var j = 0
+        while (ok && j < k) {
+          if ((!isVer || (keptNew >> j & 1) == 1) &&
+              simBetween(m, adj(from)(keptSlot(j))) > simM) ok = false
+          j += 1
+        }
+        if (ok) {
+          keptSlot(k) = e
+          if (!isVer) keptNew |= 1 << k
+          k += 1
+        }
+        e += 1
+      }
+      var t = 0
+      while (t < k) {
+        adj(from)(t) = adj(from)(keptSlot(t))
+        row(t) = row(keptSlot(t))
+        t += 1
+      }
+      deg(from) = k
+      verMask(from) = (1 << k) - 1
+    }
     // nodes visible to search-entry sampling: during construction only
     // the already-inserted prefix is linked, so probes must stay inside
     // it; n once built/loaded
@@ -89,6 +183,9 @@ object GraphAnn {
     private var evalsCtr = 0L
     def evals: Long = evalsCtr
     def resetEvals(): Unit = evalsCtr = 0L
+    // temporary site-split instrumentation (LayeredBuildProfileSpec)
+    private[operators] var evalsSelect = 0L
+    private[operators] var evalsPrune = 0L
 
     // ---- HNSW layer hierarchy (params.layered). Levels are drawn from
     // the geometric distribution with mL = 1/ln(m) (Malkov & Yashunin
@@ -125,7 +222,10 @@ object GraphAnn {
       if (a == null || a.length < layer) emptyNbrs else a(layer - 1)
     }
 
-    private def simBetween(a: Int, b: Int): Double = cos(vecs(a), norms(a), b)
+    private def simBetween(a: Int, b: Int): Double = {
+      evalsSelect += 1
+      cos(vecs(a), norms(a), b)
+    }
 
     /** HNSW Algorithm-4 neighbor selection (the diversity heuristic):
       * walk candidates best-first and keep e only if e is more similar
@@ -137,22 +237,25 @@ object GraphAnn {
       * vs 0.750 on the 12k clustered shard. Candidates are (id, sim to
       * anchor) best-first; ties keep the candidate (strict >), so the
       * selection is deterministic. */
-    private def selectHeuristic(w: Array[(Int, Double)], cap: Int): Array[Int] = {
-      val r = new scala.collection.mutable.ArrayBuffer[Int](cap)
+    private def selectHeuristicPairs(w: Array[(Int, Double)], cap: Int): Array[(Int, Double)] = {
+      val r = new scala.collection.mutable.ArrayBuffer[(Int, Double)](cap)
       var i = 0
       while (i < w.length && r.length < cap) {
         val (e, simE) = w(i)
         var ok = true
         var j = 0
         while (ok && j < r.length) {
-          if (simBetween(e, r(j)) > simE) ok = false
+          if (simBetween(e, r(j)._1) > simE) ok = false
           j += 1
         }
-        if (ok) r += e
+        if (ok) r += ((e, simE))
         i += 1
       }
       r.toArray
     }
+
+    private def selectHeuristic(w: Array[(Int, Double)], cap: Int): Array[Int] =
+      selectHeuristicPairs(w, cap).map(_._1)
 
     /** Heuristic re-prune of a full adjacency list to `cap` (used when a
       * reciprocal link overflows a layered node's degree): score to the
@@ -160,6 +263,7 @@ object GraphAnn {
     private def pruneHeuristic(ids: Seq[Int], from: Int, cap: Int): Array[Int] = {
       val v = vecs(from)
       val nv = norms(from)
+      evalsPrune += ids.length
       val scored = ids.map(nb => (nb, cos(v, nv, nb)))
         .sortWith((x, y) => better(x._2, x._1, y._2, y._1))
         .toArray
@@ -301,11 +405,15 @@ object GraphAnn {
         lk -= 1
       }
       val nbrs = beamLayer(v, vn, Array((cur, curSim)), efc, 0)
-      val sel0 = selectHeuristic(nbrs, params.m)
+      val sel0 = selectHeuristicPairs(nbrs, params.m)
       var t = 0
       while (t < sel0.length) {
-        addLink(i, sel0(t))
-        addLink(sel0(t), i)
+        val (j, sj) = sel0(t)
+        // sj = cos(v_i, v_j) from the beam; the fold is bit-symmetric
+        // (commutative products, same summation order), so the
+        // reciprocal link caches the identical double
+        addLinkL(i, j, sj)
+        addLinkL(j, i, sj)
         t += 1
       }
       if (lvl > entryLevel) { entryLevel = lvl; entryNode = i }
@@ -424,28 +532,20 @@ object GraphAnn {
     }
 
     private def addLink(from: Int, to: Int): Unit = {
+      // flat-mode linking; layered links go through [[addLinkL]]
       adj(from)(deg(from)) = to
       deg(from) += 1
       if (deg(from) > maxDeg) {
-        if (params.layered) {
-          // diversity prune (may keep < maxDeg — HNSW drops, not fills)
-          val kept = pruneHeuristic(
-            (0 until deg(from)).map(adj(from)(_)), from, maxDeg)
-          var e = 0
-          while (e < kept.length) { adj(from)(e) = kept(e); e += 1 }
-          deg(from) = kept.length
-        } else {
-          // prune to the maxDeg most similar neighbors (ties: smaller id)
-          val v = vecs(from)
-          val nv = norms(from)
-          val scored = (0 until deg(from)).map { e =>
-            val nb = adj(from)(e)
-            (cos(v, nv, nb), nb)
-          }.sortWith((a, b) => better(a._1, a._2, b._1, b._2))
-          var e = 0
-          while (e < maxDeg) { adj(from)(e) = scored(e)._2; e += 1 }
-          deg(from) = maxDeg
-        }
+        // prune to the maxDeg most similar neighbors (ties: smaller id)
+        val v = vecs(from)
+        val nv = norms(from)
+        val scored = (0 until deg(from)).map { e =>
+          val nb = adj(from)(e)
+          (cos(v, nv, nb), nb)
+        }.sortWith((a, b) => better(a._1, a._2, b._1, b._2))
+        var e = 0
+        while (e < maxDeg) { adj(from)(e) = scored(e)._2; e += 1 }
+        deg(from) = maxDeg
       }
     }
 
