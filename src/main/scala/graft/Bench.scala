@@ -93,6 +93,12 @@ object Bench {
     val throughput = try {
       spark.catalog.clearCache()
       System.gc()
+      // quiet-gate the probe phase itself, not just the NSW serves: the
+      // r9 frame spread ([6.5..79.1] over 5 reps) was machine contention
+      // at probe time, and best-of-5 can't save the headline when all
+      // five reps are contended. The stamped loadavg_start then proves
+      // the starting state either way.
+      waitQuiet()
       val load0 = loadAvg()
       // frame-kernel probe: SMA30 + Bollinger(20,2) over 20M synthetic
       // rows across 1000 series — one shuffle, windowed aggregates in
@@ -179,10 +185,15 @@ object Bench {
       // scan+score+top-k cost, not the sin() generation plan.
       val knnN = 100000L
       val dim = 768
+      // (id+1): row 0 must not be the all-zero vector — the recall10
+      // exact-top-10 pass scores with the SQL `cosine`, which divides
+      // by the row norm and throws under ANSI mode on a zero vector
+      // (real embedding tables never contain one, so the oracled
+      // queries keep the unguarded — bit-oracle-matched — form)
       val vecs = spark.range(knnN)
         .select(col("id"),
           array((0 until dim).map(d =>
-            sin(col("id").cast("double") * (d + 1) * 1e-4)): _*).as("v"))
+            sin((col("id") + 1).cast("double") * (d + 1) * 1e-4)): _*).as("v"))
         .persist()
       vecs.count() // materialize before timing
       val qvFull = graft.operators.VectorOps.hyperplanes(1, dim, seed = 13L).head
@@ -538,6 +549,82 @@ object Bench {
         errors("__dedup_scaled") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         None
     }
+    // ---- ANN serve scaling instrument (r10): the dedup_scaled
+    // treatment applied to the vector-serving claim. The int8 IVF index
+    // (the reference's always-RAM scalar-quantized config) is built on
+    // synthetic corpora at x1/x5/x25 and served with the PRODUCTION
+    // discipline — a FIXED nprobe, not ivfNprobe(k) which widens the
+    // probe with the corpus. Because ivfK keeps mean cell size at
+    // ~TargetCellRows regardless of n, a fixed-nprobe serve touches
+    // nprobe*TargetCellRows rows at ANY corpus size: the probed byte
+    // volume at x25 equals x1's, and the amortized latency should read
+    // ~flat while the corpus grows 25x. x*_probed certifies the
+    // constant probe volume; the build times carry IVF's honest n*k
+    // assignment cost (the one-off a 100 TB build pays once, serve
+    // never).
+    val annScaled = try {
+      import graft.operators.IvfIndex
+      val dim = graft.queries.VectorQueries.Dim
+      val baseN = 20000L
+      val servNprobe = 8
+      val annFs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      def timeAt(mult: Int): (Double, Double, Long, Long) = {
+        val n = baseN * mult
+        // distinct synthetic vectors (same rule as the kNN probe, a
+        // per-dim frequency ramp) persisted so the timed spans see
+        // materialized input, not the sin() generation plan
+        val e = spark.range(n).select(
+          col("id").as("vec_id"),
+          // (id+1): no all-zero row — assignCells/serve score with the
+          // ANSI-unguarded SQL cosine (see the kNN probe note above)
+          array((0 until dim).map(d =>
+            sin((col("id") + 1).cast("double") * (d * 7 + 3) * 1e-4)): _*)
+            .as("embedding"),
+          (col("id") % 10).cast("int").as("label")).persist()
+        e.count()
+        val k = graft.queries.VectorQueries.ivfK(n)
+        val cents = e.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+        val path = System.getProperty("java.io.tmpdir") +
+          s"/graft_annscaled_x${mult}_" +
+          sfDir.replaceAll("[^A-Za-z0-9]", "_")
+        annFs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val buildSec = time {
+          IvfIndex.buildIfAbsent(e, cents, path, quantize = true)
+        }
+        val qv = graft.queries.VectorQueries.QueryVec
+        // first serve pays centroid-cache load; amortized is the number
+        IvfIndex.searchTopK(spark, path, qv, nprobe = servNprobe, k = 10)
+          .collect()
+        val nQ = 10
+        val amort = time {
+          (1 to nQ).foreach { _ =>
+            IvfIndex.searchTopK(spark, path, qv, nprobe = servNprobe, k = 10)
+              .collect()
+          }
+        } / nQ
+        val probed = IvfIndex.probedRows(spark, path, qv, servNprobe)
+        e.unpersist()
+        annFs.delete(new org.apache.hadoop.fs.Path(path), true)
+        (buildSec, amort, probed, n)
+      }
+      timeAt(1) // discard: codegen + parquet-reader warmup (dedup_scaled's x1 lesson)
+      val (b1, a1, p1, n1) = timeAt(1)
+      val (b5, a5, p5, n5) = timeAt(5)
+      val (b25, a25, p25, n25) = timeAt(25)
+      Some(s""""ann_scaled":{"dim":$dim,"nprobe":$servNprobe,""" +
+        s""""x1_n":$n1,"x5_n":$n5,"x25_n":$n25,""" +
+        f""""x1_build_sec":$b1%.3f,"x5_build_sec":$b5%.3f,"x25_build_sec":$b25%.3f,""" +
+        f""""x1_serve_sec":$a1%.4f,"x5_serve_sec":$a5%.4f,"x25_serve_sec":$a25%.4f,""" +
+        s""""x1_probed":$p1,"x5_probed":$p5,"x25_probed":$p25,""" +
+        f""""serve_ratio_x5":${a5 / math.max(a1, 1e-9)}%.2f,""" +
+        f""""serve_ratio_x25":${a25 / math.max(a1, 1e-9)}%.2f}""")
+    } catch {
+      case e: Throwable =>
+        errors("__ann_scaled") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        None
+    }
     // ---- scaled-SF execution proof (VERDICT r5 next #3): the r5 claim
     // "median_ratio_exec_heavy ~3 at sf0.1 is per-job scheduling floor
     // that amortizes with data volume" — measured, not asserted. A
@@ -825,7 +912,7 @@ object Bench {
     // (VERDICT r5 what's-wrong #2: fresh builds used to stack cached
     // copies in the storage pool for the rest of the process)
     ScratchCache.drain(spark)
-    val extras = Seq(throughput, recall, ivf, dedupScaled, duck).flatten ++ scaledBlocks
+    val extras = Seq(throughput, recall, ivf, dedupScaled, annScaled, duck).flatten ++ scaledBlocks
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","headline":$headline,""" +
       f""""streaming_harness_sec":$streamingSec%.3f,""" +
@@ -856,6 +943,7 @@ object Bench {
         .mkString("{", ",", "}")
     }.getOrElse("null")
     val dedupC = dedupScaled.map(_.stripPrefix("\"dedup_scaled\":")).getOrElse("null")
+    val annC = annScaled.map(_.stripPrefix("\"ann_scaled\":")).getOrElse("null")
     val scaledC = scaledBlocks.find(_.startsWith("\"duckdb_scaled\":"))
       .map(_.stripPrefix("\"duckdb_scaled\":")).getOrElse("null")
     val scaledX10C = scaledBlocks.find(_.startsWith("\"duckdb_scaled_x10\":"))
@@ -867,7 +955,7 @@ object Bench {
       s""""failed":[${errors.keys.map(jstr).mkString(",")}],""" +
       s""""slowest":$slowest,"throughput":$throughputC,""" +
       s""""ann_recall":$recallC,"ivf_index":$ivfC,"duckdb":$duckC,""" +
-      s""""dedup_scaled":$dedupC,""" +
+      s""""dedup_scaled":$dedupC,"ann_scaled":$annC,""" +
       s""""duckdb_scaled":$scaledC,"duckdb_scaled_x10":$scaledX10C,""" +
       s""""sf":${jstr(sfDir)}}"""
     println(summaryLine)
@@ -934,6 +1022,9 @@ object Bench {
         "median_ratio_exec_heavy").getOrElse("null")},""" +
       s""""dedup":${mini(dedupScaled,
         "ratio_x5" -> "r5", "ratio_x25" -> "r25")},""" +
+      s""""ann_scaled":${mini(annScaled,
+        "serve_ratio_x5" -> "r5", "serve_ratio_x25" -> "r25",
+        "x25_serve_sec" -> "x25_serve")},""" +
       s""""full":${jstr(fullFile)},"sf":${jstr(sfDir)}}"""
     println(compactLine)
     // Re-emit at JVM exit (VERDICT r8 next #6): when Bench runs un-forked

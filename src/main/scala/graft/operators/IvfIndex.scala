@@ -619,6 +619,19 @@ object IvfIndex {
     }
   }
 
+  /** Row count of the cells `queryVec` would probe at `nprobe` — the
+    * per-query scan volume. With ivfK holding mean cell size at
+    * ~TargetCellRows, this is ~nprobe*TargetCellRows at ANY corpus size;
+    * Bench's ann_scaled block reports it alongside serve latency to
+    * certify that a fixed-nprobe serve touches constant bytes while the
+    * corpus grows. */
+  def probedRows(spark: SparkSession, path: String, queryVec: Seq[Double],
+      nprobe: Int): Long = {
+    val probeIds = selectProbes(spark, path, queryVec, nprobe).map(_._1)
+    spark.read.parquet(s"$path/cells")
+      .filter(col("cent_id").isin(probeIds: _*)).count()
+  }
+
   /** Total data bytes under the cell directories — the at-rest payload
     * size a quantized index shrinks (reported by Bench's ivf block). */
   def cellBytes(spark: SparkSession, path: String): Long = {
