@@ -221,6 +221,16 @@ object GraftSession {
               constInt(children(10), "graft_adc_score: k"))
           }))
         ext.injectFunction((
+          FunctionIdentifier("graft_dequant_cosine"),
+          new ExpressionInfo(classOf[graft.functions.DequantCosine].getName,
+            "graft_dequant_cosine"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+            require(children.length == 3,
+              "graft_dequant_cosine(q, scale, y) takes 3 arguments")
+            graft.functions.DequantCosine(children(0), children(1),
+              constDoubleArray(children(2), "graft_dequant_cosine: y"))
+          }))
+        ext.injectFunction((
           FunctionIdentifier("graft_norm"),
           new ExpressionInfo(classOf[graft.functions.Normalize].getName, "graft_norm"),
           (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
@@ -238,6 +248,14 @@ object GraftSession {
       }
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // serve-path plan stability: literal IN-lists of >= 2 values become
+      // InSet, whose non-switchable codegen (e.g. LongType cent_id probe
+      // filters) carries the set as a REFERENCE object instead of inlined
+      // literals — repeated index searches with different probe sets then
+      // produce byte-identical generated code and hit the codegen cache
+      // instead of paying a per-query janino compile (~50-100 ms, the
+      // dominant per-call serve cost at small nprobe). Default is 10.
+      .config("spark.sql.optimizer.inSetConversionThreshold", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -100,6 +100,12 @@ final case class AdcScore(code: Expression, centId: Expression,
     val cdotrRef = ctx.addReferenceObj("adcCdotr", cdotrFlat, "double[]")
     val qdotrRef = ctx.addReferenceObj("adcQdotr", qdotrFlat, "double[]")
     val rn2Ref = ctx.addReferenceObj("adcRn2", rn2Flat, "double[]")
+    // qNorm rides in a reference too (not a literal in the code text):
+    // with every table referenced, the generated code is byte-identical
+    // across queries at fixed (s, k, nprobe), so repeated searches hit
+    // the codegen cache instead of recompiling. Loading the double from
+    // a 1-element array is the same IEEE value — bit parity holds.
+    val qNormRef = ctx.addReferenceObj("adcQNorm", Array(qNorm), "double[]")
     nullSafeCodeGen(ctx, ev, (c, cid) => {
       val p = ctx.freshName("p")
       val ii = ctx.freshName("ii")
@@ -117,7 +123,7 @@ final case class AdcScore(code: Expression, centId: Expression,
          |}
          |long $cidL = (long) $cid;
          |int $p = -1;
-         |for (int $ii = 0; $p < 0 && $ii < ${centIds.length}; $ii++) {
+         |for (int $ii = 0; $p < 0 && $ii < $centIdsRef.length; $ii++) {
          |  if ($centIdsRef[$ii] == $cidL) $p = $ii;
          |}
          |if ($p < 0) {
@@ -132,7 +138,7 @@ final case class AdcScore(code: Expression, centId: Expression,
          |  $rn2s += $rn2Ref[$s0 * $k + $cj];
          |}
          |${ev.value} = ($qcRef[$p] + $dotr) /
-         |  ($qNorm * java.lang.Math.sqrt($cn2Ref[$p] + 2.0 * $cdr + $rn2s));
+         |  ($qNormRef[0] * java.lang.Math.sqrt($cn2Ref[$p] + 2.0 * $cdr + $rn2s));
        """.stripMargin
     })
   }

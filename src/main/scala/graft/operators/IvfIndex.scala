@@ -147,10 +147,6 @@ object IvfIndex {
       .select(col("vec_id"), col("label"), col("q"), col("scale"), col("cent_id"))
   }
 
-  /** Dequantized double vector from a quantized cell row. */
-  private def dequant: org.apache.spark.sql.Column =
-    transform(col("q"), b => b.cast("double") * col("scale"))
-
   /** Build the index at `path` unless a current one is already there
     * (marker matches layout version + corpus row count).
     * `quantize=true` stores int8 cell payloads ([[QuantLayoutVersion]]);
@@ -452,6 +448,38 @@ object IvfIndex {
     }
   }
 
+  /** Cell-relation handle cache, keyed (path, stamp, sessionUuid): a
+    * fresh `spark.read.parquet` on every search rebuilds the file index
+    * — a full recursive listing of the hive-partitioned cell dirs per
+    * QUERY, which on an object store at index scale is a per-call
+    * listing storm (and tens of ms even on local disk). Reusing the
+    * resolved relation keeps the listing cached inside the plan while
+    * per-query partition PRUNING still applies (the probe filter is
+    * evaluated against the cached partition spec). Nothing is persisted
+    * — this caches metadata, not cell data; a rebuild/append changes
+    * the stamp so stale handles age out. */
+  private val cellDfCache =
+    new java.util.LinkedHashMap[(String, String, String), DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(
+          eldest: java.util.Map.Entry[(String, String, String), DataFrame]): Boolean =
+        size() > 16
+    }
+
+  private def cellsDf(spark: SparkSession, path: String): DataFrame = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val key = (path, markerStamp(fs, path),
+      graft.GraftSession.sessionUuid(spark))
+    cellDfCache.synchronized {
+      val hit = cellDfCache.get(key)
+      if (hit != null) hit
+      else {
+        val df = spark.read.parquet(s"$path/cells")
+        cellDfCache.put(key, df)
+        df
+      }
+    }
+  }
+
   /** Probe lists are nprobe-sized — bounded driver state, and serving
     * workloads re-issue the same query vectors, so memoize per
     * (path, stamp, query, nprobe). */
@@ -510,15 +538,23 @@ object IvfIndex {
     }
     val quantized = stamp.startsWith(QuantLayoutVersion)
     val scored =
-      if (fullScan) spark.read.parquet(s"$path/cells")
+      if (fullScan) cellsDf(spark, path)
       else {
         val probeIds = selectProbes(spark, path, queryVec, nprobe).map(_._1)
-        spark.read.parquet(s"$path/cells")
+        cellsDf(spark, path)
           .filter(col("cent_id").isin(probeIds: _*))
       }
-    val vec = if (quantized) dequant else col("embedding")
+    // quantized cells score through the FUSED dequant-cosine expression
+    // (functions/DequantCosine — bit-identical to cosine(dequant, lit),
+    // but codegen'd and allocation-free; the HOF dequant would run the
+    // whole scan interpreted)
+    val score =
+      if (quantized)
+        call_function("graft_dequant_cosine",
+          col("q"), col("scale"), typedLit(queryVec))
+      else cosine(col("embedding"), typedLit(queryVec))
     scored
-      .withColumn("score", cosine(vec, typedLit(queryVec)))
+      .withColumn("score", score)
       .orderBy(desc("score"), col("vec_id"))
       .limit(k)
       .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
@@ -576,7 +612,7 @@ object IvfIndex {
       foldDot(i => cb(s0)(j)(i), i => cb(s0)(j)(i), d))
     val qNorm = math.sqrt(foldDot(qv(_), qv(_), qv.length))
     val probes = selectProbes(spark, path, queryVec, nprobe)
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = cellsDf(spark, path)
       .filter(col("cent_id").isin(probes.map(_._1): _*))
     if (fused) {
       val centIds = probes.map(_._1)
@@ -628,7 +664,7 @@ object IvfIndex {
   def probedRows(spark: SparkSession, path: String, queryVec: Seq[Double],
       nprobe: Int): Long = {
     val probeIds = selectProbes(spark, path, queryVec, nprobe).map(_._1)
-    spark.read.parquet(s"$path/cells")
+    cellsDf(spark, path)
       .filter(col("cent_id").isin(probeIds: _*)).count()
   }
 
