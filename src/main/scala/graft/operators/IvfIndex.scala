@@ -331,7 +331,7 @@ object IvfIndex {
 
   private def codebooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val key = (path, markerStamp(fs, path))
+    val key = (path, markerVersion(fs, path))
     cbCache.synchronized {
       val hit = cbCache.get(key)
       if (hit != null) hit
@@ -406,6 +406,19 @@ object IvfIndex {
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 
+  /** Cache-key form of the marker: stamp + marker-file mtime. A
+    * delete+rebuild with an unchanged corpus reproduces the SAME stamp
+    * (layout + count carry no build identity), so any cache keyed on
+    * the stamp alone would keep serving file handles / centroid rows /
+    * probe lists from the DELETED build — measured as FILE_NOT_EXIST in
+    * the r10 ann_scaled rebuild loop once cellsDf started reusing
+    * relations. The marker is rewritten on every publish, so its mtime
+    * is a build-unique token that needs no layout change. */
+  private def markerVersion(fs: FileSystem, path: String): String = {
+    val m = new Path(new Path(path), Marker)
+    markerStamp(fs, path) + "@" + fs.getFileStatus(m).getModificationTime
+  }
+
   /** Served-centroid DataFrame cache, keyed (path, stamp, sessionUuid):
     * the k×dim coarse quantizer stays CACHED ON THE EXECUTORS as
     * columnar rows, never as a driver array (VERDICT r7 next #4 — the
@@ -428,12 +441,25 @@ object IvfIndex {
 
   private def centroidsDf(spark: SparkSession, path: String): DataFrame = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val key = (path, markerStamp(fs, path),
+    val key = (path, markerVersion(fs, path),
       graft.GraftSession.sessionUuid(spark))
     centDfCache.synchronized {
       val hit = centDfCache.get(key)
       if (hit != null) hit
       else {
+        // evict any STALE same-path residency first: while an older
+        // build's centroids stay persisted, Spark's CacheManager would
+        // substitute the fresh same-plan scan with the old in-memory
+        // rows (canonical-plan matching) — the re-read must hit disk
+        val it = centDfCache.entrySet().iterator()
+        while (it.hasNext) {
+          val e0 = it.next()
+          if (e0.getKey._1 == path && e0.getKey != key) {
+            try e0.getValue.unpersist(blocking = true)
+            catch { case _: Throwable => () }
+            it.remove()
+          }
+        }
         // one partition: <= 32 MB at the clamp, and probe selection is a
         // single-task TakeOrderedAndProject over the cached batch
         val df = spark.read.parquet(s"$path/centroids")
@@ -467,7 +493,7 @@ object IvfIndex {
 
   private def cellsDf(spark: SparkSession, path: String): DataFrame = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val key = (path, markerStamp(fs, path),
+    val key = (path, markerVersion(fs, path),
       graft.GraftSession.sessionUuid(spark))
     cellDfCache.synchronized {
       val hit = cellDfCache.get(key)
@@ -500,7 +526,7 @@ object IvfIndex {
   private def selectProbes(spark: SparkSession, path: String,
       queryVec: Seq[Double], nprobe: Int): Array[(Long, Array[Double])] = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val key = (path, markerStamp(fs, path), queryVec, nprobe)
+    val key = (path, markerVersion(fs, path), queryVec, nprobe)
     probeCache.synchronized(Option(probeCache.get(key))).getOrElse {
       val rows = centroidsDf(spark, path)
         .withColumn("sim", cosine(col("cvec"), typedLit(queryVec)))

@@ -443,7 +443,13 @@ object NswIndex {
       queries: Seq[(Long, Seq[Double])], kPerShard: Int,
       efSearch: Int = Params().efSearch): DataFrame = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val stamp = readMarker(fs, new Path(new Path(path), Marker))
+    val marker = new Path(new Path(path), Marker)
+    val stamp = readMarker(fs, marker)
+    // cache-key form: stamp + marker mtime. A delete+rebuild with the
+    // same corpus reproduces the same stamp, so stamp-keyed residency
+    // would keep serving graphs from the DELETED build (the same
+    // staleness IvfIndex.markerVersion guards against).
+    val ver = stamp + "@" + fs.getFileStatus(marker).getModificationTime
     val numShards = field(stamp, "shards").toInt
     val layered = stamp.startsWith(LayeredLayoutVersion + ",")
     val params = Params(m = field(stamp, "m").toInt,
@@ -456,8 +462,31 @@ object NswIndex {
       StructField("vec_id", LongType, nullable = false),
       StructField("score", DoubleType, nullable = false)))
     val served = servedRows.synchronized {
-      Option(servedRows.get((path, stamp, graft.GraftSession.sessionUuid(spark))))
+      Option(servedRows.get((path, ver, graft.GraftSession.sessionUuid(spark))))
     }.getOrElse {
+      // a STALE residency for this path (older build, same stamp) must
+      // be unpersisted BEFORE the fresh read: Spark's CacheManager
+      // substitutes any new scan whose canonical plan matches a cached
+      // one, so as long as the old build's persisted rows live, the
+      // re-read of the same path would silently serve them
+      servedRows.synchronized {
+        val it = servedRows.entrySet().iterator()
+        while (it.hasNext) {
+          val e0 = it.next()
+          if (e0.getKey._1 == path && e0.getKey._2 != ver) {
+            try e0.getValue.df.unpersist(blocking = true)
+            catch { case _: Throwable => () }
+            it.remove()
+          }
+        }
+      }
+      builtShards.synchronized {
+        val it = builtShards.entrySet().iterator()
+        while (it.hasNext) {
+          val k0 = it.next().getKey
+          if (k0._1 == path && k0._2 != ver) it.remove()
+        }
+      }
       // quantized payloads dequantize IN-PLAN (q·scale, the q_v6f
       // pattern) so positions 0..5 match the raw layout and the
       // reconstruction below is byte-layout-agnostic
@@ -476,7 +505,7 @@ object NswIndex {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         it.toArray.groupBy(_.getInt(0)).iterator.map { case (shard, rs) =>
           val s = reconstruct(rs, params)
-          builtShards.synchronized { builtShards.put((path, stamp, shard), s) }
+          builtShards.synchronized { builtShards.put((path, ver, shard), s) }
           (pid, shard)
         }
       }(org.apache.spark.sql.Encoders.tuple(
@@ -486,7 +515,7 @@ object NswIndex {
       val h = ServedRows(df, spark.sparkContext.broadcast(
         hosted.groupBy(_._1).map { case (p, ss) => p -> ss.map(_._2) }))
       servedRows.synchronized {
-        servedRows.put((path, stamp, graft.GraftSession.sessionUuid(spark)), h)
+        servedRows.put((path, ver, graft.GraftSession.sessionUuid(spark)), h)
       }
       h
     }
@@ -496,7 +525,7 @@ object NswIndex {
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val expected = bcParts.value.getOrElse(pid, Array.empty[Int])
       val resident: Option[Array[ServedShard]] = builtShards.synchronized {
-        val hits = expected.flatMap(s => Option(builtShards.get((path, stamp, s))))
+        val hits = expected.flatMap(s => Option(builtShards.get((path, ver, s))))
         if (hits.length == expected.length) Some(hits) else None
       }
       val shardGraphs: Iterator[ServedShard] = resident match {
@@ -506,7 +535,7 @@ object NswIndex {
           // columnar rows — decode only happens on this path
           it.toArray.groupBy(_.getInt(0)).iterator.map { case (shard, rs) =>
             val s = reconstruct(rs, params)
-            builtShards.synchronized { builtShards.put((path, stamp, shard), s) }
+            builtShards.synchronized { builtShards.put((path, ver, shard), s) }
             s
           }
       }

@@ -272,4 +272,27 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(!s.contains("ShuffleExchange") && !s.contains("Exchange hashpartitioning"),
       "no shuffle in the ADC serve path")
   }
+
+  test("serve caches invalidate on delete+rebuild with an identical corpus") {
+    // a rebuild with the same corpus reproduces the same marker STAMP,
+    // so any serve cache keyed on the stamp alone (relation handles,
+    // executor-cached centroids, probe lists) would keep handles to the
+    // DELETED build's files — r10's ann_scaled loop measured this as
+    // FILE_NOT_EXIST mid-scan. markerVersion (stamp + marker mtime)
+    // keys must make this sequence serve the fresh build instead.
+    val path = freshPath()
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    IvfIndex.buildIfAbsent(corpus(), cents(), path)
+    val before = IvfIndex
+      .searchTopK(spark, path, VectorQueries.QueryVec, nprobe = 2, k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    fs.delete(new Path(path), true)
+    IvfIndex.buildIfAbsent(corpus(), cents(), path)
+    val after = IvfIndex
+      .searchTopK(spark, path, VectorQueries.QueryVec, nprobe = 2, k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(after == before,
+      "rebuild of the identical corpus must serve identical results " +
+        "from the FRESH files")
+  }
 }

@@ -161,4 +161,33 @@ class NswQuantSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(served == exact, "IVF full-scan fallback must be the exact top-k")
   }
+
+  test("resident graphs invalidate on delete+rebuild with a same-count corpus") {
+    // a rebuild with the SAME row count (and params) reproduces the same
+    // graph stamp, so residency keyed on the stamp alone would silently
+    // serve the OLD build's graphs — undetectable when the corpus is
+    // identical, wrong when only the vectors changed. The marker-mtime
+    // version key must route the second search to the fresh build.
+    val path = freshPath("rebuild")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val lp = Params(layered = true)
+    NswIndex.buildIfAbsent(corpus(n), "vec_id", "embedding", path, lp,
+      numShards = 4)
+    NswIndex.searchTopK(spark, path, query, k = 5).collect() // make resident
+    // same count, shifted vectors: ids keep their values + 0.25 phase
+    val corpus2 = corpus(n).select(col("vec_id"),
+      transform(col("embedding"), v => v + lit(0.25)).as("embedding"))
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    NswIndex.buildIfAbsent(corpus2, "vec_id", "embedding", path, lp,
+      numShards = 4)
+    val served = topIds(NswIndex.searchTopK(spark, path, query, k = 5))
+    // cold truth: the same second corpus built at a NEVER-SERVED path
+    val cold = freshPath("rebuild_cold")
+    NswIndex.buildIfAbsent(corpus2, "vec_id", "embedding", cold, lp,
+      numShards = 4)
+    val expect = topIds(NswIndex.searchTopK(spark, cold, query, k = 5))
+    assert(served == expect,
+      "post-rebuild serve must walk the fresh graphs, not resident state")
+  }
 }
