@@ -37,6 +37,7 @@ object ScaledTables {
     "part" -> Seq("p_partkey"),
     "events" -> Seq("event_id", "user_id"),
     "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"),
     "nation" -> Seq.empty, "region" -> Seq.empty)
 
   /** Ensure the `mult`-replicated copy of `sfDir` exists; returns its dir. */
@@ -46,8 +47,11 @@ object ScaledTables {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val marker = new Path(scaledDir, "_SCALED_READY")
+    // v3: embeddings replicate too (vec_id shift) so a FULL-surface
+    // correctness sweep — vector family included — can run on the
+    // scaled dir (round-10 "sf1" sweep); pre-v3 dirs regenerate.
     val stamp =
-      s"v2,mult=$mult,base_lineitem=${Tables.lineitem(spark, sfDir).count()}"
+      s"v3,mult=$mult,base_lineitem=${Tables.lineitem(spark, sfDir).count()}"
     val current = fs.exists(marker) && {
       val in = fs.open(marker)
       val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString

@@ -36,14 +36,28 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                     df[c] = df[c].astype(float)
         except Exception:
             pass
-    # Sort by non-float columns only: every query carries a deterministic
-    # total ORDER BY on key columns, so a stable sort on the discrete columns
-    # aligns rows without letting a last-ulp float difference shuffle the
-    # pairing (which would fabricate MISMATCHes on the other columns).
+    # Sort by non-float columns first: a stable sort on the discrete
+    # columns aligns rows without letting a last-ulp float difference
+    # shuffle the pairing. But the discrete columns alone are NOT a total
+    # order on every corpus — the synthetic lineitem carries duplicate
+    # (l_orderkey, l_linenumber) pairs (143k at sf0.1), so rows tied on
+    # every discrete column but differing in float payloads aligned
+    # arbitrarily and fabricated MISMATCHes (first seen in the r10 sf1
+    # sweep: q_p2/q_u2). Rounded float columns break those ties: rounding
+    # to 6 significant-ish decimals is far coarser than any ulp noise, so
+    # genuinely-equal values still tie (harmless) while distinct payloads
+    # order identically on both sides.
     sort_cols = [c for c in df.columns
                  if not np.issubdtype(df[c].dtype, np.floating)]
-    if sort_cols:
-        df = df.sort_values(by=sort_cols, kind="mergesort").reset_index(drop=True)
+    float_cols = [c for c in df.columns
+                  if np.issubdtype(df[c].dtype, np.floating)]
+    for c in float_cols:
+        df[f"__tie_{c}"] = df[c].round(6)
+    if sort_cols or float_cols:
+        df = df.sort_values(
+            by=sort_cols + [f"__tie_{c}" for c in float_cols],
+            kind="mergesort").reset_index(drop=True)
+    df = df.drop(columns=[f"__tie_{c}" for c in float_cols])
     return df
 
 
@@ -90,7 +104,11 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
+        if p.is_dir():
+            # scaled replicas are multi-file parquet directories
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     if prefixes:
