@@ -476,6 +476,19 @@ object Bench {
             graft.queries.VectorQueries.QueryVec, nprobe = np, k = 5).collect()
         }
       } / nQ
+      // batched serving (r10, q_v6g): 12 distinct queries through ONE
+      // partition-pruned scan + broadcast probe join + per-qid k-heap —
+      // per-query cost of the production batch shape, vs the per-call
+      // jobs the amortized number above pays
+      val batchQs = graft.operators.VectorOps
+        .hyperplanes(12, graft.queries.VectorQueries.Dim, seed = 3L)
+        .zipWithIndex.map { case (q, i) => (i.toLong, q) }
+      IvfIndex.searchTopKBatch(spark, path, batchQs, nprobe = np, k = 5)
+        .collect() // warm (codegen + probe selection)
+      val batchSec = time {
+        IvfIndex.searchTopKBatch(spark, path, batchQs, nprobe = np, k = 5)
+          .collect()
+      } / batchQs.size
       val rebuildSec = best {
         // freshQueries: the rebuild-per-query comparator must re-plan
         // and re-derive the assignment, not hit the surface's plan memo
@@ -513,6 +526,7 @@ object Bench {
       val pqBytes = IvfIndex.cellBytes(spark, pqPath)
       Some(f""""ivf_index":{"build_sec":$buildSec%.3f,""" +
         f""""query_amortized_sec":$amortSec%.4f,""" +
+        f""""batched_query_sec":$batchSec%.4f,""" +
         f""""rebuild_per_query_sec":$rebuildSec%.4f,""" +
         s""""cell_bytes_raw":$rawBytes,"cell_bytes_int8":$qBytes,""" +
         f""""int8_bytes_ratio":${qBytes.toDouble / math.max(rawBytes, 1L)}%.3f,""" +
@@ -1055,7 +1069,8 @@ object Bench {
         "loadavg_serve" -> "load_serve",
         "layered_loadavg_serve" -> "l_load_serve")},""" +
       s""""ivf":${mini(ivf,
-        "query_amortized_sec" -> "amort", "int8_query_amortized_sec" -> "i8_amort",
+        "query_amortized_sec" -> "amort", "batched_query_sec" -> "batched",
+        "int8_query_amortized_sec" -> "i8_amort",
         "pq_query_amortized_sec" -> "pq_amort",
         "pq_bytes_ratio" -> "pq_bytes_ratio")},""" +
       s""""recall":${mini(recall,

@@ -231,6 +231,15 @@ object GraftSession {
               constDoubleArray(children(2), "graft_dequant_cosine: y"))
           }))
         ext.injectFunction((
+          FunctionIdentifier("graft_dequant_cosine_col"),
+          new ExpressionInfo(classOf[graft.functions.DequantCosineCol].getName,
+            "graft_dequant_cosine_col"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+            require(children.length == 3,
+              "graft_dequant_cosine_col(q, scale, y) takes 3 arguments")
+            graft.functions.DequantCosineCol(children(0), children(1), children(2))
+          }))
+        ext.injectFunction((
           FunctionIdentifier("graft_norm"),
           new ExpressionInfo(classOf[graft.functions.Normalize].getName, "graft_norm"),
           (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -115,3 +115,111 @@ final case class DequantCosine(q: Expression, scale: Expression,
       newLeft: Expression, newRight: Expression): DequantCosine =
     copy(q = newLeft, scale = newRight)
 }
+
+/** Column-`y` variant of [[DequantCosine]] for BATCH serving, where the
+  * query vector arrives joined per row (the probe-table broadcast join
+  * of `IvfIndex.searchTopKBatch`) instead of as a per-plan constant:
+  * `graft_dequant_cosine_col(q, scale, y)` ≡
+  * `cosine(transform(q, b -> double(b) * scale), y)` for
+  * `q ARRAY<TINYINT>`, `scale DOUBLE`, `y ARRAY<DOUBLE>` — identical
+  * IEEE fold orders (dot over the common prefix, each norm over its own
+  * full array), ‖y‖² recomputed per row exactly as the composed
+  * `graft_dotp(y, y)` does. Same NaN-on-zero-vector divergence from the
+  * ANSI composition as the constant form.
+  */
+final case class DequantCosineCol(q: Expression, scale: Expression,
+    y: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = q
+  override def second: Expression = scale
+  override def third: Expression = y
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (q.dataType, scale.dataType, y.dataType) match {
+      case (ArrayType(ByteType, _), DoubleType,
+            ArrayType(DoubleType | FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, s, yv) => TypeCheckResult.TypeCheckFailure(
+        s"graft_dequant_cosine_col expects (ARRAY<TINYINT>, DOUBLE, " +
+          s"ARRAY<FLOAT|DOUBLE>), got (${a.catalogString}, " +
+          s"${s.catalogString}, ${yv.catalogString})")
+    }
+
+  private def yIsFloat: Boolean = y.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(qv: Any, scaleV: Any, yv: Any): Any = {
+    val codes = qv.asInstanceOf[ArrayData]
+    val sc = scaleV.asInstanceOf[Double]
+    val ys = yv.asInstanceOf[ArrayData]
+    val fl = yIsFloat
+    def yAt(i: Int): Double =
+      if (fl) ys.getFloat(i).toDouble else ys.getDouble(i)
+    val nq = codes.numElements()
+    val ny = ys.numElements()
+    val dotN = math.min(nq, ny)
+    var dot = 0.0
+    var i = 0
+    while (i < dotN) {
+      dot += (codes.getByte(i).toDouble * sc) * yAt(i)
+      i += 1
+    }
+    var n2 = 0.0
+    i = 0
+    while (i < nq) {
+      val a = codes.getByte(i).toDouble * sc
+      n2 += a * a
+      i += 1
+    }
+    var yn2 = 0.0
+    i = 0
+    while (i < ny) { yn2 += yAt(i) * yAt(i); i += 1 }
+    dot / (math.sqrt(n2) * math.sqrt(yn2))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, sc, yv) => {
+      val nq = ctx.freshName("nq")
+      val ny = ctx.freshName("ny")
+      val dotN = ctx.freshName("dotN")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val n2 = ctx.freshName("n2")
+      val yn2 = ctx.freshName("yn2")
+      val a = ctx.freshName("a")
+      val yd = ctx.freshName("yd")
+      val yGet =
+        if (yIsFloat) s"(double) $yv.getFloat($i)" else s"$yv.getDouble($i)"
+      s"""
+         |int $nq = $c.numElements();
+         |int $ny = $yv.numElements();
+         |int $dotN = java.lang.Math.min($nq, $ny);
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $dotN; $i++) {
+         |  $dot += ((double) $c.getByte($i) * $sc) * ($yGet);
+         |}
+         |double $n2 = 0.0;
+         |for (int $i = 0; $i < $nq; $i++) {
+         |  double $a = (double) $c.getByte($i) * $sc;
+         |  $n2 += $a * $a;
+         |}
+         |double $yn2 = 0.0;
+         |for (int $i = 0; $i < $ny; $i++) {
+         |  double $yd = $yGet;
+         |  $yn2 += $yd * $yd;
+         |}
+         |${ev.value} = $dot /
+         |  (java.lang.Math.sqrt($n2) * java.lang.Math.sqrt($yn2));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): DequantCosineCol =
+    copy(q = newFirst, scale = newSecond, y = newThird)
+}

@@ -586,6 +586,65 @@ object IvfIndex {
       .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
   }
 
+  /** Multi-query top-k over a flat/int8 index — the BATCH serving shape
+    * (queries arrive in batches in any real serving workload; the
+    * one-query [[searchTopK]] pays a full Spark job per call). ONE
+    * partition-pruned scan of the union of every query's probed cells, a
+    * broadcast join against the (qid, cent_id, qvec) probe table
+    * (|queries|·nprobe rows — bounded driver state), per-row scoring
+    * inside whole-stage codegen ([[graft.functions.DequantCosineCol]]
+    * for int8 layouts; the query vector is a JOINED COLUMN, so the
+    * generated code is batch-invariant by construction), and a per-qid
+    * bounded k-heap (`graft_topk`, partial aggregation) — k·|queries|
+    * rows cross the single exchange, never the scored corpus.
+    *
+    * Output: (qid, rank, vec_id, score) ordered by (qid, rank) — the
+    * q_v2b batch-kNN contract, SQL-mirrorable per query.
+    */
+  def searchTopKBatch(spark: SparkSession, path: String,
+      queries: Seq[(Long, Seq[Double])], nprobe: Int, k: Int): DataFrame = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val stamp = markerStamp(fs, path)
+    require(!stamp.startsWith(PqLayoutVersion) &&
+        !stamp.startsWith(TrainedPqLayoutVersion),
+      "IvfIndex.searchTopKBatch serves flat/int8 layouts; PQ serving " +
+        "batches per query through searchTopKPq (driver-computed ADC " +
+        "tables are per-query by construction)")
+    val quantized = stamp.startsWith(QuantLayoutVersion)
+    val fullScan = markerField(stamp, "count") < FullScanThreshold
+    import spark.implicits._
+    val probeRows: Seq[(Long, Long, Seq[Double])] =
+      if (fullScan) {
+        val allCells = centroidsDf(spark, path)
+          .select(col("cent_id")).collect().map(_.getLong(0)).toSeq
+        queries.flatMap { case (qid, qv) => allCells.map(c => (qid, c, qv)) }
+      } else queries.flatMap { case (qid, qv) =>
+        selectProbes(spark, path, qv, nprobe)
+          .map { case (cid, _) => (qid, cid, qv) }
+      }
+    val probeDf = probeRows.toDF("qid", "cent_id", "qvec")
+    val cellIds = probeRows.map(_._2).distinct
+    val cells =
+      if (fullScan) cellsDf(spark, path)
+      else cellsDf(spark, path).filter(col("cent_id").isin(cellIds: _*))
+    val score =
+      if (quantized)
+        call_function("graft_dequant_cosine_col",
+          col("q"), col("scale"), col("qvec"))
+      else cosine(col("embedding"), col("qvec"))
+    cells
+      .join(broadcast(probeDf), Seq("cent_id"))
+      .withColumn("score", score)
+      .groupBy("qid")
+      .agg(call_function("graft_topk", col("score"), col("vec_id"), lit(k))
+        .as("nbrs"))
+      .select(col("qid"), posexplode(col("nbrs")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.vec_id").as("vec_id"),
+        round(col("col.score"), 6).as("score"))
+      .orderBy("qid", "rank")
+  }
+
   /** ADC search against a PQ index ([[PqLayoutVersion]]): probe
     * selection via [[selectProbes]] (nprobe rows to the driver), ADC
     * tables computed on the driver (PqS×PqK query dots + residual

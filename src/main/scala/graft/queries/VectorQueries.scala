@@ -43,6 +43,11 @@ object VectorQueries extends QueryPack {
     * java.util.Random(13) — specified LCG, identical on any JVM). */
   val QueryVec: Seq[Double] = hyperplanes(1, Dim, seed = 13L).head
 
+  /** Query batch for the batched-serving instrument (q_v6g): same seed
+    * stream as [[QueryVec]], so batch query 0 IS the single-query vector
+    * — the per-call and batched paths are directly comparable. */
+  val BatchQueryVecs: Seq[Seq[Double]] = hyperplanes(3, Dim, seed = 13L)
+
   /** 16 hyperplanes → 8 bands × 2 bits for the ANN query path (V4).
     * Default re-tuned in r5 per the q_v4c sweep: the former 4×4 layout
     * measured recall 0.5 at sf0.1 — half the true neighbors from the
@@ -1014,6 +1019,65 @@ object VectorQueries extends QueryPack {
               |       round(exact, 6) AS exact_score,
               |       round(abs(round(score, 6) - round(exact, 6)), 6) AS abs_err
               |FROM top ORDER BY round(score, 6) DESC, vec_id""".stripMargin)),
+
+    // V6g — BATCHED index serving: one partition-pruned scan of the
+    // union of every query's probed cells, broadcast probe-table join
+    // (|queries|·nprobe rows), per-row scoring in codegen, per-qid
+    // graft_topk k-heap — k·|queries| rows cross the one exchange,
+    // never the scored corpus. Real serving workloads batch; the
+    // per-call path (q_v6e) pays a full Spark job per query. Output is
+    // the q_v2b batch-kNN contract, hash-oracled per query.
+    QueryDef(
+      "q_v6g_ivf_batch",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val k = ivfK(e.count())
+        val cents = e.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+        val path = s.conf.getOption("spark.graft.ivfIndexDir").getOrElse(
+          System.getProperty("java.io.tmpdir") + "/graft_ivf_" +
+            dir.replaceAll("[^A-Za-z0-9]", "_"))
+        graft.operators.IvfIndex.buildIfAbsent(e, cents, path)
+        graft.operators.IvfIndex.searchTopKBatch(s, path,
+          BatchQueryVecs.zipWithIndex.map { case (q, i) => (i.toLong, q) },
+          nprobe = ivfNprobe(k), k = 5)
+      },
+      Some(s"""WITH ${kkCtes("embeddings")},
+              |cents AS (
+              |  SELECT vec_id AS cent_id, embedding AS cvec
+              |  FROM embeddings, kk WHERE vec_id < kk.k
+              |), cells AS (
+              |  SELECT vec_id, label, embedding, cent_id
+              |  FROM (SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+              |               row_number() OVER
+              |                 (PARTITION BY e.vec_id
+              |                  ORDER BY ${cosineSql("e.embedding", "c.cvec")} DESC,
+              |                           c.cent_id) AS rk
+              |        FROM embeddings e, cents c) t
+              |  WHERE rk = 1
+              |), qs(qid, qv) AS (VALUES
+              |  ${BatchQueryVecs.zipWithIndex.map { case (q, i) =>
+                   s"(CAST($i AS BIGINT), ${q.map(graft.operators.VectorOps.dl).mkString("[", ", ", "]")})"
+                 }.mkString(",\n  ")}
+              |), probes AS (
+              |  SELECT qid, cent_id FROM (
+              |    SELECT q.qid, c.cent_id, row_number() OVER
+              |      (PARTITION BY q.qid
+              |       ORDER BY ${cosineSql("c.cvec", "q.qv")} DESC, c.cent_id) AS rk
+              |    FROM qs q, cents c) t, kk
+              |  WHERE t.rk <= kk.np
+              |)
+              |SELECT qid, CAST(rank AS INT) AS rank, vec_id,
+              |       round(score, 6) AS score
+              |FROM (SELECT p.qid, cells.vec_id,
+              |             ${cosineSql("cells.embedding", "q.qv")} AS score,
+              |             row_number() OVER
+              |               (PARTITION BY p.qid
+              |                ORDER BY ${cosineSql("cells.embedding", "q.qv")} DESC,
+              |                         cells.vec_id) AS rank
+              |      FROM cells JOIN probes p ON cells.cent_id = p.cent_id
+              |                 JOIN qs q ON q.qid = p.qid) t
+              |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
     // V8 — GRAPH-based ANN: per-shard NSW graphs (the HNSW-analog index
     // structure the reference delegates to Qdrant — init_qdrant.py:45-50
