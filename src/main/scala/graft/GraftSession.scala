@@ -221,6 +221,25 @@ object GraftSession {
               constInt(children(10), "graft_adc_score: k"))
           }))
         ext.injectFunction((
+          FunctionIdentifier("graft_adc_score_at"),
+          new ExpressionInfo(classOf[graft.functions.AdcScoreAt].getName,
+            "graft_adc_score_at"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+            require(children.length == 11,
+              "graft_adc_score_at(code, gp, qcB, cn2B, cdotrB, qdotrB, " +
+                "rn2Flat, qNormB, nprobe, s, k) takes 11 arguments")
+            graft.functions.AdcScoreAt(children(0), children(1),
+              constDoubleArray(children(2), "graft_adc_score_at: qcB"),
+              constDoubleArray(children(3), "graft_adc_score_at: cn2B"),
+              constDoubleArray(children(4), "graft_adc_score_at: cdotrB"),
+              constDoubleArray(children(5), "graft_adc_score_at: qdotrB"),
+              constDoubleArray(children(6), "graft_adc_score_at: rn2Flat"),
+              constDoubleArray(children(7), "graft_adc_score_at: qNormB"),
+              constInt(children(8), "graft_adc_score_at: nprobe"),
+              constInt(children(9), "graft_adc_score_at: s"),
+              constInt(children(10), "graft_adc_score_at: k"))
+          }))
+        ext.injectFunction((
           FunctionIdentifier("graft_dequant_cosine"),
           new ExpressionInfo(classOf[graft.functions.DequantCosine].getName,
             "graft_dequant_cosine"),

@@ -147,3 +147,120 @@ final case class AdcScore(code: Expression, centId: Expression,
       newLeft: Expression, newRight: Expression): AdcScore =
     copy(code = newLeft, centId = newRight)
 }
+
+/** BATCH variant of [[AdcScore]] for multi-query serving
+  * (`IvfIndex.searchTopKBatch` on PQ layouts): instead of finding the
+  * probed cell's table position by scanning a cent-id list, the probe
+  * join carries a precomputed GLOBAL PROBE POSITION
+  * `gp = queryIndex · nprobe + probeRank`, and every table is indexed
+  * directly — `qc[gp]`, `cn2[gp]`, `cdotr[(gp·s̄ + s)·k + j]`,
+  * `qdotr[((gp/nprobe)·s̄ + s)·k + j]`, `qNorm[gp/nprobe]`; `rn2` is
+  * codebook-only and shared across the batch. Tables for the whole
+  * batch are |queries|·nprobe·s̄·k doubles — bounded driver state, the
+  * per-query tables concatenated.
+  *
+  * Per-query bit-parity with [[AdcScore]] (AdcBatchSpec → transitively
+  * the q_v11 family's oracle): identical ascending-s fold orders,
+  * identical (qc + dotr) / (qNorm · sqrt(cn2 + 2·cdr + rn2s)) shape.
+  * All state rides in codegen references, so the generated code is
+  * byte-identical across batches at fixed (nprobe, s, k).
+  */
+final case class AdcScoreAt(code: Expression, gp: Expression,
+    qcB: Array[Double], cn2B: Array[Double], cdotrB: Array[Double],
+    qdotrB: Array[Double], rn2Flat: Array[Double], qNormB: Array[Double],
+    nprobe: Int, s: Int, k: Int)
+  extends BinaryExpression {
+
+  require(qcB.length == cn2B.length && qcB.length % math.max(nprobe, 1) == 0,
+    s"graft_adc_score_at: qc/cn2 must be |queries|*nprobe entries, " +
+      s"got ${qcB.length}/${cn2B.length} at nprobe=$nprobe")
+  require(cdotrB.length == qcB.length * s * k,
+    s"graft_adc_score_at: cdotr must be |gp|*s*k = ${qcB.length * s * k} " +
+      s"doubles, got ${cdotrB.length}")
+  require(qdotrB.length == qNormB.length * s * k,
+    s"graft_adc_score_at: qdotr must be |queries|*s*k = " +
+      s"${qNormB.length * s * k} doubles, got ${qdotrB.length}")
+  require(rn2Flat.length == s * k,
+    s"graft_adc_score_at: rn2 must be s*k = ${s * k} doubles, " +
+      s"got ${rn2Flat.length}")
+
+  override def left: Expression = code
+  override def right: Expression = gp
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (code.dataType, gp.dataType) match {
+    case (ArrayType(ByteType, _), ByteType | ShortType | IntegerType | LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (c, i) => TypeCheckResult.TypeCheckFailure(
+      s"graft_adc_score_at expects (ARRAY<TINYINT>, integral gp), " +
+        s"got (${c.catalogString}, ${i.catalogString})")
+  }
+
+  override protected def nullSafeEval(codeV: Any, gpV: Any): Any = {
+    val codes = codeV.asInstanceOf[ArrayData]
+    if (codes.numElements() < s)
+      throw new IllegalArgumentException(
+        s"graft_adc_score_at: code has ${codes.numElements()} entries, need $s")
+    val p = gpV.asInstanceOf[Number].intValue
+    if (p < 0 || p >= qcB.length) throw new IllegalStateException(
+      s"graft_adc_score_at: gp $p out of range [0, ${qcB.length})")
+    val qi = p / nprobe
+    var dotr = 0.0
+    var cdr = 0.0
+    var rn2s = 0.0
+    var s0 = 0
+    while (s0 < s) {
+      val cj = codes.getByte(s0).toInt
+      dotr += qdotrB((qi * s + s0) * k + cj)
+      cdr += cdotrB((p * s + s0) * k + cj)
+      rn2s += rn2Flat(s0 * k + cj)
+      s0 += 1
+    }
+    (qcB(p) + dotr) / (qNormB(qi) * math.sqrt(cn2B(p) + 2.0 * cdr + rn2s))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qcRef = ctx.addReferenceObj("adcbQc", qcB, "double[]")
+    val cn2Ref = ctx.addReferenceObj("adcbCn2", cn2B, "double[]")
+    val cdotrRef = ctx.addReferenceObj("adcbCdotr", cdotrB, "double[]")
+    val qdotrRef = ctx.addReferenceObj("adcbQdotr", qdotrB, "double[]")
+    val rn2Ref = ctx.addReferenceObj("adcbRn2", rn2Flat, "double[]")
+    val qNormRef = ctx.addReferenceObj("adcbQNorm", qNormB, "double[]")
+    nullSafeCodeGen(ctx, ev, (c, g) => {
+      val p = ctx.freshName("p")
+      val qi = ctx.freshName("qi")
+      val s0 = ctx.freshName("s0")
+      val cj = ctx.freshName("cj")
+      val dotr = ctx.freshName("dotr")
+      val cdr = ctx.freshName("cdr")
+      val rn2s = ctx.freshName("rn2s")
+      s"""
+         |if ($c.numElements() < $s) {
+         |  throw new IllegalArgumentException(
+         |    "graft_adc_score_at: code has " + $c.numElements() +
+         |    " entries, need " + $s);
+         |}
+         |int $p = (int) $g;
+         |if ($p < 0 || $p >= $qcRef.length) {
+         |  throw new IllegalStateException(
+         |    "graft_adc_score_at: gp " + $p + " out of range");
+         |}
+         |int $qi = $p / $nprobe;
+         |double $dotr = 0.0; double $cdr = 0.0; double $rn2s = 0.0;
+         |for (int $s0 = 0; $s0 < $s; $s0++) {
+         |  int $cj = (int) $c.getByte($s0);
+         |  $dotr += $qdotrRef[($qi * $s + $s0) * $k + $cj];
+         |  $cdr += $cdotrRef[($p * $s + $s0) * $k + $cj];
+         |  $rn2s += $rn2Ref[$s0 * $k + $cj];
+         |}
+         |${ev.value} = ($qcRef[$p] + $dotr) /
+         |  ($qNormRef[$qi] * java.lang.Math.sqrt($cn2Ref[$p] + 2.0 * $cdr + $rn2s));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcScoreAt =
+    copy(code = newLeft, gp = newRight)
+}

@@ -605,13 +605,13 @@ object IvfIndex {
       queries: Seq[(Long, Seq[Double])], nprobe: Int, k: Int): DataFrame = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val stamp = markerStamp(fs, path)
-    require(!stamp.startsWith(PqLayoutVersion) &&
-        !stamp.startsWith(TrainedPqLayoutVersion),
-      "IvfIndex.searchTopKBatch serves flat/int8 layouts; PQ serving " +
-        "batches per query through searchTopKPq (driver-computed ADC " +
-        "tables are per-query by construction)")
-    val quantized = stamp.startsWith(QuantLayoutVersion)
     val fullScan = markerField(stamp, "count") < FullScanThreshold
+    if (stamp.startsWith(PqLayoutVersion) ||
+        stamp.startsWith(TrainedPqLayoutVersion)) {
+      val np = if (fullScan) markerField(stamp, "k").toInt else nprobe
+      return searchTopKBatchPq(spark, path, queries, np, k)
+    }
+    val quantized = stamp.startsWith(QuantLayoutVersion)
     import spark.implicits._
     val probeRows: Seq[(Long, Long, Seq[Double])] =
       if (fullScan) {
@@ -635,6 +635,76 @@ object IvfIndex {
     cells
       .join(broadcast(probeDf), Seq("cent_id"))
       .withColumn("score", score)
+      .groupBy("qid")
+      .agg(call_function("graft_topk", col("score"), col("vec_id"), lit(k))
+        .as("nbrs"))
+      .select(col("qid"), posexplode(col("nbrs")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.vec_id").as("vec_id"),
+        round(col("col.score"), 6).as("score"))
+      .orderBy("qid", "rank")
+  }
+
+  /** PQ arm of [[searchTopKBatch]]: per-query ADC tables concatenated
+    * into batch references, indexed by the GLOBAL PROBE POSITION
+    * `gp = queryIndex · nprobe + probeRank` that the broadcast probe
+    * table carries — so scoring is direct table indexing inside
+    * whole-stage codegen ([[graft.functions.AdcScoreAt]]), no per-row
+    * probe-list scan and no per-query plan. Tables total
+    * |queries|·nprobe·s̄·k doubles (bounded driver state — the same
+    * per-query tables [[searchScoredPq]] computes, concatenated).
+    * Ranking is per-query identical to [[searchTopKPq]] (AdcBatchSpec).
+    */
+  private def searchTopKBatchPq(spark: SparkSession, path: String,
+      queries: Seq[(Long, Seq[Double])], nprobe: Int, k: Int): DataFrame = {
+    val cb = codebooks(spark, path)
+    val d = cb(0)(0).length
+    queries.foreach { case (qid, qv) =>
+      require(qv.length == PqS * d,
+        s"IvfIndex PQ batch: query $qid dim ${qv.length} != PqS*d = ${PqS * d}")
+    }
+    def foldDot(a: Int => Double, b: Int => Double, n: Int): Double =
+      (0 until n).map(i => a(i) * b(i)).reduceLeft(_ + _)
+    val rn2 = Array.tabulate(PqS, PqK)((s0, j) =>
+      foldDot(i => cb(s0)(j)(i), i => cb(s0)(j)(i), d))
+    val perQ = queries.map { case (qid, qvSeq) =>
+      val qv = qvSeq.toArray
+      val probes = selectProbes(spark, path, qvSeq, nprobe)
+      val qdotr = Array.tabulate(PqS, PqK)((s0, j) =>
+        foldDot(i => qv(s0 * d + i), i => cb(s0)(j)(i), d))
+      val qNorm = math.sqrt(foldDot(qv(_), qv(_), qv.length))
+      val qc = probes.map { case (_, cvec) => foldDot(qv(_), cvec(_), qv.length) }
+      val cn2 = probes.map { case (_, cvec) => foldDot(cvec(_), cvec(_), cvec.length) }
+      val cdotr = probes.flatMap { case (_, cvec) =>
+        (0 until PqS).flatMap(s0 => (0 until PqK).map(j =>
+          foldDot(i => cvec(s0 * d + i), i => cb(s0)(j)(i), d)))
+      }
+      (qid, probes.map(_._1), qc, cn2, cdotr, qdotr.flatten, qNorm)
+    }
+    // every query must carry exactly nprobe probes for the gp layout;
+    // selectProbes takes the top nprobe of k cells, so the only short
+    // case is k < nprobe — widen is the caller's job (full-scan arm)
+    perQ.foreach { case (qid, ids, _, _, _, _, _) =>
+      require(ids.length == perQ.head._2.length,
+        s"IvfIndex PQ batch: query $qid probed ${ids.length} cells, " +
+          s"others ${perQ.head._2.length} — ragged probe lists break gp indexing")
+    }
+    val npEff = perQ.head._2.length
+    import spark.implicits._
+    val probeDf = perQ.zipWithIndex.flatMap { case ((qid, ids, _, _, _, _, _), qi) =>
+      ids.zipWithIndex.map { case (cid, p) => (qid, cid, qi * npEff + p) }
+    }.toDF("qid", "cent_id", "gp")
+    val cellIds = perQ.flatMap(_._2).distinct
+    val cells = cellsDf(spark, path)
+      .filter(col("cent_id").isin(cellIds: _*))
+    cells
+      .join(broadcast(probeDf), Seq("cent_id"))
+      .withColumn("score", call_function("graft_adc_score_at",
+        col("code"), col("gp"),
+        typedLit(perQ.flatMap(_._3).toSeq), typedLit(perQ.flatMap(_._4).toSeq),
+        typedLit(perQ.flatMap(_._5).toSeq), typedLit(perQ.flatMap(_._6).toSeq),
+        typedLit(rn2.flatten.toSeq), typedLit(perQ.map(_._7).toSeq),
+        lit(npEff), lit(PqS), lit(PqK)))
       .groupBy("qid")
       .agg(call_function("graft_topk", col("score"), col("vec_id"), lit(k))
         .as("nbrs"))

@@ -57,6 +57,20 @@ class IvfBatchSpec extends AnyFunSuite {
     assert(batched(path, 5) == perQuery(path, 5))
   }
 
+  test("batch == per-query loop, donor-PQ layout (AdcScoreAt parity)") {
+    // the gp-indexed batch tables must reproduce the per-query AdcScore
+    // ranking bit-for-bit — transitively the q_v11 oracle's fold orders
+    val path = freshPath()
+    IvfIndex.buildPqIfAbsent(corpus(), cents(), path, trainIters = 0)
+    assert(batched(path, 5) == perQuery(path, 5))
+  }
+
+  test("batch == per-query loop, trained-PQ layout") {
+    val path = freshPath()
+    IvfIndex.buildPqIfAbsent(corpus(), cents(), path)
+    assert(batched(path, 5) == perQuery(path, 5))
+  }
+
   test("plan: one broadcast join, corpus never shuffled") {
     val path = freshPath()
     IvfIndex.buildIfAbsent(corpus(), cents(), path)
