@@ -521,6 +521,12 @@ object Bench {
             graft.queries.VectorQueries.QueryVec, nprobe = np, k = 5).collect()
         }
       } / nQ
+      IvfIndex.searchTopKBatch(spark, pqPath, batchQs, nprobe = np, k = 5)
+        .collect() // warm the gp-indexed ADC batch plan
+      val pqBatchSec = time {
+        IvfIndex.searchTopKBatch(spark, pqPath, batchQs, nprobe = np, k = 5)
+          .collect()
+      } / batchQs.size
       val rawBytes = IvfIndex.cellBytes(spark, path)
       val qBytes = IvfIndex.cellBytes(spark, qPath)
       val pqBytes = IvfIndex.cellBytes(spark, pqPath)
@@ -535,7 +541,8 @@ object Bench {
         s""""cell_bytes_pq":$pqBytes,""" +
         f""""pq_bytes_ratio":${pqBytes.toDouble / math.max(rawBytes, 1L)}%.3f,""" +
         f""""pq_build_sec":$pqBuildSec%.3f,""" +
-        f""""pq_query_amortized_sec":$pqAmortSec%.4f}""")
+        f""""pq_query_amortized_sec":$pqAmortSec%.4f,""" +
+        f""""pq_batched_query_sec":$pqBatchSec%.4f}""")
     } catch {
       case e: Throwable =>
         errors("__ivf_index") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -1072,6 +1079,7 @@ object Bench {
         "query_amortized_sec" -> "amort", "batched_query_sec" -> "batched",
         "int8_query_amortized_sec" -> "i8_amort",
         "pq_query_amortized_sec" -> "pq_amort",
+        "pq_batched_query_sec" -> "pq_batched",
         "pq_bytes_ratio" -> "pq_bytes_ratio")},""" +
       s""""recall":${mini(recall,
         "v4b_lsh" -> "v4b", "v6b_ivf" -> "v6b", "v8b_nsw" -> "v8b",
