@@ -1142,6 +1142,35 @@ object VectorQueries extends QueryPack {
       },
       None),
 
+    // V8g — BATCHED graph-index serving (r10, the q_v6g shape on the
+    // NSW side): the whole query batch walks the resident shard graphs
+    // in ONE job (NswIndex.searchShards broadcasts the query array;
+    // each shard serves every query from its beam), k·shards rows per
+    // query merge globally. rows-only like the rest of the family;
+    // NswBatchSpec pins batch == per-query searchTopK parity.
+    QueryDef(
+      "q_v8g_nsw_batch",
+      (s, dir) => {
+        val path = s.conf.getOption("spark.graft.nswIndexDir").getOrElse(
+          System.getProperty("java.io.tmpdir") + "/graft_nsw_" +
+            dir.replaceAll("[^A-Za-z0-9]", "_"))
+        graft.operators.NswIndex.buildIfAbsent(
+          Tables.embeddings(s, dir), "vec_id", "embedding", path)
+        val byQ = graft.operators.NswIndex.searchShards(s, path,
+          BatchQueryVecs.zipWithIndex.map { case (q, i) => (i.toLong, q) },
+          kPerShard = 5)
+        import org.apache.spark.sql.expressions.Window
+        byQ
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(desc("score"), col("vec_id"))))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank").cast("int").as("rank"),
+            col("vec_id"), round(col("score"), 6).as("score"))
+          .orderBy("qid", "rank")
+      },
+      None),
+
     // V8e — the PERSISTED layered-HNSW serving path (r9: NswIndex
     // layout v3): the same build-once/serve-many shape as q_v8c, but
     // the graphs carry the real HNSW hierarchy — geometric levels,
