@@ -125,12 +125,24 @@ object NswIndex {
 
   /** In-plan int8 quantization of `vecCol` — exactly q_v7's oracled rule
     * ([[IvfIndex]]'s cell quantization): scale = max|v|/127 (1.0 for the
-    * zero vector), q = HALF_UP round of v/scale. */
-  private def quantCols(vecCol: String): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
-    val emb = transform(col(vecCol), x => x.cast("double"))
-    val absmax = aggregate(emb, lit(0.0), (a, v) => greatest(a, abs(v)))
-    val scale = when(absmax > 0.0, absmax / 127.0).otherwise(1.0)
-    (transform(emb, v => round(v / scale, 0).cast("tinyint")), scale)
+    * zero vector), q = HALF_UP round of v/scale, dequantized `v` = q·scale.
+    *
+    * Output columns: (vec_id, v = dequantized doubles, q, scale). The
+    * scale is STAGED as its own projection before the per-element
+    * lambdas reference it: inlining the O(dim) absmax `aggregate` into
+    * the `transform` lambda body makes each element evaluation O(dim) —
+    * O(dim^2) per row, which at 768 dims x 1e5 rows turned the r10 bench
+    * int8 build into 282 s vs the raw build's 5 s. Referencing a bound
+    * attribute keeps the whole quantize pass O(dim) per row. */
+  private def withQuant(ided: DataFrame): DataFrame = {
+    val absmax = aggregate(col("v"), lit(0.0), (a, v) => greatest(a, abs(v)))
+    ided
+      .withColumn("scale", when(absmax > 0.0, absmax / 127.0).otherwise(1.0))
+      .withColumn("q",
+        transform(col("v"), v => round(v / col("scale"), 0).cast("tinyint")))
+      .select(col("vec_id"),
+        transform(col("q"), b => b.cast("double") * col("scale")).as("v"),
+        col("q"), col("scale"))
   }
 
   /** In-plan dequantization back to the doubles the graph was built on. */
@@ -163,14 +175,7 @@ object NswIndex {
       // quantized builds: q/scale are computed in-plan and carried to the
       // writer; `v` becomes the dequantized array so the mapPartitions
       // below is layout-agnostic at positions 0..2
-      val prepared =
-        if (quantize) {
-          val (q, scale) = quantCols("v")
-          ided.withColumn("q", q).withColumn("scale", scale)
-            .select(col("vec_id"),
-              transform(col("q"), b => b.cast("double") * col("scale")).as("v"),
-              col("q"), col("scale"))
-        } else ided
+      val prepared = if (quantize) withQuant(ided) else ided
       val rows = prepared
         .withColumn("shard",
           pmod(hash(col("vec_id")), lit(numShards)).cast("int"))
@@ -263,14 +268,7 @@ object NswIndex {
         transform(col(vecCol), x => x.cast("double")).as("v"))
       // quantized indexes ingest through the same quantize-then-dequant
       // the build used, so inserted nodes see the geometry searches score
-      val freshQ =
-        if (quant) {
-          val (q, scale) = quantCols("v")
-          freshIded.withColumn("q", q).withColumn("scale", scale)
-            .select(col("vec_id"),
-              transform(col("q"), b => b.cast("double") * col("scale")).as("v"),
-              col("q"), col("scale"))
-        } else freshIded
+      val freshQ = if (quant) withQuant(freshIded) else freshIded
       val fresh = freshQ.withColumn("shard",
         pmod(hash(col("vec_id")), lit(numShards)).cast("int"))
       val added = fresh.count()
