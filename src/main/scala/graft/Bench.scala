@@ -1065,6 +1065,7 @@ object Bench {
         "query_amortized_sec" -> "amort",
         "layered_build_sec" -> "l_build", "layered_first_search_sec" -> "l_first",
         "layered_query_amortized_sec" -> "l_amort",
+        "int8_build_sec" -> "i8_build",
         "int8_first_search_sec" -> "i8_first",
         "int8_query_amortized_sec" -> "i8_amort",
         "int8_bytes_ratio" -> "i8_bytes_ratio",

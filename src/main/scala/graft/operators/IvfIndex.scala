@@ -401,6 +401,153 @@ object IvfIndex {
       finally out.close()
     }
 
+  /** Split oversized cells — the maintenance pass the reference delegates
+    * to Qdrant's background optimizer (init_qdrant.py:38-58 builds the
+    * collection once; the store rebalances segments as upserts accumulate).
+    * [[append]] assigns new vectors to the EXISTING centroid set, never
+    * moving it, so a drifting corpus piles rows into a few hot cells:
+    * fixed-nprobe searches lose probe mass while the hot-cell scan cost
+    * grows unboundedly. One rebalance pass splits every cell larger than
+    * `oversizeFactor` × the mean cell size (floored at `minCellRows` so
+    * toy indexes never split): a grouped cosine 2-means
+    * ([[VectorOps.kmeansCentroidsGroupedDf]] — ONE Lloyd chain refines
+    * ALL splits together, the q_v12 trainer's pattern) refines two
+    * children seeded from each cell's min/max-vec_id vectors, the cell's
+    * rows re-assign by the build's own (sim, −cent_id) argmax rule, and
+    * ONLY touched cell directories are rewritten (dynamic partition
+    * overwrite — untouched cells' files are never opened; child 0 keeps
+    * the old cent_id, child 1 takes a fresh id past the current k). The
+    * marker advances (k grows, mtime bumps) so served handles, probe
+    * lists and resident cell scans age out by key. Returns the number of
+    * cells split.
+    *
+    * A split whose 2-means collapses (every row in one child) is
+    * CANCELED — cell and centroid stay untouched. That is the trainer
+    * saying the cell is one tight cluster, and dynamic overwrite could
+    * not express the empty-child case anyway (an unwritten partition
+    * keeps its old files).
+    *
+    * Layouts: flat and int8 only — payloads move verbatim (per-vector
+    * (q, scale) is cell-independent, so a moved row serves bit-identical
+    * scores). PQ layouts refuse: their codes are lossy residuals AGAINST
+    * the old centroid and a split needs the raw corpus — rebuild those.
+    * Same single-writer / non-atomic caveat as [[append]] (cells, then
+    * centroids, then marker).
+    *
+    * Scale shape: the size census is one partial-aggregated count per
+    * cell (k rows to the driver — the same class as the probe list);
+    * seeds, Lloyd refinement and the re-assignment all scan only the
+    * oversized cells (partition-pruned), and nothing corpus-sized ever
+    * collects. */
+  def rebalance(spark: SparkSession, path: String,
+      oversizeFactor: Double = 4.0, minCellRows: Long = 64L,
+      iters: Int = 3): Int =
+    lockFor(path).synchronized {
+      val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val stamp = markerStamp(fs, path)
+      val layout = stamp.split(",")(0)
+      require(layout == LayoutVersion || layout == QuantLayoutVersion,
+        s"IvfIndex.rebalance: layout $layout stores residual codes " +
+          "relative to its centroids; splitting a cell needs raw vectors " +
+          "— rebuild the PQ index instead")
+      val quant = layout == QuantLayoutVersion
+      val n = markerField(stamp, "count")
+      val cents = spark.read.parquet(s"$path/centroids")
+        .select(col("cent_id").cast("long").as("cent_id"),
+          transform(col("cvec"), x => x.cast("double")).as("cvec"))
+      val k = cents.count()
+      // fresh child ids start past the LARGEST existing id, not past k:
+      // repeated rebalances keep ids collision-free even if the caller's
+      // initial centroid ids were sparse
+      val maxId = cents.agg(max("cent_id")).head.getLong(0)
+      require(maxId < Int.MaxValue - k,
+        s"IvfIndex.rebalance: centroid id space exhausted at $path")
+      val dim = cents.select("cvec").head.getSeq[Any](0).size
+      val cells = spark.read.parquet(s"$path/cells")
+      val threshold =
+        math.max(oversizeFactor * n.toDouble / k, minCellRows.toDouble)
+      val over = cells.groupBy("cent_id").count()
+        .filter(col("count") > threshold)
+        .select("cent_id").collect().map(_.getInt(0)).sorted
+      if (over.isEmpty) return 0
+      val overBoxed = over.map(Int.box)
+      val vExpr =
+        if (quant) transform(col("q"), b => b.cast("double") * col("scale"))
+        else transform(col("embedding"), x => x.cast("double"))
+      val payload =
+        if (quant) Seq(col("q"), col("scale")) else Seq(col("embedding"))
+      val src = cells
+        .filter(col("cent_id").isin(overBoxed: _*))
+        .select(Seq(col("cent_id").as("s"), col("vec_id"), col("label"),
+          vExpr.as("__v")) ++ payload: _*)
+      // deterministic seeds: each cell's min- and max-vec_id vectors
+      // (distinct rows — a 1-row cell can't exceed the >=64-row floor)
+      val bounds = src.groupBy("s")
+        .agg(min("vec_id").as("lo"), max("vec_id").as("hi"))
+      val seeds = src.join(broadcast(bounds), Seq("s"))
+        .filter(col("vec_id") === col("lo") || col("vec_id") === col("hi"))
+        .select(col("s"),
+          when(col("vec_id") === col("lo"), lit(0)).otherwise(lit(1))
+            .as("cent_id"),
+          col("__v").as("cvec"))
+      val refined = VectorOps.kmeansCentroidsGroupedDf(
+        src, "__v", seeds, iters, dim)
+      // final assignment under the refined children — same argmax rule
+      // as assignCells (ties -> smallest child id)
+      val childsBys = refined.groupBy("s").agg(
+        collect_list(struct(col("cent_id"), col("cvec"))).as("cs"))
+      val best = array_max(transform(col("cs"), c =>
+        struct(cosine(col("__v"), c.getField("cvec")).as("sim"),
+          (-c.getField("cent_id")).as("nid"))))
+      val assigned = src.join(broadcast(childsBys), Seq("s"))
+        .withColumn("__child", -best.getField("nid"))
+      // cancel collapsed splits: both children must land rows
+      val childCounts = assigned.groupBy("s", "__child").count()
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      val accepted = over.filter(c =>
+        childCounts.contains((c, 0)) && childCounts.contains((c, 1)))
+      if (accepted.isEmpty) return 0
+      val newIdOf = accepted.zipWithIndex
+        .map { case (c, i) => c -> (maxId + 1 + i).toInt }.toMap
+      val newIdMap = typedLit(newIdOf)
+      val outCols =
+        Seq(col("vec_id"), col("label")) ++ payload :+
+          when(col("__child") === 0, col("s"))
+            .otherwise(element_at(newIdMap, col("s"))).as("cent_id")
+      assigned
+        .filter(col("s").isin(accepted.map(Int.box): _*))
+        .select(outCols: _*)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cent_id")
+        .parquet(s"$path/cells")
+      // centroid table: refined children replace each split cell's entry
+      // (cent_id stays BIGINT — the serve path's probe rows read longs)
+      val newCents = cents
+        .filter(!col("cent_id").isin(accepted.map(c => Long.box(c.toLong)): _*))
+        .unionByName(refined
+          .filter(col("s").isin(accepted.map(Int.box): _*))
+          .select(
+            when(col("cent_id") === 0, col("s"))
+              .otherwise(element_at(newIdMap, col("s")))
+              .cast("long").as("cent_id"),
+            col("cvec")))
+      newCents.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/centroids.rebal")
+      // swap in two renames: centroids/ readers are marker-gated, and the
+      // marker only advances after the swap completes
+      fs.delete(new Path(path, "centroids"), true)
+      if (!fs.rename(new Path(path, "centroids.rebal"),
+          new Path(path, "centroids")))
+        throw new IllegalStateException(
+          s"IvfIndex.rebalance: centroid swap failed at $path")
+      val out = fs.create(new Path(new Path(path), Marker), true)
+      try out.write(
+        s"$layout,k=${k + accepted.length},count=$n".getBytes("UTF-8"))
+      finally out.close()
+      accepted.length
+    }
+
   private def markerStamp(fs: FileSystem, path: String): String = {
     val in = fs.open(new Path(new Path(path), Marker))
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()

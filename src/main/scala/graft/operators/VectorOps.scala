@@ -291,6 +291,51 @@ object VectorOps {
     cents
   }
 
+  /** Grouped form of [[kmeansCentroidsDf]] (COSINE assignment — the IVF
+    * coarse quantizer's metric): trains MANY independent cosine k-means
+    * problems (key column `s`) inside the same Lloyd jobs, the way
+    * [[kmeansCentroidsL2GroupedDf]] does for the PQ trainer —
+    * [[IvfIndex.rebalance]] refines every oversized cell's 2-split in
+    * ONE assignment + ONE update per iteration instead of a sequential
+    * chain per cell. Per-(s, cell) math is identical to the ungrouped
+    * form: broadcast-argmax by (sim, −cent_id) so ties go to the
+    * smallest cent_id, decimal-exact per-dimension means
+    * (order-independent ⇒ deterministic for any partitioning), empty
+    * cells keep their previous centroid, localCheckpoint per iteration.
+    * `e` carries (s, vecCol); `cents0` carries (s, cent_id, cvec). */
+  def kmeansCentroidsGroupedDf(
+      e: org.apache.spark.sql.DataFrame,
+      vecCol: String,
+      cents0: org.apache.spark.sql.DataFrame,
+      iters: Int,
+      dim: Int): org.apache.spark.sql.DataFrame = {
+    var cents = cents0.select(col("s").cast("int").as("s"),
+      col("cent_id").cast("int").as("cent_id"),
+      transform(col("cvec"), x => x.cast("double")).as("cvec"))
+    for (_ <- 0 until iters) {
+      val centsBys = cents.groupBy("s").agg(
+        collect_list(struct(col("cent_id"), col("cvec"))).as("cs"))
+      val best = array_max(transform(col("cs"), c =>
+        struct(cosine(col(vecCol), c.getField("cvec")).as("sim"),
+          (-c.getField("cent_id")).as("nid"))))
+      val dims = (0 until dim).map { dIdx =>
+        (sum(element_at(col(vecCol), dIdx + 1).cast("decimal(28,12)")) /
+          count(lit(1))).cast("double").as(s"m$dIdx")
+      }
+      val updated = e.join(broadcast(centsBys), Seq("s"))
+        .withColumn("__cell", -best.getField("nid"))
+        .groupBy(col("s"), col("__cell"))
+        .agg(dims.head, dims.tail: _*)
+        .select(col("s"), col("__cell").as("cent_id"),
+          array((0 until dim).map(d => col(s"m$d")): _*).as("uvec"))
+      cents = cents.join(updated, Seq("s", "cent_id"), "left")
+        .select(col("s"), col("cent_id"),
+          coalesce(col("uvec"), col("cvec")).as("cvec"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   def lshBucketSql(v: String, hps: Seq[Seq[Double]]): String =
     hps.zipWithIndex.map { case (hp, k) =>
       s"(CASE WHEN (${dotConstSql(v, hp)}) > 0.0 THEN ${1L << k} ELSE 0 END)"
