@@ -152,6 +152,36 @@ object VectorQueries extends QueryPack {
        |  FROM $src
        |), kk AS (SELECT k, greatest(2, k // 8) AS np FROM kk0)""".stripMargin
 
+  /** One unrolled Lloyd iteration as DuckDB CTEs (the q_v6d oracle):
+    * `a&lt;idx&gt;` assigns every `ed` vector to its argmax-cosine centroid in
+    * `prev` (ties → smallest cent_id, mirroring kmeansCentroidsDf's
+    * (sim, −cent_id) struct max), `u&lt;idx&gt;` is the per-cell
+    * per-dimension mean as an exact DECIMAL(28,12) sum rounded at scale
+    * 12 (Spark's decimal-division result scale) then divided as DOUBLE,
+    * `c&lt;idx&gt;` keeps empty cells' previous centroids via LEFT JOIN +
+    * COALESCE. Requires `ed(vec_id, emb DOUBLE[])` and
+    * `dims(d)` CTEs in scope. */
+  private def lloydIterSql(prev: String, idx: Int): String =
+    s"""a$idx AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT e.vec_id, c.cent_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosineSql("e.emb", "c.cvec")} DESC, c.cent_id) AS rk
+       |    FROM ed e, $prev c) t
+       |  WHERE rk = 1
+       |), u$idx AS (
+       |  SELECT cent_id, list(m ORDER BY d) AS uvec FROM (
+       |    SELECT a.cent_id, dims.d,
+       |           round(CAST(sum(CAST(e.emb[dims.d + 1] AS DECIMAL(28,12))) AS DOUBLE)
+       |                 / count(*), 12) AS m
+       |    FROM ed e JOIN a$idx a USING (vec_id), dims
+       |    GROUP BY a.cent_id, dims.d) t
+       |  GROUP BY cent_id
+       |), c$idx AS (
+       |  SELECT p.cent_id, COALESCE(u.uvec, p.cvec) AS cvec
+       |  FROM $prev p LEFT JOIN u$idx u USING (cent_id)
+       |)""".stripMargin
+
   /** Per-cell participation cap for SemDeDup's within-cell self-join —
     * the skew backstop mirroring [[DedupQueries.MaxBucketRows]]: with k
     * scaled by [[ivfK]] the cap never binds on natural data, but an
@@ -850,10 +880,17 @@ object VectorQueries extends QueryPack {
     // V6d — IVF with Lloyd-REFINED centroids (2 iterations of the
     // decimal-exact k-means in VectorOps.kmeansCentroids — the FAISS-style
     // index build): recall at nprobe=2 for the same 8 query points.
-    // rows-only in the driver check (the iterative build has no tractable
-    // SQL mirror); KmeansSpec pins determinism and the build contract,
-    // and Bench reports the measured mean recall next to the
-    // sampled-centroid v6b number.
+    // ORACLED since r11 (VERDICT r10 next #3): the Lloyd loop was built
+    // decimal-exact precisely so its math is order-independent, which
+    // also makes it SQL-expressible — the oracle unrolls both
+    // iterations as CTE chains (argmax assignment by row_number, the
+    // per-cell per-dimension mean as an exact DECIMAL(28,12) sum
+    // rounded at Spark's result scale 12, empty cells kept via LEFT
+    // JOIN + COALESCE). The only cross-engine slack is the final
+    // decimal-division-vs-double-division ulp (~1e-15 relative on the
+    // centroid means), far below anything that can flip an argmax or a
+    // top-5 boundary on the real embeddings corpus; KmeansSpec still
+    // pins the build contract.
     QueryDef(
       "q_v6d_ivf_kmeans_recall",
       (s, dir) => {
@@ -889,7 +926,56 @@ object VectorQueries extends QueryPack {
           .agg(call_function("graft_topk", col("score"), col("vec_id"), lit(5)).as("nbrs"))
         recallOf(q, exact, ann, 5)
       },
-      None),
+      Some(s"""WITH ${kkCtes("embeddings")},
+              |ed AS (
+              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+              |  FROM embeddings
+              |), dims AS (SELECT unnest(range(0, $Dim)) AS d),
+              |c0 AS (
+              |  SELECT CAST(vec_id AS INT) AS cent_id, emb AS cvec
+              |  FROM ed, kk WHERE vec_id < kk.k
+              |), ${lloydIterSql("c0", 1)},
+              |${lloydIterSql("c1", 2)},
+              |cells AS (
+              |  SELECT vec_id, embedding, cent_id
+              |  FROM (SELECT e.vec_id, e.embedding, c.cent_id,
+              |               row_number() OVER (PARTITION BY e.vec_id
+              |                 ORDER BY ${cosineSql("e.embedding", "c.cvec")} DESC,
+              |                          c.cent_id) AS rk
+              |        FROM embeddings e, c2 c) t
+              |  WHERE rk = 1
+              |), q AS (
+              |  SELECT vec_id AS qid, embedding AS qvec
+              |  FROM embeddings WHERE vec_id < 8
+              |), probes AS (
+              |  SELECT qid, cent_id FROM (
+              |    SELECT q.qid, c.cent_id, row_number() OVER (PARTITION BY q.qid
+              |      ORDER BY ${cosineSql("c.cvec", "q.qvec")} DESC, c.cent_id) AS rk
+              |    FROM c2 c, q) t, kk
+              |  WHERE rk <= kk.np
+              |), exact AS (
+              |  SELECT qid, vec_id FROM (
+              |    SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+              |      ORDER BY ${cosineSql("e.embedding", "q.qvec")} DESC, e.vec_id) AS rk
+              |    FROM embeddings e, q WHERE e.vec_id <> q.qid) t
+              |  WHERE rk <= 5
+              |), ann AS (
+              |  SELECT qid, vec_id FROM (
+              |    SELECT p.qid, cells.vec_id, row_number() OVER (PARTITION BY p.qid
+              |      ORDER BY ${cosineSql("cells.embedding", "q.qvec")} DESC, cells.vec_id) AS rk
+              |    FROM cells JOIN probes p ON cells.cent_id = p.cent_id
+              |                JOIN q ON q.qid = p.qid
+              |    WHERE cells.vec_id <> p.qid) t
+              |  WHERE rk <= 5
+              |), common AS (
+              |  SELECT ex.qid, count(*) AS n
+              |  FROM exact ex JOIN ann ON ex.qid = ann.qid AND ex.vec_id = ann.vec_id
+              |  GROUP BY ex.qid
+              |)
+              |SELECT q.qid, COALESCE(n, 0) AS n_common,
+              |       round(COALESCE(n, 0) / 5.0, 6) AS recall
+              |FROM q LEFT JOIN common ON q.qid = common.qid
+              |ORDER BY q.qid""".stripMargin)),
 
     // V6e — PERSISTED IVF index (build-once / serve-many — the serving
     // model of the reference's Qdrant collection, init_qdrant.py:38-58,
