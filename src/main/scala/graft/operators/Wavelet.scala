@@ -158,6 +158,94 @@ object Wavelet {
     java.util.Arrays.copyOf(rec, x.length)
   }
 
+  // ------------------------------------------------------------ SQL
+  // DuckDB mirror of [[denoise]] (r11, VERDICT r10 next #3). The
+  // denoising path zeroes ALL detail coefficients, so the whole
+  // transform is the pure low-pass chain dwt→dwt→idwt→idwt — four
+  // linear convolutions with deterministic index arithmetic, which IS
+  // SQL-expressible per series as DuckDB list lambdas. Fold order
+  // matches the Scala loops exactly (list_reduce from a prepended 0.0;
+  // analysis k ascending, synthesis k DESCENDING because the Scala
+  // accumulation over increasing ca-index i hits a given output slot at
+  // decreasing k — adding the parity-masked 0.0 terms in between leaves
+  // IEEE sums bit-identical). Validated bit-for-bit (max abs err 0.0)
+  // against the Scala kernel across n ∈ {1..1000} incl. odd/even and
+  // sub-filter lengths.
+
+  private def dlit(v: Double): String = {
+    val s = v.toString
+    if (s.contains('e') || s.contains('E')) s else s + "e0"
+  }
+  private def arrLit(a: Array[Double]): String =
+    a.map(dlit).mkString("[", ", ", "]")
+
+  /** 1-based index into the unpadded series for 0-based padded position
+    * `j` under symmetric half-point extension with pad = L−1 = 7. */
+  private def mirrorIdxSql(j: String, n: String): String =
+    s"""(CASE WHEN ($j) < 7 THEN least(6 - ($j), ($n) - 1) + 1
+       | WHEN ($j) < 7 + ($n) THEN ($j) - 7 + 1
+       | ELSE greatest(2*($n) + 6 - ($j), 0) + 1 END)""".stripMargin
+      .replace("\n", " ")
+
+  /** One analysis level (low-pass only): ca[i] = Σₖ dec_lo[k]·ext[2i+8−k],
+    * output length ⌊(n+7)/2⌋. */
+  private def convDownSql(src: String, n: String): String =
+    s"""list_transform(range(0, (($n) + 7) // 2), i ->
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(0, 8), k ->
+       |      ${arrLit(DecLo)}[k + 1] * ($src)[${mirrorIdxSql("2*i + 8 - k", n)}])),
+       |    (a, b) -> a + b))""".stripMargin
+
+  /** One synthesis level with cd = 0: out[t] = Σₖ rec_lo[k]·ca[(t+6−k)/2]
+    * over even-parity in-range k, output length 2·nc−6. */
+  private def upConvSql(ca: String, nc: String): String =
+    s"""list_transform(range(0, 2*($nc) - 6), tt ->
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform([7,6,5,4,3,2,1,0], k ->
+       |      CASE WHEN (tt + 6 - k) >= 0 AND (tt + 6 - k) % 2 = 0
+       |                AND (tt + 6 - k) // 2 < ($nc)
+       |           THEN ${arrLit(RecLo)}[k + 1] * ($ca)[(tt + 6 - k) // 2 + 1]
+       |           ELSE CAST(0.0 AS DOUBLE) END)),
+       |    (a, b) -> a + b))""".stripMargin
+
+  /** CTE chain mirroring [[denoise]] (levels = 2) per `keyCol` series of
+    * `table`, ordered by `orderBy`: final relation `wav(idCol, outCol)`.
+    * NULL inputs become NaN exactly like [[applySeriesTransform]]'s
+    * buffer (callers map NaN back to NULL in the SELECT). */
+  def denoiseSql(table: String, keyCol: String, orderBy: String,
+      valueCol: String, idCol: String, outCol: String): String =
+    s"""ser AS (
+       |  SELECT $keyCol,
+       |         list(coalesce($valueCol, 'NaN'::DOUBLE) ORDER BY $orderBy) AS x,
+       |         list($idCol ORDER BY $orderBy) AS ids,
+       |         count(*) AS n
+       |  FROM $table GROUP BY $keyCol
+       |), w1 AS (
+       |  SELECT $keyCol, ids, n, ${convDownSql("x", "n")} AS ca1,
+       |         (n + 7) // 2 AS n1
+       |  FROM ser
+       |), w2 AS (
+       |  SELECT $keyCol, ids, n, n1, ${convDownSql("ca1", "n1")} AS ca2,
+       |         (n1 + 7) // 2 AS n2
+       |  FROM w1
+       |), r1 AS (
+       |  -- waverec back=1: the level-2 detail length equals len(ca2), so
+       |  -- the odd-length drop can never fire here
+       |  SELECT $keyCol, ids, n, n1, ${upConvSql("ca2", "n2")} AS rec1
+       |  FROM w2
+       |), r1a AS (
+       |  -- waverec back=0: drop the surplus sample when the reconstructed
+       |  -- approximation is one longer than the level-1 detail vector
+       |  SELECT $keyCol, ids, n,
+       |         CASE WHEN len(rec1) = n1 + 1 THEN rec1[1:n1] ELSE rec1 END AS rec1
+       |  FROM r1
+       |), r0 AS (
+       |  SELECT $keyCol, ids, (${upConvSql("rec1", "len(rec1)")})[1:n] AS y
+       |  FROM r1a
+       |), wav AS (
+       |  SELECT $keyCol, unnest(ids) AS $idCol, unnest(y) AS $outCol FROM r0
+       |)""".stripMargin
+
   /** Runs a whole-series transform per key: buffers each complete series
     * (rows arrive contiguous after repartition+sortWithinPartitions),
     * applies `f` to the input column values, appends the result as

@@ -64,7 +64,13 @@ object FirKernelQueries extends QueryPack {
       }),
 
     // R3 — sym4 level-2 wavelet denoising (filters.py:38-60): global
-    // per-series transform; rows-only check + WaveletSpec contract.
+    // per-series transform. ORACLED since r11 (VERDICT r10 next #3):
+    // with every detail coefficient zeroed the transform is the pure
+    // low-pass dwt-dwt-idwt-idwt chain — four linear convolutions —
+    // which Wavelet.denoiseSql mirrors bit-for-bit as DuckDB list
+    // lambdas (validated max-abs-err 0.0 vs the Scala kernel across
+    // n = 1..1000); WaveletSpec still pins the pywt convention via the
+    // published db1 goldens.
     QueryDef(
       "q_r3_wavelet",
       (s, dir) => Wavelet.applySeriesTransform(
@@ -72,6 +78,14 @@ object FirKernelQueries extends QueryPack {
         "value", "denoised")(Wavelet.denoise(_))
         .select(col("event_id"), round(col("denoised"), 6).as("denoised"))
         .orderBy("event_id"),
-      None)
+      Some {
+        val cte = Wavelet.denoiseSql(
+          "events", "user_id", "ts, event_id", "value", "event_id", "denoised")
+        s"""WITH $cte
+           |SELECT event_id,
+           |       CASE WHEN isnan(denoised) THEN NULL
+           |            ELSE round(denoised, 6) END AS denoised
+           |FROM wav ORDER BY event_id""".stripMargin
+      })
   )
 }

@@ -33,11 +33,12 @@ import graft.sources.Tables
   * 100 TB: everything after the bar aggregation is partitioned by
   * series key; a thousand executors each stream their series once.
   *
-  * Oracle: q_e1 itself is rows-only (the wavelet column has no SQL
-  * mirror), but q_e1b runs the SAME DAG minus only that column and
-  * hash-matches a composed DuckDB oracle over all 21 remaining
-  * end-to-end output columns; per-kernel oracles (q_r, q_w, q_g
-  * families) and PipelineSpec's structural contract stand besides.
+  * Oracle: q_e1 hash-matches a composed DuckDB oracle over ALL 22
+  * end-to-end output columns (since r11 — the wavelet column's
+  * denoise chain is mirrored bit-for-bit by Wavelet.denoiseSql);
+  * q_e1b keeps the 21-column variant, and per-kernel oracles (q_r,
+  * q_w, q_g families) and PipelineSpec's structural contract stand
+  * besides.
   */
 object PipelineQueries extends QueryPack {
 
@@ -144,11 +145,15 @@ object PipelineQueries extends QueryPack {
       .orderBy("user_id", "date")
   }
 
-  /** Composed end-to-end oracle for the E1 DAG minus the wavelet column
-    * (VERDICT r4 next #7): every kernel's existing recursive-CTE / frame
-    * oracle re-instantiated over the bars series and joined back on
-    * (user_id, rn) — the 21 non-wavelet output columns hash-match. */
-  private val e1bOracle: String = {
+  /** Composed end-to-end oracle for the E1 DAG (VERDICT r4 next #7;
+    * r11 closes the last column): every kernel's existing
+    * recursive-CTE / frame oracle re-instantiated over the bars series
+    * and joined back on (user_id, rn). With `includeWavelet` the sym4
+    * denoise chain ([[graft.operators.Wavelet.denoiseSql]], bit-parity
+    * validated) mirrors the 22nd column too, so q_e1 itself
+    * hash-matches end to end; q_e1b keeps the 21-column form as the
+    * historical witness. */
+  private def e1Oracle(includeWavelet: Boolean): String = {
     import RecursiveKernelQueries.{adxRecCtes, kalmanRec, macdRec, ppoRec, rsiRec, rsiValExpr, sesRec}
     s"""WITH RECURSIVE bars AS (
        |  SELECT user_id, date_trunc('hour', ts) AS bts,
@@ -202,6 +207,10 @@ object PipelineQueries extends QueryPack {
             "close_gauss", Seq("user_id", "bts"), "g")},
        |${FirKernels.savgolSql("bars", Seq("user_id"), Seq("bts"), "close",
             "close_savgol", "v")},
+       |${if (includeWavelet)
+            graft.operators.Wavelet.denoiseSql(
+              "s", "user_id", "bts", "close", "rn", "wv") + ","
+          else ""}
        |joined AS (
        |  SELECT s.user_id, s.bts, s.rn, s.open, s.high, s.low, s.close, s.volume,
        |         k.x AS kal, se.f AS ses, rv.rsi,
@@ -209,7 +218,8 @@ object PipelineQueries extends QueryPack {
        |         p.ppo, p.ema AS ppo_ema,
        |         a.pdi, a.mdi, a.adx,
        |         b.sma30, b.bb_mid, b.bb_up, b.bb_lo,
-       |         g.close_gauss, v.close_savgol
+       |         g.close_gauss, v.close_savgol${
+            if (includeWavelet) ", wv0.wv AS close_wav" else ""}
        |  FROM s
        |  JOIN krec k ON k.user_id = s.user_id AND k.rn = s.rn
        |  JOIN serec se ON se.user_id = s.user_id AND se.rn = s.rn
@@ -220,12 +230,18 @@ object PipelineQueries extends QueryPack {
        |  JOIN bands b ON b.user_id = s.user_id AND b.rn = s.rn
        |  JOIN gconv g ON g.user_id = s.user_id AND g.bts = s.bts
        |                AND g.pos >= 0 AND g.pos < g.n
-       |  JOIN vsg v ON v.user_id = s.user_id AND v.bts = s.bts)
+       |  JOIN vsg v ON v.user_id = s.user_id AND v.bts = s.bts${
+            if (includeWavelet)
+              "\n  JOIN wav wv0 ON wv0.user_id = s.user_id AND wv0.rn = s.rn"
+            else ""})
        |SELECT user_id,
        |       strftime(bts, '%Y-%m-%d %H:%M:%S') AS date,
        |       open, high, low, close, volume,
        |       round(kal, 6) AS close_kalman_filter,
-       |       round(close_savgol, 6) AS close_savitzky_golay_filter,
+       |       round(close_savgol, 6) AS close_savitzky_golay_filter,${
+            if (includeWavelet)
+              "\n       CASE WHEN isnan(close_wav) THEN NULL ELSE round(close_wav, 6) END AS close_wavelet_filter,"
+            else ""}
        |       round(close_gauss, 6) AS close_gaussian_smoothing,
        |       round(sma30, 6) AS close_sma_smoothing,
        |       round(ses, 6) AS close_exponential_smoothing,
@@ -389,22 +405,24 @@ object PipelineQueries extends QueryPack {
   }
 
   override def queries: Seq[QueryDef] = Seq(
-    QueryDef("q_e1_ohlcv_pipeline", build, None, bench = true),
+    // E1 — fully oracled since r11: the wavelet denoise chain gained a
+    // bit-parity DuckDB mirror (Wavelet.denoiseSql), so all 22
+    // end-to-end columns hash-match.
+    QueryDef("q_e1_ohlcv_pipeline", build, Some(e1Oracle(true)),
+      bench = true),
 
     // E2 — news strip → score fan-out → dedup → upsert projection as one
     // composed, fully-oracled plan (the last reference entry point
     // without one, VERDICT r5 next #1).
     QueryDef("q_e2_news_pipeline", e2Build, Some(e2Oracle), bench = true),
 
-    // E1b — the SAME end-to-end DAG minus only the wavelet column (no
-    // SQL mirror exists for sym4 level-2 denoising), so the remaining 21
-    // output columns carry a full composed DuckDB oracle: every kernel
-    // CTE re-instantiated over the bars series and joined on
-    // (user_id, rn). q_e1 itself stays rows-only; this query is its
-    // measured-subset correctness witness.
+    // E1b — the SAME end-to-end DAG minus the wavelet column: the
+    // 21-column composed oracle that carried E1 correctness through
+    // rounds 4-10, kept as the variant witness (it also pins that
+    // dropping a series transform changes nothing else in the DAG).
     QueryDef("q_e1b_pipeline_oracle",
       (s, dir) => buildCore(s, dir, includeWavelet = false),
-      Some(e1bOracle)),
+      Some(e1Oracle(false))),
 
     // E3 — the dashboard signal-overlay read path as one plan
     // (2_OHLC_Signals.py:30-120): relative range scan (S5) over the bar
