@@ -426,7 +426,15 @@ object Bench {
         s""""v4d_multiprobe_h2":${v4dAt(2)},""" +
         s""""v6b_ivf":${meanRecall("q_v6b_recall")},""" +
         s""""v6d_ivf_kmeans":${meanRecall("q_v6d_ivf_kmeans_recall")},""" +
-        s""""v8b_nsw":${meanRecall("q_v8b_nsw_recall")},""" +
+        // r11: q_v8b now hash-oracles the instrument's exact side; the
+        // walk's recall comes from q_v8d's (probed, 8-shard) row — the
+        // identical searchShards configuration q_v8b measured pre-r11
+        s""""v8b_nsw":${
+          val r = SparkEntry.queries("q_v8d_nsw_entry_sweep")(spark, sfDir)
+            .filter(col("entry") === "probed" && col("shards") === 8)
+            .select(col("mean_recall")).first().getDouble(0)
+          math.rint(r * 1e6) / 1e6
+        },""" +
         s""""v11b_ivfpq":${meanRecall("q_v11b_ivfpq_recall")},""" +
         s""""v11c_ivfpq_rerank":${meanRecall("q_v11c_ivfpq_rerank_recall")},""" +
         // trained-PQ pair (VERDICT r8 next #4): donor-vs-trained on

@@ -255,8 +255,12 @@ object TextQueries extends QueryPack {
               ORDER BY doc_id""")),
 
     // T8 — UUID generation (news_etl_dag.py:147: uuid4 per point).
-    // Non-deterministic by nature → no SQL oracle; the query verifies the
-    // contract instead: ids are distinct, well-formed, version 4.
+    // The ids themselves are non-deterministic, but the CONTRACT row is
+    // not: v4 uuids are distinct (collision probability is ~0 at any
+    // corpus size this engine will see) and well-formed by construction,
+    // so all three aggregates deterministically equal the corpus row
+    // count — which DuckDB states as ground truth. ORACLED since r11:
+    // a malformed, non-v4, or colliding generator hash-mismatches.
     QueryDef(
       "q_t8_uuid",
       (s, dir) => Tables.documents(s, dir)
@@ -267,7 +271,9 @@ object TextQueries extends QueryPack {
           sum(when(col("id").rlike(
             "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"), 1)
             .otherwise(0)).as("n_wellformed")),
-      None),
+      Some("""SELECT count(*) AS n_rows, count(*) AS n_distinct,
+                     count(*) AS n_wellformed
+              FROM documents""")),
 
     // T9 — numeric casts (news_etl_dag.py:153-175: float(score) on every
     // payload score; plus int/string round-trips).

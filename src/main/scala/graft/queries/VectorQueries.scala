@@ -1181,31 +1181,43 @@ object VectorQueries extends QueryPack {
         .select(col("vec_id"), round(col("score"), 6).as("score")),
       None),
 
-    // V8b — measured recall of the NSW path over the same 8 query points
-    // as q_v4b/q_v6b: per qid, |NSW top-5 ∩ exact top-5| / 5. Exact side
-    // is the brute-force graft_topk scan; NSW side searches each shard
-    // graph with k+1 per shard so the self-match can be dropped before
-    // the per-query merge.
+    // V8b — the EXACT reference side of the NSW recall instrument,
+    // hash-oracled (VERDICT r10 next #3: a graph walk has no SQL mirror,
+    // but the brute-force top-5 it is judged against IS plain SQL — so
+    // this query certifies the instrument's measuring stick against
+    // DuckDB, per (qid, rank) with the graft_topk tie order). The walk
+    // itself and its recall stay measured: q_v8d's (probed, 8-shard)
+    // row is the identical searchShards configuration this instrument
+    // used rows-only through r10 (Bench's ann_recall.v8b_nsw now reads
+    // that row), and GraphAnnSpec pins the walk's recall thresholds.
     QueryDef(
       "q_v8b_nsw_recall",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
         val q = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        val exact = exactTopK(e, q, 5)
-        val qPts = q.select(col("qid"), transform(col("qvec"),
-            x => x.cast("double")).as("qv"))
-          .collect()
-          .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
-          .sortBy(_._1)
-        val ann = graft.operators.GraphAnn
-          .searchShards(e, "vec_id", "embedding", qPts, kPerShard = 6)
-          .filter(col("vec_id") =!= col("qid"))
-          .groupBy("qid")
-          .agg(call_function("graft_topk", col("score"), col("vec_id"), lit(5)).as("nbrs"))
-        recallOf(q, exact, ann, 5)
+        exactTopK(e, q, 5)
+          .select(col("qid"), posexplode(col("nbrs")))
+          .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+            col("col.vec_id").as("vec_id"),
+            round(col("col.score"), 6).as("score"))
+          .orderBy("qid", "rank")
       },
-      None),
+      Some(s"""WITH q AS (
+              |  SELECT vec_id AS qid, embedding AS qvec
+              |  FROM embeddings WHERE vec_id < 8
+              |), ranked AS (
+              |  SELECT q.qid, e.vec_id,
+              |         ${cosineSql("e.embedding", "q.qvec")} AS score,
+              |         row_number() OVER (PARTITION BY q.qid
+              |           ORDER BY ${cosineSql("e.embedding", "q.qvec")} DESC,
+              |                    e.vec_id) AS rank
+              |  FROM embeddings e, q WHERE e.vec_id <> q.qid
+              |)
+              |SELECT qid, CAST(rank AS INT) AS rank, vec_id,
+              |       round(score, 6) AS score
+              |FROM ranked WHERE rank <= 5
+              |ORDER BY qid, rank""".stripMargin)),
 
     // V8c — PERSISTED per-shard NSW graphs (VERDICT r5 missing #3 —
     // the serve-many form of q_v8, what q_v6e is to q_v6): the graphs
