@@ -687,6 +687,52 @@ object IvfIndex {
     }
   }
 
+  /** Batch size at or above which [[searchTopKBatch]] assigns probes as
+    * ONE distributed job instead of a per-query [[selectProbes]] loop
+    * (VERDICT r10 next #4): the loop runs a tiny Spark job per query —
+    * fine at 8 queries, but at ivfK's 65,536 ceiling each selection
+    * scores k×dim ≈ 4M cosine terms, and 10k queries would serialize
+    * ~50M flops per query through the driver's job queue before the
+    * cluster touches a cell. */
+  private[graft] val DistributedProbeBatchThreshold = 64
+
+  /** Probe assignment for a whole query batch as ONE job: the query set
+    * broadcasts against the executor-cached centroid table, per-qid
+    * top-nprobe runs as the partially-aggregating `graft_topk` heap
+    * (same (sim DESC, cent_id) tie order as [[selectProbes]] — parity
+    * pinned transitively by IvfBatchSpec's large-batch tests), the
+    * ranked ids join back to the centroid table for their vectors, and
+    * only |queries|·nprobe (qid, rank, cent_id, cvec) rows reach the
+    * driver (the same per-query rows the loop collected — bounded, but
+    * ONE job instead of |queries| driver-serialized jobs). Returned
+    * per-query arrays are in probe-rank order, which the PQ batch
+    * path's gp indexing depends on. */
+  private def selectProbesBatch(spark: SparkSession, path: String,
+      queries: Seq[(Long, Seq[Double])],
+      nprobe: Int): Map[Long, Array[(Long, Array[Double])]] = {
+    import spark.implicits._
+    val qDf = queries.toDF("qid", "qvec")
+    val cdf = centroidsDf(spark, path)
+    cdf
+      .crossJoin(broadcast(qDf))
+      .withColumn("sim", cosine(col("cvec"), col("qvec")))
+      .groupBy("qid")
+      .agg(call_function("graft_topk", col("sim"),
+        col("cent_id").cast("long"), lit(nprobe)).as("pc"))
+      .select(col("qid"), posexplode(col("pc.vec_id")))
+      .select(col("qid"), col("pos"), col("col").as("cent_id"))
+      .join(cdf.select(col("cent_id").cast("long").as("cent_id"),
+        col("cvec")), Seq("cent_id"))
+      .select(col("qid"), col("pos"), col("cent_id"), col("cvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getSeq[Double](3).toArray))
+      .groupBy(_._1)
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_._2).map(t => (t._3, t._4))
+      }
+  }
+
   /** Top-k cosine search against a prebuilt index: probe selection as a
     * tiny job over the executor-cached centroid table
     * ([[selectProbes]] — nprobe rows reach the driver, never the k-sized
@@ -765,6 +811,11 @@ object IvfIndex {
         val allCells = centroidsDf(spark, path)
           .select(col("cent_id")).collect().map(_.getLong(0)).toSeq
         queries.flatMap { case (qid, qv) => allCells.map(c => (qid, c, qv)) }
+      } else if (queries.size >= DistributedProbeBatchThreshold) {
+        val byQ = selectProbesBatch(spark, path, queries, nprobe)
+        queries.flatMap { case (qid, qv) =>
+          byQ(qid).map { case (cid, _) => (qid, cid, qv) }
+        }
       } else queries.flatMap { case (qid, qv) =>
         selectProbes(spark, path, qv, nprobe)
           .map { case (cid, _) => (qid, cid, qv) }
@@ -814,9 +865,17 @@ object IvfIndex {
       (0 until n).map(i => a(i) * b(i)).reduceLeft(_ + _)
     val rn2 = Array.tabulate(PqS, PqK)((s0, j) =>
       foldDot(i => cb(s0)(j)(i), i => cb(s0)(j)(i), d))
+    // large batches assign probes in ONE distributed job (rank order
+    // preserved — gp indexing below depends on it); small batches keep
+    // the memoized per-query path
+    val batchProbes: Option[Map[Long, Array[(Long, Array[Double])]]] =
+      if (queries.size >= DistributedProbeBatchThreshold)
+        Some(selectProbesBatch(spark, path, queries, nprobe))
+      else None
     val perQ = queries.map { case (qid, qvSeq) =>
       val qv = qvSeq.toArray
-      val probes = selectProbes(spark, path, qvSeq, nprobe)
+      val probes = batchProbes.map(_(qid))
+        .getOrElse(selectProbes(spark, path, qvSeq, nprobe))
       val qdotr = Array.tabulate(PqS, PqK)((s0, j) =>
         foldDot(i => qv(s0 * d + i), i => cb(s0)(j)(i), d))
       val qNorm = math.sqrt(foldDot(qv(_), qv(_), qv.length))

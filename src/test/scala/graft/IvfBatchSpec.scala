@@ -71,6 +71,39 @@ class IvfBatchSpec extends AnyFunSuite {
     assert(batched(path, 5) == perQuery(path, 5))
   }
 
+  // r11 (VERDICT r10 next #4): at or above DistributedProbeBatchThreshold
+  // probe assignment runs as ONE queries×centroids broadcast job instead
+  // of a per-query selectProbes loop — these pin row parity with the
+  // per-call path across the threshold, which transitively pins the
+  // distributed assignment's (sim DESC, cent_id) ranking and, on the PQ
+  // layout, the rank order the gp indexing depends on.
+  private val bigBatch = graft.operators.VectorOps
+    .hyperplanes(IvfIndex.DistributedProbeBatchThreshold + 6,
+      VectorQueries.Dim, seed = 31L)
+    .zipWithIndex.map { case (q, i) => (i.toLong, q) }
+
+  private def perQueryBig(path: String, k: Int): Seq[(Long, Long, Double)] =
+    bigBatch.flatMap { case (qid, qv) =>
+      IvfIndex.searchTopK(spark, path, qv, nprobe = 2, k = k)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(2)))
+    }
+
+  private def batchedBig(path: String, k: Int): Seq[(Long, Long, Double)] =
+    IvfIndex.searchTopKBatch(spark, path, bigBatch, nprobe = 2, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+
+  test("distributed probe assignment == per-query loop, raw layout") {
+    val path = freshPath()
+    IvfIndex.buildIfAbsent(corpus(), cents(), path)
+    assert(batchedBig(path, 5) == perQueryBig(path, 5))
+  }
+
+  test("distributed probe assignment == per-query loop, trained-PQ layout") {
+    val path = freshPath()
+    IvfIndex.buildPqIfAbsent(corpus(), cents(), path)
+    assert(batchedBig(path, 5) == perQueryBig(path, 5))
+  }
+
   test("plan: one broadcast join, corpus never shuffled") {
     val path = freshPath()
     IvfIndex.buildIfAbsent(corpus(), cents(), path)
