@@ -764,16 +764,18 @@ object Bench {
           .mkString("{", ",", "}").getBytes("UTF-8"))
       tmp
     }
-    def runDuckTimer(dir: String,
-        oracle: java.nio.file.Path): Option[Map[String, Double]] = {
+    def runDuckTimer(dir: String, oracle: java.nio.file.Path,
+        perQueryBudgetSec: Int = 30): Option[Map[String, Double]] = {
       val script = new java.io.File("tools/time_duckdb.py")
       if (!script.exists()) None
       else {
         // stderr merged so the pipe can't fill and deadlock (ADVICE r6);
         // the regex scan tolerates interleaved warning lines.
-        val proc = new ProcessBuilder(
+        val pb = new ProcessBuilder(
           "python3", script.getPath, dir, oracle.toString)
-          .redirectErrorStream(true).start()
+          .redirectErrorStream(true)
+        pb.environment().put("GRAFT_DUCK_TIMEOUT_S", perQueryBudgetSec.toString)
+        val proc = pb.start()
         val outS = scala.io.Source.fromInputStream(proc.getInputStream).mkString.trim
         val rc = proc.waitFor()
         if (rc != 0 || outS.isEmpty) None
@@ -824,11 +826,18 @@ object Bench {
       }
       val execMed = med(pairs.map(_._2._1))
       val freshMed = med(pairs.map(_._2._2))
+      // per-query exec ratios named in the artifact (VERDICT r10 next
+      // #5 wants q_d1/q_d5 readable in the x10 block, not just folded
+      // into a median)
+      val perQ = pairs.map { case (n, (ex, _)) =>
+        s"${jstr(n)}:${f"$ex%.3f"}"
+      }.mkString("{", ",", "}")
       scaledBlocks = scaledBlocks :+ (
         s""""$label":{"scale_mult":$mult,"base_sf":${jstr(sfDir)},""" +
         s""""n_compared":${pairs.size},"subset":${jstr(subsetLabel)},""" +
         f""""median_ratio_exec_heavy":$execMed%.3f,""" +
-        f""""median_ratio_fresh_heavy":$freshMed%.3f}""")
+        f""""median_ratio_fresh_heavy":$freshMed%.3f,""" +
+        s""""per_query_exec":$perQ}""")
       duckScaled
     } catch {
       case e: Throwable =>
@@ -841,13 +850,22 @@ object Bench {
     // time — so BENCH_r{N}.json itself carries the "sf1" amortization
     // point (VERDICT r6 next #3: previously builder-run ScaleProof only)
     // without a second full DuckDB sweep on 10x data.
+    // the two perennial slowest-list leaders ride BOTH scaled tiers
+    // (VERDICT r10 next #5): their Spark wall at sf0.1 is dominated by
+    // round-trip shuffle latency that should amortize with volume —
+    // pinning them into the x5/x10 comparisons measures that instead of
+    // asserting it. Their oracles live outside the relational prefix
+    // set, so they're spliced into the scaled oracle map explicitly.
+    val dedupPins = Seq("q_d1_minhash_lsh", "q_d5_dup_clusters")
     def scaledProof(duckSec: Map[String, Double],
         rel: Map[String, String], writeJson: Map[String, String] => java.nio.file.Path,
         runDuck: (String, java.nio.file.Path) => Option[Map[String, Double]]): Unit = {
       val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "5").toInt
-      val heavyNames = duckSec.toSeq.filter(_._2 >= 0.05).map(_._1).sorted
+      val pins = dedupPins.filter(rel.contains)
+      val heavyNames =
+        (duckSec.toSeq.filter(_._2 >= 0.05).map(_._1) ++ pins).distinct.sorted
       val duckAtMult = scaledProofAt(mult, "duckdb_scaled", heavyNames,
-        "full_heavy_set", rel, writeJson, runDuck)
+        "full_heavy_set_plus_dedup", rel, writeJson, runDuck)
       if (mult != 10) {
         val top8 = duckAtMult.toSeq.filter(_._2 >= 0.05 * mult)
           .sortBy(-_._2).take(8).map(_._1)
@@ -856,11 +874,12 @@ object Bench {
         // full heavy set — the JSON says so, so the two medians are
         // never read as like-for-like. q_e2 is pinned into the subset
         // (VERDICT r7 next #7 / r8 next #8): its x10 exec ratio is the
-        // pipeline-shaped amortization point the judge tracks.
-        val x10Subset = (top8 :+ "q_e2_news_pipeline")
+        // pipeline-shaped amortization point the judge tracks; the
+        // dedup pair is pinned for the same reason (r10 next #5).
+        val x10Subset = (top8 ++ Seq("q_e2_news_pipeline") ++ pins)
           .distinct.filter(rel.contains)
         scaledProofAt(10, "duckdb_scaled_x10", x10Subset,
-          "top8_by_x5_duck_time_plus_q_e2", rel, writeJson, runDuck)
+          "top8_by_x5_duck_time_plus_q_e2_and_dedup", rel, writeJson, runDuck)
       }
     }
     // ---- DuckDB wall-time comparison (BASELINE.md "relational < 2x
@@ -978,7 +997,15 @@ object Bench {
           val medianCachedHeavy = medianOf(
             cachedRatios.filter { case (n, _) => duckSec(n) >= 0.05 }.map(_._2))
           val medianCachedAll = medianOf(cachedRatios.map(_._2))
-          scaledProof(duckSec, rel, writeOracleJson, runDuckTimer)
+          // scaled replicas get a 120 s per-query DuckDB budget (ADVICE
+          // r10 #3: the 30 s default is sized for sf0.1 — at x5/x10 a
+          // legitimate heavy query times out and silently drops from
+          // the comparison)
+          scaledProof(
+            rel = rel ++ SparkEntry.oracleSql.view
+              .filterKeys(dedupPins.contains).toMap,
+            duckSec = duckSec, writeJson = writeOracleJson,
+            runDuck = (d, o) => runDuckTimer(d, o, perQueryBudgetSec = 120))
           val over = ratios.filter(_._2 > 2.0).map(_._1)
           val warmJson = warmSec.toSeq.sortBy(_._1)
             .map { case (k, v) => s"${jstr(k)}:${f"$v%.4f"}" }.mkString("{", ",", "}")
@@ -1129,9 +1156,12 @@ object Bench {
         "int8_first_search_sec" -> "i8_first",
         "int8_query_amortized_sec" -> "i8_amort",
         "int8_bytes_ratio" -> "i8_bytes_ratio",
-        "layered_recall10_ef32" -> "l_recall10",
+        // aliases carry the ef so a reader can never mistake the
+        // ef=32 adversarial-corpus floor for the index's recall
+        // (VERDICT r10 next #7)
+        "layered_recall10_ef32" -> "l_recall10_ef32",
         "layered_recall10_ef512" -> "l_recall10_ef512",
-        "int8_recall10_ef32" -> "i8_recall10",
+        "int8_recall10_ef32" -> "i8_recall10_ef32",
         "int8_recall10_ef512" -> "i8_recall10_ef512",
         "layered_batched_sec_ef512" -> "l_batched_ef512",
         "loadavg_serve" -> "load_serve",

@@ -53,6 +53,20 @@ import VectorOps.cosine
   * rows per (shard, query) — no graph construction on the serve path.
   * Same single-writer + unique-tmp + marker-recheck publish discipline
   * as [[IvfIndex]].
+  *
+  * == ef policy (read before quoting a recall number) ==
+  * `ef` (beam width) is THE recall/latency knob, and the right default
+  * depends on the corpus. On real embedding corpora (the `embeddings`
+  * table, clustered corpora) ef=32 measures ≥0.95 recall@10 — that is
+  * the production default. The bench's synthetic sin-ramp corpus is
+  * ADVERSARIAL for beam search: its top-10 are near-ties along a 1-D
+  * manifold, so ef=32 reads 0.16–0.19 there while ef=512 restores
+  * 0.975–0.988 — a corpus artifact, not an index property. Bench
+  * fields therefore carry the ef in their names (`…recall10_ef32` /
+  * `…recall10_ef512`); serving at scale should start at ef=32 and
+  * raise ef only on measured recall, paying latency linearly in ef
+  * (batched serve at ef=512 measures ~0.065 s/query vs ~0.01 at
+  * ef=32 on the r10 board).
   */
 object NswIndex {
   private val Marker = "_GRAPH_READY"
