@@ -19,6 +19,11 @@ import VectorOps.cosine
   *   <path>/centroids/           (cent_id BIGINT, cvec ARRAY<double-ish>)
   *   <path>/cells/cent_id=<c>/   corpus rows partitioned by cell id
   *   <path>/_INDEX_READY         marker: "v1,k=<cells>,count=<corpus rows>"
+  *   -- after a rebalance (r11): the marker gains `cv=<n>` and the
+  *   --   centroid table lives at <path>/centroids.v<n>/ — each
+  *   --   rebalance publishes a fresh versioned directory and advances
+  *   --   the marker (rename-free swap; the replaced version is kept
+  *   --   one rebalance cycle for in-flight lock-free searches)
   * }}}
   *
   * Scale shape: the build is one narrow argmax assignment pass plus one
@@ -110,10 +115,26 @@ object IvfIndex {
   }
 
   private def markerField(stamp: String, key: String): Long =
+    markerFieldOpt(stamp, key).getOrElse(throw new IllegalStateException(
+      s"IvfIndex: no $key in marker '$stamp'"))
+
+  private def markerFieldOpt(stamp: String, key: String): Option[Long] =
     stamp.split(",").collectFirst {
       case kv if kv.startsWith(key + "=") => kv.substring(key.length + 1).toLong
-    }.getOrElse(throw new IllegalStateException(
-      s"IvfIndex: no $key in marker '$stamp'"))
+    }
+
+  /** Centroid-table directory under the stamp's `cv` version (ADVICE
+    * r10 #1): builds publish to plain `centroids/` (cv absent = v0);
+    * each [[rebalance]] publishes a FRESH `centroids.v&lt;n&gt;/` and then
+    * advances the marker — a rename-free swap with no
+    * delete-before-rename window, so a lock-free concurrent search
+    * (explicitly allowed by the single-writer contract) can never hit
+    * FileNotFound on the centroid table: whichever stamp it read, that
+    * version's directory exists (the immediately-replaced version is
+    * retained one full rebalance cycle before garbage collection). */
+  private[graft] def centroidsDirOf(path: String, stamp: String): String =
+    markerFieldOpt(stamp, "cv").filter(_ > 0)
+      .map(v => s"$path/centroids.v$v").getOrElse(s"$path/centroids")
 
   /** Nearest-centroid assignment of `e` (vec_id, label, embedding)
     * against a centroid table (cent_id, cvec): the k×dim centroid set
@@ -367,9 +388,9 @@ object IvfIndex {
       val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
       val marker = new Path(new Path(path), Marker)
       require(fs.exists(marker), s"IvfIndex.append: no index at $path")
-      val cents = spark.read.parquet(s"$path/centroids")
-      val added = newVectors.count()
       val old = readMarker(fs, marker)
+      val cents = spark.read.parquet(centroidsDirOf(path, old))
+      val added = newVectors.count()
       val layout = old.split(",")(0) // appended rows match the stored layout
       val cells =
         if (layout == PqLayoutVersion || layout == TrainedPqLayoutVersion) {
@@ -390,10 +411,13 @@ object IvfIndex {
       // re-derive k from the stored centroid table (tiny) rather than the
       // old marker: also normalizes pre-k-stamp legacy markers on append.
       val suffix =
-        if (layout == TrainedPqLayoutVersion)
+        (if (layout == TrainedPqLayoutVersion)
           s",pqs=$PqS,pqk=$PqK,ti=${markerField(old, "ti")}"
         else if (layout == PqLayoutVersion) s",pqs=$PqS,pqk=$PqK"
-        else ""
+        else "") +
+        // the centroid-table version survives appends (a dropped cv
+        // would point readers back at a garbage-collected directory)
+        markerFieldOpt(old, "cv").map(v => s",cv=$v").getOrElse("")
       val out = fs.create(marker, true)
       try out.write(
         (s"$layout,k=${cents.count()},count=${oldCount + added}" + suffix)
@@ -431,8 +455,17 @@ object IvfIndex {
     * (q, scale) is cell-independent, so a moved row serves bit-identical
     * scores). PQ layouts refuse: their codes are lossy residuals AGAINST
     * the old centroid and a split needs the raw corpus — rebuild those.
-    * Same single-writer / non-atomic caveat as [[append]] (cells, then
-    * centroids, then marker).
+    *
+    * Concurrency (ADVICE r10 #1): the CENTROID swap is rename-free —
+    * each rebalance publishes `centroids.v&lt;n&gt;/` and then advances the
+    * marker, retaining the replaced version one full cycle, so a
+    * lock-free search always finds the table its stamp names. The
+    * residual caveat is the CELLS side: dynamic partition overwrite
+    * replaces a split cell's files at commit, so a search that probed
+    * that exact cell mid-swap can observe a vanished file — the
+    * marker-gated caches self-invalidate and a retry serves from the
+    * new layout (same retry-once discipline as [[append]]'s
+    * in-progress-file read).
     *
     * Scale shape: the size census is one partial-aggregated count per
     * cell (k rows to the driver — the same class as the probe list);
@@ -452,7 +485,7 @@ object IvfIndex {
           "— rebuild the PQ index instead")
       val quant = layout == QuantLayoutVersion
       val n = markerField(stamp, "count")
-      val cents = spark.read.parquet(s"$path/centroids")
+      val cents = spark.read.parquet(centroidsDirOf(path, stamp))
         .select(col("cent_id").cast("long").as("cent_id"),
           transform(col("cvec"), x => x.cast("double")).as("cvec"))
       val k = cents.count()
@@ -481,15 +514,25 @@ object IvfIndex {
         .select(Seq(col("cent_id").as("s"), col("vec_id"), col("label"),
           vExpr.as("__v")) ++ payload: _*)
       // deterministic seeds: each cell's min- and max-vec_id vectors
-      // (distinct rows — a 1-row cell can't exceed the >=64-row floor)
+      // (distinct rows — a 1-row cell can't exceed the >=64-row floor).
+      // append() never dedupes, so a re-ingested duplicate of a boundary
+      // vec_id would yield multiple rows per (s, cent_id) and propagate
+      // through the grouped Lloyd join into duplicate published
+      // centroid ids (ADVICE r10 #2) — one deterministic survivor per
+      // seed slot, tie-broken on the payload hash, closes that.
       val bounds = src.groupBy("s")
         .agg(min("vec_id").as("lo"), max("vec_id").as("hi"))
+      val seedW = org.apache.spark.sql.expressions.Window
+        .partitionBy("s", "cent_id")
+        .orderBy(hash(col("cvec")), xxhash64(col("cvec")))
       val seeds = src.join(broadcast(bounds), Seq("s"))
         .filter(col("vec_id") === col("lo") || col("vec_id") === col("hi"))
         .select(col("s"),
           when(col("vec_id") === col("lo"), lit(0)).otherwise(lit(1))
             .as("cent_id"),
           col("__v").as("cvec"))
+        .withColumn("__rs", row_number().over(seedW))
+        .filter(col("__rs") === 1).drop("__rs")
       val refined = VectorOps.kmeansCentroidsGroupedDf(
         src, "__v", seeds, iters, dim)
       // final assignment under the refined children — same argmax rule
@@ -532,19 +575,27 @@ object IvfIndex {
               .otherwise(element_at(newIdMap, col("s")))
               .cast("long").as("cent_id"),
             col("cvec")))
+      // versioned publish (ADVICE r10 #1): the replacement table lands
+      // in a FRESH directory and the marker then points at it — no
+      // delete-before-rename window, so lock-free concurrent searches
+      // keep a readable centroid table under whichever stamp they hold.
+      // The immediately-replaced version is RETAINED for one full
+      // rebalance cycle (in-flight searches that resolved the old stamp
+      // finish against it); only the version before that is collected.
+      val oldCv = markerFieldOpt(stamp, "cv").getOrElse(0L)
+      val newCv = oldCv + 1
       newCents.coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/centroids.rebal")
-      // swap in two renames: centroids/ readers are marker-gated, and the
-      // marker only advances after the swap completes
-      fs.delete(new Path(path, "centroids"), true)
-      if (!fs.rename(new Path(path, "centroids.rebal"),
-          new Path(path, "centroids")))
-        throw new IllegalStateException(
-          s"IvfIndex.rebalance: centroid swap failed at $path")
+        .parquet(s"$path/centroids.v$newCv")
       val out = fs.create(new Path(new Path(path), Marker), true)
       try out.write(
-        s"$layout,k=${k + accepted.length},count=$n".getBytes("UTF-8"))
+        s"$layout,k=${k + accepted.length},count=$n,cv=$newCv"
+          .getBytes("UTF-8"))
       finally out.close()
+      if (oldCv >= 1) {
+        val prev = oldCv - 1
+        fs.delete(new Path(path,
+          if (prev == 0) "centroids" else s"centroids.v$prev"), true)
+      }
       accepted.length
     }
 
@@ -609,7 +660,8 @@ object IvfIndex {
         }
         // one partition: <= 32 MB at the clamp, and probe selection is a
         // single-task TakeOrderedAndProject over the cached batch
-        val df = spark.read.parquet(s"$path/centroids")
+        val df = spark.read.parquet(
+            centroidsDirOf(path, markerStamp(fs, path)))
           .select(col("cent_id").cast("long").as("cent_id"),
             transform(col("cvec"), x => x.cast("double")).as("cvec"))
           .coalesce(1)

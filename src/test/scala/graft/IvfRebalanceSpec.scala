@@ -66,6 +66,19 @@ class IvfRebalanceSpec extends AnyFunSuite {
       .toDF("cent_id", "cvec")
   }
 
+  /** Centroid table under the CURRENT marker version (a rebalance
+    * publishes `centroids.v<n>/` and retains the replaced dir one
+    * cycle, so reading the plain dir after a split sees stale rows). */
+  private def centroidTable(path: String) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path, "_INDEX_READY"))
+    val stamp =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    spark.read.parquet(IvfIndex.centroidsDirOf(path, stamp))
+  }
+
   private def cellSizes(path: String): Map[Int, Long] =
     spark.read.parquet(s"$path/cells").groupBy("cent_id").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -94,7 +107,7 @@ class IvfRebalanceSpec extends AnyFunSuite {
       s"hot-cell rows must be conserved across the split: $after")
     assert(math.max(after(0), after(4)) < 500L, "the split must move rows")
     assert(allIds(path) == idsBefore)
-    val centIds = spark.read.parquet(s"$path/centroids")
+    val centIds = centroidTable(path)
       .select("cent_id").collect().map(_.getLong(0)).toSet
     assert(centIds == Set(0L, 1L, 2L, 3L, 4L))
     // payloads moved verbatim -> every full-probe score is bit-identical
@@ -129,13 +142,70 @@ class IvfRebalanceSpec extends AnyFunSuite {
     assert(fullProbe(path) == served)
   }
 
+  test("versioned centroid publish: rename-free swap, replaced dir retained one cycle") {
+    // ADVICE r10 #1: a lock-free concurrent search must always find the
+    // centroid table its stamp names — the rebalance publishes a fresh
+    // centroids.v<n>/ and only then advances the marker, retaining the
+    // replaced version for one full cycle.
+    val path = freshPath()
+    IvfIndex.buildIfAbsent(skewedCorpus(), cents4(), path)
+    assert(IvfIndex.rebalance(spark, path, oversizeFactor = 2.0) == 1)
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(path, "_INDEX_READY"))
+    val stamp =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(stamp.contains(",cv=1"), s"marker must carry the version: $stamp")
+    assert(fs.exists(new Path(path, "centroids.v1")),
+      "versioned table must exist when the marker names it")
+    assert(fs.exists(new Path(path, "centroids")),
+      "the replaced (v0) table must survive one rebalance cycle for " +
+        "in-flight searches holding the old stamp")
+    // serve path resolves the versioned table: id 4 (the new child) is
+    // probeable, and an append keeps cv in the rewritten marker
+    assert(fullProbe(path).nonEmpty)
+    import spark.implicits._
+    IvfIndex.append(
+      Seq((9000L, "a", add(basis(1), basis(5, 0.02))))
+        .toDF("vec_id", "label", "embedding"), path)
+    val in2 = fs.open(new Path(path, "_INDEX_READY"))
+    val stamp2 =
+      try scala.io.Source.fromInputStream(in2, "UTF-8").mkString
+      finally in2.close()
+    assert(stamp2.contains(",cv=1"),
+      s"append must carry the centroid version forward: $stamp2")
+  }
+
+  test("duplicate boundary vec_id rows do not duplicate published centroid ids") {
+    // ADVICE r10 #2: append never dedupes, so a re-ingested copy of a
+    // cell's min/max vec_id yields two candidate seed rows for one seed
+    // slot — the deterministic survivor rule must keep the centroid
+    // table's ids unique through the split.
+    val path = freshPath()
+    IvfIndex.buildIfAbsent(skewedCorpus(), cents4(), path)
+    import spark.implicits._
+    // duplicate the hot cell's boundary ids (0 = min, 498 = max even id
+    // in cell 0's subcluster range; duplicate both extremes verbatim)
+    IvfIndex.append(
+      Seq(
+        (0L, "a", add(basis(0), basis(4, 0.3))),
+        (499L, "a", add(basis(0), basis(4, -0.3))))
+        .toDF("vec_id", "label", "embedding"), path)
+    assert(IvfIndex.rebalance(spark, path, oversizeFactor = 2.0) == 1)
+    val ids = centroidTable(path).select("cent_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.size == ids.size,
+      s"published centroid ids must be unique: $ids")
+    assert(ids.toSet == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("a one-cluster hot cell collapses and the split is canceled") {
     val path = freshPath()
     IvfIndex.buildIfAbsent(tightCorpus(), cents4(), path)
     val before = cellSizes(path)
     assert(IvfIndex.rebalance(spark, path, oversizeFactor = 2.0) == 0)
     assert(cellSizes(path) == before)
-    val centIds = spark.read.parquet(s"$path/centroids")
+    val centIds = centroidTable(path)
       .select("cent_id").collect().map(_.getLong(0)).toSet
     assert(centIds == Set(0L, 1L, 2L, 3L))
   }
