@@ -157,7 +157,7 @@ object IvfIndex {
     * column becomes (q ARRAY<TINYINT>, scale DOUBLE). Runs as narrow
     * codegen'd expressions ON TOP of the assignment projection — rows
     * still move exactly once, keyed by cent_id. */
-  private def quantizeCells(assigned: DataFrame): DataFrame = {
+  private[graft] def quantizeCells(assigned: DataFrame): DataFrame = {
     val emb = transform(col("embedding"), v => v.cast("double"))
     val absmax = aggregate(emb, lit(0.0), (a, v) => greatest(a, abs(v)))
     assigned

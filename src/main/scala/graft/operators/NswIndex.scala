@@ -148,7 +148,7 @@ object NswIndex {
     * O(dim^2) per row, which at 768 dims x 1e5 rows turned the r10 bench
     * int8 build into 282 s vs the raw build's 5 s. Referencing a bound
     * attribute keeps the whole quantize pass O(dim) per row. */
-  private def withQuant(ided: DataFrame): DataFrame = {
+  private[graft] def withQuant(ided: DataFrame): DataFrame = {
     val absmax = aggregate(col("v"), lit(0.0), (a, v) => greatest(a, abs(v)))
     ided
       .withColumn("scale", when(absmax > 0.0, absmax / 127.0).otherwise(1.0))
