@@ -749,6 +749,78 @@ object Bench {
         errors("__ann_scaled") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         None
     }
+    // ---- streaming ingest throughput probe (r11): the X-family queries
+    // gate stream/batch SEMANTICS through tiny MemoryStream harnesses
+    // (their wall time is harness plumbing, excluded from totals) — this
+    // block measures the PRODUCTION ingest shape instead: a checkpointed
+    // parquet file-source stream processed in multiple real micro-batches
+    // (Trigger.AvailableNow honoring maxFilesPerTrigger), reported as
+    // end-to-end events/s.
+    //  (a) agg: the X1/X8 watermarked tumbling 1-hour aggregation into
+    //      the no-op streaming sink — pure operator+micro-batch cost;
+    //  (b) tick: the X2 incremental-recompute foreachBatch
+    //      ([[graft.streaming.IncrementalTick]]) — each batch re-reads
+    //      the partition-pruned sink tail, recomputes the frame pack and
+    //      appends only new rows, i.e. the reference's hourly-tick DAG
+    //      at micro-batch cadence, INCLUDING its sink reads/writes.
+    // Events flow through the same 5-column schema the X queries use;
+    // the staged input is split into 16 parquet files so AvailableNow
+    // yields 4 micro-batches of 4 files — multi-batch overhead (offset
+    // log, state commit, sink listing) is inside the measured wall, not
+    // assumed away.
+    val streamTp = try {
+      import org.apache.spark.sql.streaming.Trigger
+      val sFs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val root = System.getProperty("java.io.tmpdir") + "/graft_streambench_" +
+        sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      sFs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val inDir = root + "/in"
+      graft.sources.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"), col("ts_ns"), col("user_id"),
+          col("value"))
+        .repartition(16).write.parquet(inDir)
+      val staged = spark.read.parquet(inDir)
+      val n = staged.count()
+      val sch = staged.schema
+      def fileStream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 4).parquet(inDir)
+      val loadStream = loadAvg()
+      def runToEnd(start: => org.apache.spark.sql.streaming.StreamingQuery)
+          : Double = {
+        val t0 = System.nanoTime()
+        val q = start
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val aggSec = runToEnd {
+        fileStream
+          .withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+          .writeStream.format("noop").outputMode("update")
+          .option("checkpointLocation", root + "/ckpt_agg")
+          .trigger(Trigger.AvailableNow()).start()
+      }
+      val tickSec = runToEnd {
+        graft.streaming.IncrementalTick.startStream(
+          fileStream, root + "/tick_sink", root + "/ckpt_tick",
+          Trigger.AvailableNow())
+      }
+      val tickRows = spark.read.parquet(root + "/tick_sink").count()
+      sFs.delete(new org.apache.hadoop.fs.Path(root), true)
+      Some(s""""streaming_tp":{"n_events":$n,"n_batches":4,""" +
+        f""""agg_sec":$aggSec%.3f,""" +
+        s""""agg_events_per_s":${(n / math.max(aggSec, 1e-9)).toLong},""" +
+        f""""tick_sec":$tickSec%.3f,""" +
+        s""""tick_events_per_s":${(n / math.max(tickSec, 1e-9)).toLong},""" +
+        s""""tick_sink_rows":$tickRows,""" +
+        f""""loadavg_start":$loadStream%.2f}""")
+    } catch {
+      case e: Throwable =>
+        errors("__streaming_tp") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        None
+    }
     // ---- scaled-SF execution proof (VERDICT r5 next #3): the r5 claim
     // "median_ratio_exec_heavy ~3 at sf0.1 is per-job scheduling floor
     // that amortizes with data volume" — measured, not asserted. A
@@ -1063,7 +1135,8 @@ object Bench {
     // (VERDICT r5 what's-wrong #2: fresh builds used to stack cached
     // copies in the storage pool for the rest of the process)
     ScratchCache.drain(spark)
-    val extras = Seq(throughput, recall, ivf, dedupScaled, annScaled, duck).flatten ++ scaledBlocks
+    val extras = Seq(throughput, recall, ivf, dedupScaled, annScaled,
+      streamTp, duck).flatten ++ scaledBlocks
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","headline":$headline,""" +
       f""""streaming_harness_sec":$streamingSec%.3f,""" +
@@ -1095,6 +1168,7 @@ object Bench {
     }.getOrElse("null")
     val dedupC = dedupScaled.map(_.stripPrefix("\"dedup_scaled\":")).getOrElse("null")
     val annC = annScaled.map(_.stripPrefix("\"ann_scaled\":")).getOrElse("null")
+    val streamC = streamTp.map(_.stripPrefix("\"streaming_tp\":")).getOrElse("null")
     val scaledC = scaledBlocks.find(_.startsWith("\"duckdb_scaled\":"))
       .map(_.stripPrefix("\"duckdb_scaled\":")).getOrElse("null")
     val scaledX10C = scaledBlocks.find(_.startsWith("\"duckdb_scaled_x10\":"))
@@ -1107,6 +1181,7 @@ object Bench {
       s""""slowest":$slowest,"throughput":$throughputC,""" +
       s""""ann_recall":$recallC,"ivf_index":$ivfC,"duckdb":$duckC,""" +
       s""""dedup_scaled":$dedupC,"ann_scaled":$annC,""" +
+      s""""streaming_tp":$streamC,""" +
       s""""duckdb_scaled":$scaledC,"duckdb_scaled_x10":$scaledX10C,""" +
       s""""sf":${jstr(sfDir)}}"""
     println(summaryLine)
@@ -1197,6 +1272,9 @@ object Bench {
         "x1_recall10" -> "rec1", "x5_recall10" -> "rec5",
         "x25_recall10" -> "rec25",
         "x25_probed_frac" -> "frac25")},""" +
+      s""""stream":${mini(streamTp,
+        "agg_events_per_s" -> "agg_eps",
+        "tick_events_per_s" -> "tick_eps")},""" +
       s""""full":${jstr(fullFile)},"sf":${jstr(sfDir)}}"""
     println(compactLine)
     // Re-emit at JVM exit (VERDICT r8 next #6): when Bench runs un-forked
