@@ -30,6 +30,55 @@ object RelationalQueries extends QueryPack {
   private def moneySumSql(term: String): String =
     s"CAST(sum(CAST($term AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** q_j1b shape switch: the map-side star shape (fact never shuffles,
+    * dims collapse to a broadcastable (o_orderkey, r_name) map) is legal
+    * while that map fits executor memory — ~40 B/entry in a
+    * BytesToBytesMap ⇒ 4M orders ≈ 160 MB, comfortable everywhere Spark
+    * runs. Above it (the 100 TB case: orders is O(fact/4), never
+    * broadcastable) the pre-aggregate + shuffle-join shape takes over.
+    * A row COUNT (parquet metadata fast path, memoized per session+dir
+    * by the Tables catalog plan) decides — file bytes are a poor proxy
+    * because the broadcast side is the 2-column projection, not the
+    * full orders width. */
+  private[graft] val StarMapSideMaxOrders = 4000000L
+
+  /** Both q_j1b shapes, selected by `mapSide` (exposed so
+    * StarJoinShapeSpec can pin plan shape AND cross-shape row parity).
+    * See the q_j1b QueryDef comment for the shape rationale. */
+  private[graft] def starJoin(s: SparkSession, dir: String,
+      mapSide: Boolean): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(18, 4))
+    if (mapSide) {
+      val dims = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("o_orderkey"), col("r_name"))
+      Tables.lineitem(s, dir)
+        .join(dims, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(rev).cast(DoubleType).as("revenue"))
+        .orderBy("r_name")
+    } else {
+      val lagg = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("ln"), sum(rev).as("lrev"))
+      lagg
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          sum(col("ln")).as("n_lines"),
+          sum(col("lrev")).cast(DoubleType).as("revenue"))
+        .orderBy("r_name")
+    }
+  }
+
   /** events.value with NULLs injected deterministically (the testdata has no
     * native nulls; the reference's cleanup ops A2/A3 need some).
     */
@@ -267,33 +316,35 @@ object RelationalQueries extends QueryPack {
       bench = true),
 
     // J1b — 5-way star join: fact table streams, all dims broadcast.
-    // r6: the fact side PRE-AGGREGATES by its join key before the
-    // orders join (~4 lineitem rows collapse per order), so the join
-    // shuffles a quarter of the rows AND the groupBy's exchange is
-    // reused by the join (same key) — at 10× sf0.1 this was the
-    // scaled comparison's worst outlier (8.2× DuckDB) from shuffling
-    // the full 6M-row fact table. Decimal partial sums re-sum exactly,
-    // so results are bit-identical to the unaggregated form.
+    // TWO shapes, chosen by the orders row count at plan-build time
+    // (driver-side metadata count — the same statistics-driven planning
+    // AQE applies to join STRATEGY, applied here to join TOPOLOGY):
+    //
+    //  - orders ≤ [[StarMapSideMaxOrders]] (every local/test SF and any
+    //    deployment whose order dimension fits an executor): the dims
+    //    chain collapses to an (o_orderkey, r_name) map that AQE
+    //    broadcasts un-hinted, so the FACT TABLE NEVER SHUFFLES — scan →
+    //    broadcast-hash join → 5-group map-side partial agg → a
+    //    5-row exchange. (The r6 pre-agg shape still paid a full
+    //    fact-table exchange of ~0.6·|lineitem| partial rows; at ×10 it
+    //    measured 6.4× DuckDB with the exchange as the entire gap, and
+    //    the pre-agg buys nothing when the join ends up broadcast
+    //    anyway.) No broadcast() hint: the row-count branch proves the
+    //    side small, AQE picks the strategy, and a mandatory hint over
+    //    an O(corpus) scan would (rightly) trip PlanAuditSpec.
+    //  - larger orders (the 100 TB cluster case — orders is O(fact/4)
+    //    and NOT broadcastable): the r6 shape — pre-aggregate lineitem
+    //    by its join key first (~4 rows collapse per order, partial
+    //    map-side combine), then shuffle-join orders on the SAME key so
+    //    the groupBy exchange is reused.
+    //
+    // Decimal partial sums re-sum exactly, so the two shapes are
+    // bit-identical (the oracle is shape-blind); StarJoinShapeSpec pins
+    // both plans and their row-parity.
     QueryDef(
       "q_j1b_star_join",
-      (s, dir) => {
-        val lagg = Tables.lineitem(s, dir)
-          .groupBy(col("l_orderkey"))
-          .agg(
-            count(lit(1)).as("ln"),
-            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-              .cast(DecimalType(18, 4))).as("lrev"))
-        lagg
-          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
-          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
-          .groupBy(col("r_name"))
-          .agg(
-            sum(col("ln")).as("n_lines"),
-            sum(col("lrev")).cast(DoubleType).as("revenue"))
-          .orderBy("r_name")
-      },
+      (s, dir) => starJoin(s, dir,
+        mapSide = Tables.orders(s, dir).count() <= StarMapSideMaxOrders),
       Some("""SELECT r_name, count(*) AS n_lines,
                      """ + moneySumSql("l_extendedprice * (1.0 - l_discount)") + """ AS revenue
               FROM lineitem
