@@ -705,6 +705,11 @@ object Bench {
         // across scales isolates probe-selection quality as k grows.
         val qv: Seq[Double] =
           (0 until dim).map(d => math.sin(10001.0 * (d * 7 + 3) * 1e-4))
+        // quiet-gate before the serve timings (same rationale as the NSW
+        // serves): the x25 build is ~40 s of 32-thread work ending right
+        // here, and serve_ratio_x25 swung 1.09–1.76 across r11 runs with
+        // the build's loadavg tail as the only variable
+        waitQuiet()
         // first serve pays centroid-cache load; amortized is the number
         val approxIds = IvfIndex
           .searchTopK(spark, path, qv, nprobe = servNprobe, k = 10)
