@@ -736,7 +736,13 @@ object Bench {
         AnnPoint(n, kCells, buildSec, amort, probed, recall)
       }
       timeAt(1) // discard: codegen + parquet-reader warmup (dedup_scaled's x1 lesson)
-      val pts = Seq(1, 5, 25).map(m => m -> timeAt(m))
+      // default ladder 1/5/25; SPARK_GRAFT_ANN_MULTS extends it for
+      // one-off deep-scale artifacts (e.g. "1,5,25,100" → a 2M-vector
+      // point: build grows ~linearly with n·k, serve must stay ~flat at
+      // constant probed rows, recall stays measured)
+      val mults = sys.env.getOrElse("SPARK_GRAFT_ANN_MULTS", "1,5,25")
+        .split(",").map(_.trim.toInt).toSeq
+      val pts = mults.map(m => m -> timeAt(m))
       val body = pts.map { case (m, p) =>
         s""""x${m}_n":${p.n},"x${m}_cells":${p.kCells},""" +
           f""""x${m}_build_sec":${p.buildSec}%.3f,""" +
@@ -746,9 +752,10 @@ object Bench {
           f""""x${m}_recall10":${p.recall10}%.2f"""
       }.mkString(",")
       val a1 = pts.head._2.amortSec
-      Some(s""""ann_scaled":{"dim":$dim,"nprobe":$servNprobe,$body,""" +
-        f""""serve_ratio_x5":${pts(1)._2.amortSec / math.max(a1, 1e-9)}%.2f,""" +
-        f""""serve_ratio_x25":${pts(2)._2.amortSec / math.max(a1, 1e-9)}%.2f}""")
+      val ratios = pts.tail.map { case (m, p) =>
+        f""""serve_ratio_x$m":${p.amortSec / math.max(a1, 1e-9)}%.2f"""
+      }.mkString(",")
+      Some(s""""ann_scaled":{"dim":$dim,"nprobe":$servNprobe,$body,$ratios}""")
     } catch {
       case e: Throwable =>
         errors("__ann_scaled") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
