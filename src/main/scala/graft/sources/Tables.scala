@@ -82,9 +82,45 @@ object Tables {
     *    timezone (pinned UTC), matching DuckDB's naive-timestamp reading.
     *  - TIMESTAMP (LTZ) passes through unchanged.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEvents(load(spark, dir, "events"))
+
+  /** `events` restricted to rows at/after `boundNs` (epoch nanos, must
+    * be whole microseconds — hour-aligned in practice): the bound is
+    * applied to the RAW on-disk column in its native type BEFORE the
+    * `ts`/`ts_ns` normalization, so it reaches the parquet scan as a
+    * PushedFilter (→ row-group min/max pruning) under EVERY encoding.
+    * A bound on the derived `ts_ns` only pushes for the int64-nanos
+    * encoding, where `ts_ns` is a plain alias of the file column; for
+    * timestamp[us] files it is `unix_micros(cast(ts)) * 1000` and the
+    * predicate stays above the scan — the E3 read-path prune (r12) hit
+    * exactly that.
+    */
+  def eventsFrom(spark: SparkSession, dir: String, boundNs: Long): DataFrame = {
     import org.apache.spark.sql.functions._
+    require(boundNs % 1000L == 0,
+      s"eventsFrom: bound must be whole microseconds, got $boundNs ns")
     val raw = load(spark, dir, "events")
+    val sec = Math.floorDiv(boundNs, 1000000000L)
+    val nanoAdj = Math.floorMod(boundNs, 1000000000L)
+    val bounded = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.filter(col("ts") >= boundNs)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // the wall-clock of boundNs at UTC — normalization interprets
+        // NTZ wall-clocks in the (pinned UTC) session zone, so the two
+        // bounds select identical rows
+        raw.filter(col("ts") >= lit(java.time.LocalDateTime
+          .ofEpochSecond(sec, nanoAdj.toInt, java.time.ZoneOffset.UTC)))
+      case _ =>
+        raw.filter(col("ts") >=
+          lit(java.time.Instant.ofEpochSecond(sec, nanoAdj)))
+    }
+    normalizeEvents(bounded)
+  }
+
+  private def normalizeEvents(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // floor-to-micros (pmod keeps pre-1970 negative nanos correct;
