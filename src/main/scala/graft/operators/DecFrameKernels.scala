@@ -121,6 +121,39 @@ object DecFrameKernels {
     }
   }
 
+  /** W6+G2 fused — Bollinger bands plus the band-crossover signals in
+    * the SAME sequential pass: buy/sell are the lag-1 crossover algebra
+    * (`FrameKernels.crossBelow`/`crossAbove`) evaluated against the
+    * kernel's carried previous-row state instead of a post-kernel
+    * `Window` pair. The E3 read path is stage-latency-bound at its
+    * constant post-prune volume, and the two lag windows (plus their
+    * required exchange over the kernel's opaque mapPartitions output)
+    * were most of its plan — fusing them keeps the whole query at one
+    * data exchange. NaN carried state compares false, exactly like the
+    * SQL NULL-lag comparisons under the oracle's coalesce(…, false).
+    * Emits (middle, upper, lower, buy, sell) with the signals as
+    * 1.0/0.0 (never NaN — warmup rows are false, not null). */
+  final class BollingerCrossKernel(n: Int = 20, k: Double = 2.0)
+      extends Kernel {
+    val arity = 1; val width = 5
+    private val bb = new BollingerKernel(n, k)
+    private var prevClose = Double.NaN
+    private var prevUp = Double.NaN
+    private var prevLo = Double.NaN
+    def reset(): Unit = {
+      bb.reset()
+      prevClose = Double.NaN; prevUp = Double.NaN; prevLo = Double.NaN
+    }
+    def step(in: Array[Double]): Array[Double] = {
+      val z = in(0)
+      val b = bb.step(in) // (mid, up, lo)
+      val buy = if (prevClose > prevLo && z < b(2)) 1.0 else 0.0
+      val sell = if (prevClose < prevUp && z > b(1)) 1.0 else 0.0
+      prevClose = z; prevUp = b(1); prevLo = b(2)
+      Array(b(0), b(1), b(2), buy, sell)
+    }
+  }
+
   /** W4 — exact rolling median over the trailing n-row frame
     * (min_periods=1, reference init_influxdb.py:68-71): sorted middle
     * pick over the frame's NON-NULL values (nulls occupy a frame slot

@@ -56,12 +56,24 @@ object SeriesKernels {
     * kernels' output columns. Rows are hash-partitioned by `keyCols` and
     * sorted by `keyCols ++ orderCols` within partitions; kernels reset at
     * every key-tuple change.
+    *
+    * `prePartitioned = true` skips the internal repartition: the CALLER
+    * guarantees every key-tuple's rows share a partition (e.g. the
+    * input was explicitly `repartition(keyCols…)`-ed upstream and only
+    * partitioning-preserving operators — per-partition aggregates,
+    * projections, filters, AQE coalesce — sit in between). The explicit
+    * repartition node is not elided by Catalyst even when the child is
+    * already correctly distributed, and for stage-latency-bound plans
+    * (E3) that redundant exchange IS the cost. Misuse silently computes
+    * wrong kernels (keys split across partitions reset mid-series), so
+    * callers must pin parity in a spec, as E3PruneSpec does.
     */
   def applyKernels(
       df: DataFrame,
       keyCols: Seq[String],
       orderCols: Seq[String],
-      specs: Seq[KernelSpec]): DataFrame = {
+      specs: Seq[KernelSpec],
+      prePartitioned: Boolean = false): DataFrame = {
     val inSchema = df.schema
     val outSchema = StructType(
       inSchema.fields ++ specs.flatMap(_.outputCols)
@@ -69,8 +81,8 @@ object SeriesKernels {
     val keyIdx = keyCols.map(inSchema.fieldIndex).toArray
     val inIdx = specs.map(_.inputCols.map(inSchema.fieldIndex).toArray).toArray
 
-    val partitioned = df
-      .repartition(keyCols.map(col): _*)
+    val partitioned = (if (prePartitioned) df
+       else df.repartition(keyCols.map(col): _*))
       .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
 
     partitioned.mapPartitions { rows =>

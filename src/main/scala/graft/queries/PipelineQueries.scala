@@ -532,10 +532,29 @@ object PipelineQueries extends QueryPack {
       s: SparkSession, dir: String, prune: Boolean): DataFrame =
     (if (prune) e3Bounds(s, dir) else None) match {
       case Some(bd) =>
+        // ONE data exchange: hash-partition the slice by user_id up
+        // front — HashPartitioning(user_id) satisfies the bar agg's
+        // ClusteredDistribution(user_id, bts) (subset rule), the bar
+        // aggregate preserves it, and the fused band+crossover ring
+        // kernel (BollingerCrossKernel) consumes it via
+        // `prePartitioned = true`, so bands AND both lag signals run in
+        // one sorted mapPartitions pass with no Window operator and no
+        // second exchange. At this query's constant post-prune volume
+        // the plan is stage-latency-bound, so exchange count IS the
+        // cost: scan → exchange(user_id) → agg+kernel+filter →
+        // tiny result-sort exchange.
         val slice = Tables.eventsFrom(s, dir, bd.boundNs)
-        signalSelect(signalCore(barsOf(slice))
-          // drop the warmup bars AFTER the kernel pass — they exist only
-          // to make the window-edge band/lag values exact
+          .repartition(col("user_id"))
+        signalSelect(SeriesKernels.applyKernels(
+            barsOf(slice), Seq("user_id"), Seq("bts"),
+            Seq(KernelSpec(Seq("close"),
+              Seq("bb_mid", "bb_up", "bb_lo", "buy_d", "sell_d"),
+              () => new graft.operators.DecFrameKernels.BollingerCrossKernel(20, 2.0))),
+            prePartitioned = true)
+          .withColumn("buy", col("buy_d") === 1.0)
+          .withColumn("sell", col("sell_d") === 1.0)
+          // drop the warmup bars AFTER the band/lag algebra — they exist
+          // only to make the window-edge values exact
           .filter(col("bts") >= tsLit(bd.winStartNs)))
       case None =>
         // max bar bucket == hour-trunc of the max raw timestamp: a

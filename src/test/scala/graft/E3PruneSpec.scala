@@ -79,5 +79,14 @@ class E3PruneSpec extends AnyFunSuite {
     // crossJoin; the pruned shape must not
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"full-history crossJoin shape leaked into pruned E3 plan:\n$plan")
+    // stage-latency-bound plan: ONE data exchange (the user_id
+    // repartition; the bar agg and the fused band+signal kernel reuse
+    // it) plus the tiny result-order exchange — and no Window operator
+    // (the crossover lags are fused into the kernel pass)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val nExchanges = "Exchange ".r.findAllIn(finalPlan).length
+    assert(nExchanges <= 2, s"pruned E3 plan grew exchanges ($nExchanges):\n$plan")
+    assert(!"\\bWindow\\b".r.findFirstIn(finalPlan).isDefined,
+      s"Window operator crept back into pruned E3 plan:\n$plan")
   }
 }
