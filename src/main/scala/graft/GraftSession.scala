@@ -269,6 +269,20 @@ object GraftSession {
           (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
             graft.functions.FieldStats(children.head)))
         ext.injectFunction((
+          FunctionIdentifier("graft_domain_lookup"),
+          new ExpressionInfo(classOf[graft.functions.BroadcastLookup].getName,
+            "graft_domain_lookup"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+            require(children.length == 2,
+              "graft_domain_lookup(key, handle) takes 2 arguments")
+            // the handle literal is a plan-time token into
+            // BroadcastRegistry; the resolved expression holds the
+            // Broadcast itself (see BroadcastLookup scaladoc)
+            graft.functions.BroadcastLookup(children.head,
+              graft.functions.BroadcastRegistry.get(
+                constInt(children(1), "graft_domain_lookup: handle").toLong))
+          }))
+        ext.injectFunction((
           FunctionIdentifier("graft_token_hashes"),
           new ExpressionInfo(classOf[graft.functions.TokenHashes].getName, "graft_token_hashes"),
           (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -37,10 +37,58 @@ object RelationalQueries extends QueryPack {
     * runs. Above it (the 100 TB case: orders is O(fact/4), never
     * broadcastable) the pre-aggregate + shuffle-join shape takes over.
     * A row COUNT (parquet metadata fast path, memoized per session+dir
-    * by the Tables catalog plan) decides — file bytes are a poor proxy
+    * by [[Tables.rowCount]] since r12 — previously only the relation
+    * handle was memoized and every fresh build re-paid the count job,
+    * ADVICE r11) decides — file bytes are a poor proxy
     * because the broadcast side is the 2-column projection, not the
     * full orders width. */
   private[graft] val StarMapSideMaxOrders = 4000000L
+
+  /** The (o_orderkey → r_name) map, built ONCE per (session, sfDir) as
+    * a compact [[graft.functions.LongDomainMap]] Spark broadcast and
+    * shared by every fresh q_j1b lineage (VERDICT r11 next #3). The
+    * driver-side collect is bounded by construction — the map-side
+    * branch only runs when the orders row count proved the dim
+    * ≤ [[StarMapSideMaxOrders]] (4M entries ≈ 36 MB packed). Hoisting
+    * the build out of the plan is what a BroadcastHashJoin cannot do:
+    * its driver collect + single-threaded hash build re-runs on EVERY
+    * execution of every fresh lineage (measured ~0.5 s at 750k orders
+    * — most of the fresh-call cost the r11 verdict flagged), where the
+    * broadcast variable builds once and stays executor-resident. This
+    * also closes the ADVICE r11 gap where orders counts between the
+    * AQE auto-broadcast threshold and the 4M cutoff silently fell back
+    * to a full fact-table shuffle join: the lookup projection cannot
+    * fall back to anything. Broadcasts die with the session; entries
+    * are LRU-bounded like the Tables catalog.
+    */
+  private val starDimsCache =
+    new java.util.LinkedHashMap[(String, String), java.lang.Long](16, 0.75f, true) {
+      override def removeEldestEntry(
+          eldest: java.util.Map.Entry[(String, String), java.lang.Long]): Boolean =
+        if (size() > 32) {
+          graft.functions.BroadcastRegistry.unregister(eldest.getValue.longValue)
+          true
+        } else false
+    }
+
+  private def starDimsHandle(s: SparkSession, dir: String): Long = {
+    val key = (graft.GraftSession.sessionUuid(s), dir)
+    starDimsCache.synchronized(Option(starDimsCache.get(key)))
+      .map(_.longValue).getOrElse {
+      import s.implicits._
+      val pairs = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("o_orderkey"), col("r_name"))
+        .as[(Long, String)]
+        .collect()
+      val bc = s.sparkContext.broadcast(graft.functions.LongDomainMap(pairs))
+      val h = graft.functions.BroadcastRegistry.register(bc)
+      starDimsCache.synchronized(starDimsCache.put(key, java.lang.Long.valueOf(h)))
+      h
+    }
+  }
 
   /** Both q_j1b shapes, selected by `mapSide` (exposed so
     * StarJoinShapeSpec can pin plan shape AND cross-shape row parity).
@@ -50,13 +98,14 @@ object RelationalQueries extends QueryPack {
     val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
       .cast(DecimalType(18, 4))
     if (mapSide) {
-      val dims = Tables.orders(s, dir)
-        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
-        .select(col("o_orderkey"), col("r_name"))
+      val lookup = call_function("graft_domain_lookup",
+        col("l_orderkey"), lit(starDimsHandle(s, dir)))
       Tables.lineitem(s, dir)
-        .join(dims, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("r_name", lookup)
+        // inner-join semantics: drop fact rows whose order key has no
+        // dim row (none in TPC-H-shaped data, but the contract is the
+        // join's, not the data's)
+        .filter(col("r_name").isNotNull)
         .groupBy(col("r_name"))
         .agg(
           count(lit(1)).as("n_lines"),
@@ -322,16 +371,16 @@ object RelationalQueries extends QueryPack {
     //
     //  - orders ≤ [[StarMapSideMaxOrders]] (every local/test SF and any
     //    deployment whose order dimension fits an executor): the dims
-    //    chain collapses to an (o_orderkey, r_name) map that AQE
-    //    broadcasts un-hinted, so the FACT TABLE NEVER SHUFFLES — scan →
-    //    broadcast-hash join → 5-group map-side partial agg → a
-    //    5-row exchange. (The r6 pre-agg shape still paid a full
-    //    fact-table exchange of ~0.6·|lineitem| partial rows; at ×10 it
-    //    measured 6.4× DuckDB with the exchange as the entire gap, and
-    //    the pre-agg buys nothing when the join ends up broadcast
-    //    anyway.) No broadcast() hint: the row-count branch proves the
-    //    side small, AQE picks the strategy, and a mandatory hint over
-    //    an O(corpus) scan would (rightly) trip PlanAuditSpec.
+    //    chain collapses to an (o_orderkey → r_name) LongDomainMap
+    //    built once per (session, dir) and Spark-broadcast; the join is
+    //    a codegen'd BroadcastLookup projection on the fact scan, so
+    //    the FACT TABLE NEVER SHUFFLES and the plan is scan → lookup
+    //    project → 5-group map-side partial agg → a 5-row exchange.
+    //    (The r6 pre-agg shape still paid a full fact-table exchange of
+    //    ~0.6·|lineitem| partial rows; an un-hinted BroadcastHashJoin
+    //    both re-built its hash relation per execution AND silently
+    //    fell back to that shuffle join for orders counts between the
+    //    AQE threshold and the 4M cutoff — ADVICE r11.)
     //  - larger orders (the 100 TB cluster case — orders is O(fact/4)
     //    and NOT broadcastable): the r6 shape — pre-aggregate lineitem
     //    by its join key first (~4 rows collapse per order, partial
@@ -344,7 +393,7 @@ object RelationalQueries extends QueryPack {
     QueryDef(
       "q_j1b_star_join",
       (s, dir) => starJoin(s, dir,
-        mapSide = Tables.orders(s, dir).count() <= StarMapSideMaxOrders),
+        mapSide = Tables.rowCount(s, dir, "orders") <= StarMapSideMaxOrders),
       Some("""SELECT r_name, count(*) AS n_lines,
                      """ + moneySumSql("l_extendedprice * (1.0 - l_discount)") + """ AS revenue
               FROM lineitem

@@ -82,6 +82,28 @@ object Tables {
     *    timezone (pinned UTC), matching DuckDB's naive-timestamp reading.
     *  - TIMESTAMP (LTZ) passes through unchanged.
     */
+  /** Memoized row counts per (session, dir, table). q_j1b's topology
+    * switch consults |orders| on every DataFrame build; the catalog
+    * memoized only the relation handle, so each fresh lineage re-ran a
+    * count job at query-build time (ADVICE r11). A count is a parquet
+    * metadata fast path, but "fast" still means a full Spark job. */
+  private val countCache =
+    new java.util.LinkedHashMap[String, java.lang.Long](16, 0.75f, true) {
+      override def removeEldestEntry(
+          eldest: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+        size() > 256
+    }
+
+  def rowCount(spark: SparkSession, dir: String, name: String): Long = {
+    val key = s"${sessionKey(spark)}@$dir/$name"
+    countCache.synchronized(Option(countCache.get(key)))
+      .map(_.longValue).getOrElse {
+        val n = load(spark, dir, name).count()
+        countCache.synchronized(countCache.put(key, java.lang.Long.valueOf(n)))
+        n
+      }
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame =
     normalizeEvents(load(spark, dir, "events"))
 

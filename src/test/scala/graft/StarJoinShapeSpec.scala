@@ -4,16 +4,17 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.queries.RelationalQueries
 
-/** q_j1b's statistics-driven shape switch (r11): below
+/** q_j1b's statistics-driven shape switch (r11, lookup form r12): below
   * [[RelationalQueries.StarMapSideMaxOrders]] the star join runs
-  * map-side — the fact table never shuffles (the only exchanges left
-  * are the broadcast builds and the 5-group aggregate) — and above it
-  * the r6 pre-aggregate + shuffle-join shape takes over. The two shapes
-  * must be bit-identical (decimal partial sums re-sum exactly), and the
+  * map-side — a session-broadcast LongDomainMap lookup projected onto
+  * the fact scan, so the fact table never shuffles and the only
+  * exchange is the 5-group aggregate — and above it the r6
+  * pre-aggregate + shuffle-join shape takes over. The two shapes must
+  * be bit-identical (decimal partial sums re-sum exactly), and the
   * map-side plan must actually be exchange-free on the fact side: a
-  * regression that reintroduces a fact-table exchange (e.g. a dropped
-  * broadcast or a pre-agg creeping back in) fails here, not in a bench
-  * artifact three rounds later.
+  * regression that reintroduces a fact-table exchange (e.g. the lookup
+  * degrading to a join or a pre-agg creeping back in) fails here, not
+  * in a bench artifact three rounds later.
   */
 class StarJoinShapeSpec extends AnyFunSuite {
 
@@ -31,14 +32,17 @@ class StarJoinShapeSpec extends AnyFunSuite {
     val df = RelationalQueries.starJoin(spark, sf, mapSide = true)
     df.collect() // let AQE finalize the adaptive plan
     val plan = df.queryExecution.executedPlan.toString
-    // the fact side must reach the join through broadcast, never through
-    // a hashpartitioning exchange on l_orderkey/o_orderkey
+    // the fact side must reach its region through the broadcast lookup,
+    // never through a hashpartitioning exchange on l_orderkey/o_orderkey
     val badExchange = plan.linesIterator.exists(l =>
       l.contains("Exchange hashpartitioning") &&
         (l.contains("l_orderkey") || l.contains("o_orderkey")))
     assert(!badExchange,
       s"fact-side exchange found in map-side star plan:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("broadcastlookup"),
+      s"BroadcastLookup projection missing from map-side star plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"fact-table join crept back into map-side star plan:\n$plan")
   }
 
   test("pre-agg plan keeps the shared l_orderkey exchange") {
