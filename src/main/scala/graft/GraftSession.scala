@@ -283,6 +283,27 @@ object GraftSession {
                 constInt(children(1), "graft_domain_lookup: handle").toLong))
           }))
         ext.injectFunction((
+          FunctionIdentifier("graft_money_scaled"),
+          new ExpressionInfo(classOf[graft.functions.MoneyScaled].getName,
+            "graft_money_scaled"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+            require(children.length == 2,
+              "graft_money_scaled(x, scale) takes 2 arguments")
+            graft.functions.MoneyScaled(children.head,
+              constInt(children(1), "graft_money_scaled: scale"))
+          }))
+        ext.injectFunction((
+          FunctionIdentifier("graft_long_to_money"),
+          new ExpressionInfo(classOf[graft.functions.LongToMoney].getName,
+            "graft_long_to_money"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+            require(children.length == 3,
+              "graft_long_to_money(unscaled, precision, scale) takes 3 arguments")
+            graft.functions.LongToMoney(children.head,
+              constInt(children(1), "graft_long_to_money: precision"),
+              constInt(children(2), "graft_long_to_money: scale"))
+          }))
+        ext.injectFunction((
           FunctionIdentifier("graft_token_hashes"),
           new ExpressionInfo(classOf[graft.functions.TokenHashes].getName, "graft_token_hashes"),
           (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

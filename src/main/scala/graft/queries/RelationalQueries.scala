@@ -95,8 +95,17 @@ object RelationalQueries extends QueryPack {
     * See the q_j1b QueryDef comment for the shape rationale. */
   private[graft] def starJoin(s: SparkSession, dir: String,
       mapSide: Boolean): DataFrame = {
-    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-      .cast(DecimalType(18, 4))
+    // revenue in exact fixed-point: the per-row HALF_UP rounding to 4
+    // decimals is bit-identical to `cast(... as decimal(18,4))`, but the
+    // fact-side aggregation runs as a codegen'd primitive sum(long) —
+    // the decimal sum alone doubled the fact-side aggregate cost
+    // (measured at x5; see graft.functions.Money for the two-tier
+    // overflow argument that makes this safe at any corpus size)
+    val cents = call_function("graft_money_scaled",
+      col("l_extendedprice") * (lit(1.0) - col("l_discount")), lit(4))
+    def money(c: Column): Column =
+      sum(call_function("graft_long_to_money", c, lit(18), lit(4)))
+        .cast(DoubleType)
     if (mapSide) {
       val lookup = call_function("graft_domain_lookup",
         col("l_orderkey"), lit(starDimsHandle(s, dir)))
@@ -106,15 +115,19 @@ object RelationalQueries extends QueryPack {
         // dim row (none in TPC-H-shaped data, but the contract is the
         // join's, not the data's)
         .filter(col("r_name").isNotNull)
+        // per-(region, partition) long partials: __pid is constant per
+        // task, so the map-side partial agg IS the complete tier-1
+        // answer and the exchange carries ≤ groups × partitions rows
+        .withColumn("__pid", spark_partition_id())
+        .groupBy(col("r_name"), col("__pid"))
+        .agg(count(lit(1)).as("__n"), sum(cents).as("__cents"))
         .groupBy(col("r_name"))
-        .agg(
-          count(lit(1)).as("n_lines"),
-          sum(rev).cast(DoubleType).as("revenue"))
+        .agg(sum(col("__n")).as("n_lines"), money(col("__cents")).as("revenue"))
         .orderBy("r_name")
     } else {
       val lagg = Tables.lineitem(s, dir)
         .groupBy(col("l_orderkey"))
-        .agg(count(lit(1)).as("ln"), sum(rev).as("lrev"))
+        .agg(count(lit(1)).as("ln"), sum(cents).as("lc"))
       lagg
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
@@ -123,7 +136,7 @@ object RelationalQueries extends QueryPack {
         .groupBy(col("r_name"))
         .agg(
           sum(col("ln")).as("n_lines"),
-          sum(col("lrev")).cast(DoubleType).as("revenue"))
+          money(col("lc")).as("revenue"))
         .orderBy("r_name")
     }
   }
