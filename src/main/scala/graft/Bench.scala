@@ -230,6 +230,11 @@ object Bench {
       val nswFs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
       nswFs.delete(new org.apache.hadoop.fs.Path(nswIdxPath), true)
+      // quiet-gate + stamp EVERY build phase, not just the serves
+      // (VERDICT r11 what's-wrong #1: the r11 artifact of record stamped
+      // int8_build 94.8 s on a loadavg-23 box — a 9x contention artifact
+      // that read as a regression; builds were the only unguarded spans)
+      val nswLoadBuild = waitQuiet()
       val nswBuildSec = time {
         graft.operators.NswIndex.buildIfAbsent(
           nswCorpus, "vec_id", "embedding", nswIdxPath,
@@ -270,6 +275,7 @@ object Bench {
       // build/serve tradeoff lives in the artifact of record.
       val nswlPath = nswIdxPath + "_l"
       nswFs.delete(new org.apache.hadoop.fs.Path(nswlPath), true)
+      val nswlLoadBuild = waitQuiet()
       val nswlBuildSec = time {
         graft.operators.NswIndex.buildIfAbsent(
           nswCorpus, "vec_id", "embedding", nswlPath,
@@ -286,12 +292,28 @@ object Bench {
       // lives in the artifact of record.
       val nswqPath = nswIdxPath + "_i8"
       nswFs.delete(new org.apache.hadoop.fs.Path(nswqPath), true)
+      val nswqLoadBuild = waitQuiet()
       val nswqBuildSec = time {
         graft.operators.NswIndex.buildIfAbsent(
           nswCorpus, "vec_id", "embedding", nswqPath,
           graft.operators.GraphAnn.Params(layered = true),
           numShards = Runtime.getRuntime.availableProcessors(),
           quantize = true)
+      }
+      // coarse build-cost regression guard (VERDICT r11 next #9 /
+      // ADVICE r10 #4 follow-through): int8 quantization staging must
+      // stay a small constant over the raw layered build — a future
+      // optimizer heuristic change that collapses the staged projection
+      // back into an O(dim²) recompute should fail the bench loudly,
+      // not surface as a silent number drift. Only armed when both
+      // build phases started quiet, so machine contention can't fake a
+      // regression.
+      if (nswlLoadBuild >= 0 && nswlLoadBuild < 12.0 &&
+          nswqLoadBuild >= 0 && nswqLoadBuild < 12.0 &&
+          nswqBuildSec > 5.0 * math.max(nswlBuildSec, 0.5)) {
+        errors("__int8_build_guard") =
+          f"int8 layered build $nswqBuildSec%.1fs > 5x raw layered " +
+            f"$nswlBuildSec%.1fs on a quiet box"
       }
       val (nswqFirstSpread, nswqAmortSec) = servePair(nswqPath)
       val nswqFirstSec = nswqFirstSpread.head
@@ -351,17 +373,20 @@ object Bench {
         s""""knn_vectors":$knnN,"knn_sec":$knnSec,""" +
         s""""nsw_build_search_sec":$nswSec,""" +
         s""""nsw_index":{"build_sec":${f"$nswBuildSec%.3f"},""" +
+        f""""loadavg_build":$nswLoadBuild%.2f,""" +
         f""""loadavg_serve":$nswLoadServe%.2f,""" +
         s""""first_search_sec":${f"$nswFirstSec%.3f"},""" +
         s""""first_search_spread":${spreadJson(nswFirstSpread)},""" +
         s""""query_amortized_sec":${f"$nswAmortSec%.4f"},""" +
         s""""rebuild_per_query_sec":${f"$nswSec%.3f"},""" +
         s""""layered_build_sec":${f"$nswlBuildSec%.3f"},""" +
+        f""""layered_loadavg_build":$nswlLoadBuild%.2f,""" +
         f""""layered_loadavg_serve":$nswlLoadServe%.2f,""" +
         s""""layered_first_search_sec":${f"$nswlFirstSec%.3f"},""" +
         s""""layered_first_search_spread":${spreadJson(nswlFirstSpread)},""" +
         s""""layered_query_amortized_sec":${f"$nswlAmortSec%.4f"},""" +
         s""""int8_build_sec":${f"$nswqBuildSec%.3f"},""" +
+        f""""int8_loadavg_build":$nswqLoadBuild%.2f,""" +
         s""""int8_first_search_sec":${f"$nswqFirstSec%.3f"},""" +
         s""""int8_first_search_spread":${spreadJson(nswqFirstSpread)},""" +
         s""""int8_query_amortized_sec":${f"$nswqAmortSec%.4f"},""" +
@@ -466,6 +491,9 @@ object Bench {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      // every build phase quiet-gated + stamped (VERDICT r11 what's-
+      // wrong #1 — same rationale as the NSW builds above)
+      val loadBuild = waitQuiet()
       val buildSec = time { IvfIndex.buildIfAbsent(e, cents, path) }
       val nQ = 10
       // warm one search per variant before its timed loop: the first
@@ -504,6 +532,7 @@ object Bench {
         .zipWithIndex.map { case (q, i) => (i.toLong, q) }
       IvfIndex.searchTopKBatch(spark, path, batchQs, nprobe = np, k = 5)
         .collect() // warm (codegen + probe selection)
+      val loadBatch = waitQuiet()
       val batchSec = time {
         IvfIndex.searchTopKBatch(spark, path, batchQs, nprobe = np, k = 5)
           .collect()
@@ -517,8 +546,18 @@ object Bench {
       // rest vs the raw index, plus its amortized serve latency
       val qPath = path + "_q"
       fs.delete(new org.apache.hadoop.fs.Path(qPath), true)
+      val qLoadBuild = waitQuiet()
       val qBuildSec = time {
         IvfIndex.buildIfAbsent(e, cents, qPath, quantize = true)
+      }
+      // int8-vs-raw build-cost guard (VERDICT r11 next #9): the staged
+      // quantize projection must stay a small constant over the raw
+      // build; armed only when both phases started quiet
+      if (loadBuild >= 0 && loadBuild < 12.0 &&
+          qLoadBuild >= 0 && qLoadBuild < 12.0 &&
+          qBuildSec > 5.0 * math.max(buildSec, 0.5)) {
+        errors("__ivf_int8_build_guard") =
+          f"ivf int8 build $qBuildSec%.1fs > 5x raw $buildSec%.1fs on a quiet box"
       }
       warmServe(qPath)
       val qAmortSec = amortOf(qPath)
@@ -527,11 +566,15 @@ object Bench {
       // 100 TB. Recall cost is reported next door (ann_recall.v11b).
       val pqPath = path + "_pq"
       fs.delete(new org.apache.hadoop.fs.Path(pqPath), true)
+      val pqLoadBuild = waitQuiet()
       val pqBuildSec = time { IvfIndex.buildPqIfAbsent(e, cents, pqPath) }
       warmServe(pqPath)
       val pqAmortSec = amortOf(pqPath)
       IvfIndex.searchTopKBatch(spark, pqPath, batchQs, nprobe = np, k = 5)
         .collect() // warm the gp-indexed ADC batch plan
+      // the r11 pq_batched-of-record (0.142 vs 0.014-0.017 quiet) was
+      // exactly this span running unguarded right after the PQ build
+      val pqLoadBatch = waitQuiet()
       val pqBatchSec = time {
         IvfIndex.searchTopKBatch(spark, pqPath, batchQs, nprobe = np, k = 5)
           .collect()
@@ -546,6 +589,11 @@ object Bench {
         f""""batched_query_sec":$batchSec%.4f,""" +
         f""""pq_batched_query_sec":$pqBatchSec%.4f,""" +
         f""""loadavg_serve":$loadServe%.2f,""" +
+        f""""loadavg_batch":$loadBatch%.2f,""" +
+        f""""pq_loadavg_batch":$pqLoadBatch%.2f,""" +
+        f""""loadavg_build":$loadBuild%.2f,""" +
+        f""""int8_loadavg_build":$qLoadBuild%.2f,""" +
+        f""""pq_loadavg_build":$pqLoadBuild%.2f,""" +
         f""""build_sec":$buildSec%.3f,""" +
         f""""query_amortized_sec":$amortSec%.4f,""" +
         f""""rebuild_per_query_sec":$rebuildSec%.4f,""" +
