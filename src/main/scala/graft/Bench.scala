@@ -802,11 +802,102 @@ object Bench {
       val a1 = pts.head._2.amortSec
       val ratios = pts.tail.map { case (m, p) =>
         f""""serve_ratio_x$m":${p.amortSec / math.max(a1, 1e-9)}%.2f"""
-      }.mkString(",")
-      Some(s""""ann_scaled":{"dim":$dim,"nprobe":$servNprobe,$body,$ratios}""")
+      }
+      // a single-entry SPARK_GRAFT_ANN_MULTS leaves no ratio fields;
+      // filtering empties keeps the JSON valid (ADVICE r11)
+      val fields = (Seq(s""""dim":$dim,"nprobe":$servNprobe""", body) ++ ratios)
+        .filter(_.nonEmpty).mkString(",")
+      Some(s""""ann_scaled":{$fields}""")
     } catch {
       case e: Throwable =>
         errors("__ann_scaled") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        None
+    }
+    // ---- scaled-GRAPH ladder (VERDICT r11 next #6): ann_scaled proves
+    // the IVF serve flat to x100, but the reference's actual serving
+    // config is the GRAPH index (HNSW, init_qdrant.py:45-50) and it had
+    // no scaled point — its build/serve story rode the fixed-size bench
+    // corpus only. Same nested sin-ramp corpora and corpus-locality
+    // query as ann_scaled (the exact top-10 is the same set at every
+    // point, so recall change isolates navigation quality as shards
+    // fill), layered build = the reference's hierarchy config; serve at
+    // a fixed ef so the cost knob is pinned across scales. first_search
+    // re-pays the per-executor graph load (evictServed per rep); serve
+    // is the resident-graph amortized number.
+    val nswScaled = try {
+      import graft.operators.NswIndex
+      val dim = graft.queries.VectorQueries.Dim
+      val baseN = 20000L
+      val ef = 64
+      val nswSFs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      case class NswPoint(n: Long, buildSec: Double, firstSec: Double,
+        amortSec: Double, recall10: Double)
+      def timeAt(mult: Int): NswPoint = {
+        val n = baseN * mult
+        val e = spark.range(n).select(
+          col("id").as("vec_id"),
+          array((0 until dim).map(d =>
+            sin((col("id") + 1).cast("double") * (d * 7 + 3) * 1e-4)): _*)
+            .as("embedding")).persist()
+        e.count()
+        val qv: Seq[Double] =
+          (0 until dim).map(d => math.sin(10001.0 * (d * 7 + 3) * 1e-4))
+        val path = System.getProperty("java.io.tmpdir") +
+          s"/graft_nswscaled_x${mult}_" +
+          sfDir.replaceAll("[^A-Za-z0-9]", "_")
+        nswSFs.delete(new org.apache.hadoop.fs.Path(path), true)
+        waitQuiet()
+        val buildSec = time {
+          NswIndex.buildIfAbsent(e, "vec_id", "embedding", path,
+            graft.operators.GraphAnn.Params(layered = true),
+            numShards = Runtime.getRuntime.availableProcessors())
+        }
+        waitQuiet()
+        val firstSec = (1 to 2).map { _ =>
+          NswIndex.evictServed(path)
+          time { NswIndex.searchTopK(spark, path, qv, k = 10, efSearch = ef).collect() }
+        }.min
+        val nQ = 10
+        val amort = time {
+          (1 to nQ).foreach { _ =>
+            NswIndex.searchTopK(spark, path, qv, k = 10, efSearch = ef).collect()
+          }
+        } / nQ
+        val annIds = NswIndex.searchTopK(spark, path, qv, k = 10, efSearch = ef)
+          .collect().map(_.getLong(0)).toSet
+        val exactIds = e
+          .withColumn("score",
+            graft.operators.VectorOps.cosine(col("embedding"), typedLit(qv)))
+          .orderBy(desc("score"), col("vec_id"))
+          .limit(10).select("vec_id")
+          .collect().map(_.getLong(0)).toSet
+        val recall = annIds.intersect(exactIds).size / 10.0
+        e.unpersist()
+        nswSFs.delete(new org.apache.hadoop.fs.Path(path), true)
+        NswPoint(n, buildSec, firstSec, amort, recall)
+      }
+      timeAt(1) // discard: codegen + reader warmup, same as ann_scaled
+      val mults = sys.env.getOrElse("SPARK_GRAFT_NSW_MULTS", "1,5,25")
+        .split(",").map(_.trim.toInt).toSeq
+      val pts = mults.map(m => m -> timeAt(m))
+      val body = pts.map { case (m, p) =>
+        s""""x${m}_n":${p.n},""" +
+          f""""x${m}_build_sec":${p.buildSec}%.3f,""" +
+          f""""x${m}_first_sec":${p.firstSec}%.3f,""" +
+          f""""x${m}_serve_sec":${p.amortSec}%.4f,""" +
+          f""""x${m}_recall10":${p.recall10}%.2f"""
+      }.mkString(",")
+      val a1 = pts.head._2.amortSec
+      val ratios = pts.tail.map { case (m, p) =>
+        f""""serve_ratio_x$m":${p.amortSec / math.max(a1, 1e-9)}%.2f"""
+      }
+      val fields = (Seq(s""""dim":$dim,"ef":$ef""", body) ++ ratios)
+        .filter(_.nonEmpty).mkString(",")
+      Some(s""""nsw_scaled":{$fields}""")
+    } catch {
+      case e: Throwable =>
+        errors("__nsw_scaled") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         None
     }
     // ---- streaming ingest throughput probe (r11): the X-family queries
@@ -1205,7 +1296,7 @@ object Bench {
     // copies in the storage pool for the rest of the process)
     ScratchCache.drain(spark)
     val extras = Seq(throughput, recall, ivf, dedupScaled, annScaled,
-      streamTp, duck).flatten ++ scaledBlocks
+      nswScaled, streamTp, duck).flatten ++ scaledBlocks
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","headline":$headline,""" +
       f""""streaming_harness_sec":$streamingSec%.3f,""" +
@@ -1237,6 +1328,7 @@ object Bench {
     }.getOrElse("null")
     val dedupC = dedupScaled.map(_.stripPrefix("\"dedup_scaled\":")).getOrElse("null")
     val annC = annScaled.map(_.stripPrefix("\"ann_scaled\":")).getOrElse("null")
+    val nswScaledC = nswScaled.map(_.stripPrefix("\"nsw_scaled\":")).getOrElse("null")
     val streamC = streamTp.map(_.stripPrefix("\"streaming_tp\":")).getOrElse("null")
     val scaledC = scaledBlocks.find(_.startsWith("\"duckdb_scaled\":"))
       .map(_.stripPrefix("\"duckdb_scaled\":")).getOrElse("null")
@@ -1250,6 +1342,7 @@ object Bench {
       s""""slowest":$slowest,"throughput":$throughputC,""" +
       s""""ann_recall":$recallC,"ivf_index":$ivfC,"duckdb":$duckC,""" +
       s""""dedup_scaled":$dedupC,"ann_scaled":$annC,""" +
+      s""""nsw_scaled":$nswScaledC,""" +
       s""""streaming_tp":$streamC,""" +
       s""""duckdb_scaled":$scaledC,"duckdb_scaled_x10":$scaledX10C,""" +
       s""""sf":${jstr(sfDir)}}"""
@@ -1341,6 +1434,10 @@ object Bench {
         "x1_recall10" -> "rec1", "x5_recall10" -> "rec5",
         "x25_recall10" -> "rec25",
         "x25_probed_frac" -> "frac25")},""" +
+      s""""nsw_scaled":${mini(nswScaled,
+        "serve_ratio_x5" -> "r5", "serve_ratio_x25" -> "r25",
+        "x25_build_sec" -> "x25_build", "x25_serve_sec" -> "x25_serve",
+        "x1_recall10" -> "rec1", "x25_recall10" -> "rec25")},""" +
       s""""stream":${mini(streamTp,
         "agg_events_per_s" -> "agg_eps",
         "tick_events_per_s" -> "tick_eps")},""" +
