@@ -946,14 +946,19 @@ object Bench {
       def fileStream = spark.readStream.schema(sch)
         .option("maxFilesPerTrigger", 4).parquet(inDir)
       val loadStream = loadAvg()
+      // batch counts are OBSERVED from the query's progress log, not
+      // asserted (ADVICE r11: repartition(16) can emit fewer non-empty
+      // files and AvailableNow's actual micro-batch count may differ
+      // from the 4 the staging aims for)
       def runToEnd(start: => org.apache.spark.sql.streaming.StreamingQuery)
-          : Double = {
+          : (Double, Int) = {
         val t0 = System.nanoTime()
         val q = start
         q.awaitTermination()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        (sec, q.recentProgress.count(_.numInputRows > 0))
       }
-      val aggSec = runToEnd {
+      val (aggSec, aggBatches) = runToEnd {
         fileStream
           .withWatermark("ts", "2 hours")
           .groupBy(window(col("ts"), "1 hour"), col("user_id"))
@@ -962,18 +967,59 @@ object Bench {
           .option("checkpointLocation", root + "/ckpt_agg")
           .trigger(Trigger.AvailableNow()).start()
       }
-      val tickSec = runToEnd {
+      graft.streaming.IncrementalTick.Phases.reset()
+      val (tickSec, tickBatches) = runToEnd {
         graft.streaming.IncrementalTick.startStream(
           fileStream, root + "/tick_sink", root + "/ckpt_tick",
           Trigger.AvailableNow())
       }
-      val tickRows = spark.read.parquet(root + "/tick_sink").count()
+      // where the tick time goes (VERDICT r11 next #7), two views:
+      //  (a) in-stream: probe (min-ts agg + coverage checks, real sink
+      //      reads) vs the fused append job, accumulated across the
+      //      measured batches; the remainder to tick_sec is micro-batch
+      //      machinery (offset log, commit, planning);
+      //  (b) post-hoc decomposition of ONE append job's fused
+      //      read→kernel→write on the final sink state — the stages
+      //      execute as one job in production, so the split is measured
+      //      by running each prefix separately and differencing.
+      val tickProbeSec = graft.streaming.IncrementalTick.Phases.probeSec
+      val tickAppendSec = graft.streaming.IncrementalTick.Phases.appendSec
+      val tickSinkPath = root + "/tick_sink"
+      val tickCols = Seq("event_id", "ts", "ts_ns", "user_id", "value")
+      val maxTsNs = spark.read.parquet(tickSinkPath)
+        .agg(max(col("ts_ns"))).first().getLong(0)
+      def tickTail = graft.streaming.IncrementalTick
+        .prunedSlice(spark, tickSinkPath, maxTsNs,
+          graft.streaming.IncrementalTick.Lookback.toLong)
+        .select(tickCols.map(col): _*)
+      val decompReadSec = time { tickTail.count() }
+      // an agg over the kernel OUTPUTS — a bare count() lets Catalyst
+      // prune the window kernels entirely and times another tail read
+      val decompKernelTotal = time {
+        graft.streaming.IncrementalTick.enrich(tickTail)
+          .agg(sum(col("sma30")), sum(col("bb_up")), sum(col("bb_lo")),
+            count(when(col("buy"), 1)))
+          .collect()
+      }
+      val decompScratch = root + "/decomp_out"
+      val decompWriteTotal = time {
+        graft.streaming.IncrementalTick.enrich(tickTail)
+          .write.mode("overwrite").parquet(decompScratch)
+      }
+      val tickRows = spark.read.parquet(tickSinkPath).count()
       sFs.delete(new org.apache.hadoop.fs.Path(root), true)
-      Some(s""""streaming_tp":{"n_events":$n,"n_batches":4,""" +
+      Some(s""""streaming_tp":{"n_events":$n,""" +
+        s""""agg_batches":$aggBatches,"tick_batches":$tickBatches,""" +
         f""""agg_sec":$aggSec%.3f,""" +
         s""""agg_events_per_s":${(n / math.max(aggSec, 1e-9)).toLong},""" +
         f""""tick_sec":$tickSec%.3f,""" +
         s""""tick_events_per_s":${(n / math.max(tickSec, 1e-9)).toLong},""" +
+        f""""tick_probe_sec":$tickProbeSec%.3f,""" +
+        f""""tick_append_sec":$tickAppendSec%.3f,""" +
+        f""""tick_harness_sec":${math.max(tickSec - tickProbeSec - tickAppendSec, 0.0)}%.3f,""" +
+        f""""tick_decomp_tail_read_sec":$decompReadSec%.3f,""" +
+        f""""tick_decomp_kernel_sec":${math.max(decompKernelTotal - decompReadSec, 0.0)}%.3f,""" +
+        f""""tick_decomp_write_sec":${math.max(decompWriteTotal - decompKernelTotal, 0.0)}%.3f,""" +
         s""""tick_sink_rows":$tickRows,""" +
         f""""loadavg_start":$loadStream%.2f}""")
     } catch {

@@ -38,6 +38,26 @@ object IncrementalTick {
 
   val Lookback = 299
 
+  /** Driver-side wall-time accounting across [[processBatch]] calls,
+    * split at the component's natural execution boundaries: `probe` =
+    * the eager pre-append work (new-batch min-ts aggregate + the
+    * coverage-widening slice checks, each a real sink read), `append` =
+    * the single fused job that reads the pruned tail, recomputes the
+    * kernels over tail+new and writes the appended rows (read/kernel/
+    * write execute as ONE Spark job by design — Bench decomposes them
+    * post-hoc on the final sink state). Zero-cost when nobody reads it;
+    * Bench snapshots + resets around its throughput probe so the tick
+    * events/s number carries its own breakdown (VERDICT r11 next #7).
+    */
+  object Phases {
+    val probeNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    val appendNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    def reset(): Unit = { probeNanos.set(0L); appendNanos.set(0L); batches.set(0) }
+    def probeSec: Double = probeNanos.get / 1e9
+    def appendSec: Double = appendNanos.get / 1e9
+  }
+
   /** The per-tick enrichment over a (lookback+new) frame: the
     * frame-expressible pack (SMA30, Bollinger(20,2), band signals). */
   def enrich(df: DataFrame): DataFrame = {
@@ -148,6 +168,7 @@ object IncrementalTick {
   def processBatch(spark: SparkSession, newRows: DataFrame, sinkPath: String,
       lookbackHours: Long = Lookback.toLong): Unit = {
     if (newRows.isEmpty) return // X4: empty micro-batch no-op
+    val probeT0 = System.nanoTime()
     val minNewTsNs = newRows.agg(min(col("ts_ns"))).first().getLong(0)
     // only a MISSING sink path reads as "no history" (first tick); once
     // the path exists any read failure propagates (corrupt sink ≠ empty)
@@ -163,6 +184,8 @@ object IncrementalTick {
         Some(coveredSlice(spark, sinkPath, newRows, minNewTsNs,
           lookbackHours, minDay))
       }
+    Phases.probeNanos.addAndGet(System.nanoTime() - probeT0)
+    val appendT0 = System.nanoTime()
     val union = slice match {
       case None    => newRows.select(InputCols.map(col): _*)
       case Some(s) => rowCap(s).unionByName(newRows.select(InputCols.map(col): _*))
@@ -179,6 +202,8 @@ object IncrementalTick {
         col("event_id") === col("__seen"), "left_anti")
     }
     Sinks.appendPartitioned(guarded, "ts", sinkPath)
+    Phases.appendNanos.addAndGet(System.nanoTime() - appendT0)
+    Phases.batches.incrementAndGet()
   }
 
   /** Drives a sequence of micro-batches (driver-sequenced, the
