@@ -1079,10 +1079,21 @@ object Bench {
       val scaledDir = graft.sources.ScaledTables.ensure(spark, sfDir, mult)
       val subRel = rel.view.filterKeys(names.contains).toMap
       val duckScaled = runDuck(scaledDir, writeJson(subRel)).getOrElse(Map.empty)
+      // a duck value <= 0 means the oracle errored or hit the
+      // per-query budget: keep the query in the block with
+      // duck_timed_out:true and its MEASURED spark seconds (VERDICT
+      // r11 next #4 — q_d5's x10 ratio printed a bare 0.0 when
+      // DuckDB's recursive-CTE CC approached the budget; raw seconds
+      // per side make every ratio auditable and a floored one visible)
+      case class ScaledQ(name: String, planSec: Double, callSec: Double,
+        duckSec: Double, timedOut: Boolean) {
+        def execSec: Double = math.max(callSec - planSec, 1e-4)
+        def execRatio: Double = execSec / duckSec
+        def freshRatio: Double = callSec / duckSec
+      }
       val pairs = names.sorted.flatMap { n =>
         val d = duckScaled.getOrElse(n, -1.0)
-        if (d <= 0) None
-        else SparkEntry.freshQueries.get(n).flatMap { fn =>
+        SparkEntry.freshQueries.get(n).flatMap { fn =>
           try {
             fn(spark, scaledDir).collect() // warm tables/codegen for this dir
             val planT = (1 to 2).map { _ =>
@@ -1095,24 +1106,32 @@ object Bench {
               fn(spark, scaledDir).collect()
               (System.nanoTime() - t0) / 1e9
             }.min
-            Some(n -> (math.max(callT - planT, 1e-4) / d, callT / d))
+            Some(ScaledQ(n, planT, callT, d, timedOut = d <= 0))
           } catch { case _: Throwable => None }
         }
       }
       def med(rs: Seq[Double]): Double = {
         val s = rs.sorted; if (s.isEmpty) -1.0 else s(s.size / 2)
       }
-      val execMed = med(pairs.map(_._2._1))
-      val freshMed = med(pairs.map(_._2._2))
-      // per-query exec ratios named in the artifact (VERDICT r10 next
-      // #5 wants q_d1/q_d5 readable in the x10 block, not just folded
-      // into a median)
-      val perQ = pairs.map { case (n, (ex, _)) =>
-        s"${jstr(n)}:${f"$ex%.3f"}"
+      val compared = pairs.filterNot(_.timedOut)
+      val execMed = med(compared.map(_.execRatio))
+      val freshMed = med(compared.map(_.freshRatio))
+      // per-query raw seconds + ratio named in the artifact (VERDICT
+      // r10 next #5 / r11 next #4): spark exec + fresh-call seconds,
+      // duck seconds, the ratio, and an explicit timeout flag — no
+      // bare ratios whose provenance can't be audited
+      val perQ = pairs.map { q =>
+        val base = s"${jstr(q.name)}:{" +
+          f""""spark_exec_sec":${q.execSec}%.3f,""" +
+          f""""spark_fresh_sec":${q.callSec}%.3f,"""
+        if (q.timedOut) base + s""""duck_timed_out":true}"""
+        else base + f""""duck_sec":${q.duckSec}%.3f,"ratio":${q.execRatio}%.3f}"""
       }.mkString("{", ",", "}")
       scaledBlocks = scaledBlocks :+ (
         s""""$label":{"scale_mult":$mult,"base_sf":${jstr(sfDir)},""" +
-        s""""n_compared":${pairs.size},"subset":${jstr(subsetLabel)},""" +
+        s""""n_compared":${compared.size},""" +
+        s""""n_duck_timed_out":${pairs.count(_.timedOut)},""" +
+        s""""subset":${jstr(subsetLabel)},""" +
         f""""median_ratio_exec_heavy":$execMed%.3f,""" +
         f""""median_ratio_fresh_heavy":$freshMed%.3f,""" +
         s""""per_query_exec":$perQ}""")
@@ -1142,22 +1161,18 @@ object Bench {
       val pins = dedupPins.filter(rel.contains)
       val heavyNames =
         (duckSec.toSeq.filter(_._2 >= 0.05).map(_._1) ++ pins).distinct.sorted
-      val duckAtMult = scaledProofAt(mult, "duckdb_scaled", heavyNames,
+      scaledProofAt(mult, "duckdb_scaled", heavyNames,
         "full_heavy_set_plus_dedup", rel, writeJson, runDuck)
       if (mult != 10) {
-        val top8 = duckAtMult.toSeq.filter(_._2 >= 0.05 * mult)
-          .sortBy(-_._2).take(8).map(_._1)
-        // subset honesty: the x10 median runs over the 8 heaviest-by-
-        // DuckDB-time queries (the execution-dominated tail), NOT the
-        // full heavy set — the JSON says so, so the two medians are
-        // never read as like-for-like. q_e2 is pinned into the subset
-        // (VERDICT r7 next #7 / r8 next #8): its x10 exec ratio is the
-        // pipeline-shaped amortization point the judge tracks; the
-        // dedup pair is pinned for the same reason (r10 next #5).
-        val x10Subset = (top8 ++ Seq("q_e2_news_pipeline") ++ pins)
-          .distinct.filter(rel.contains)
-        scaledProofAt(10, "duckdb_scaled_x10", x10Subset,
-          "top8_by_x5_duck_time_plus_q_e2_and_dedup", rel, writeJson, runDuck)
+        // x10 over the FULL heavy set (VERDICT r11 next #8): through
+        // r11 the default x10 tier ran only the 8 heaviest-by-x5-duck
+        // queries, so the artifact of record carried a subset median
+        // while the full-set number lived in a specially-named run.
+        // The full set costs a second DuckDB sweep on the 10x replica
+        // (budgeted 120 s/query — a floored oracle now stamps
+        // duck_timed_out instead of skewing the median).
+        scaledProofAt(10, "duckdb_scaled_x10", heavyNames,
+          "full_heavy_set_plus_dedup", rel, writeJson, runDuck)
       }
     }
     // ---- DuckDB wall-time comparison (BASELINE.md "relational < 2x
