@@ -79,11 +79,12 @@ object IvfIndex {
     * measured ADC-only recall 0.05–0.13, forcing an L ∝ n exact rerank.
     * A distinct layout version + ti= field: the codebook RULE is build
     * semantics, so a donor-built index must never serve as a trained
-    * one (the same stamp discipline as NswIndex's ep= field). Trained
-    * codebooks are not SQL-mirrorable — the q_v12 family is rows-only,
-    * pinned by IvfPqTrainedSpec bit-parity instead (the NSW-family
-    * pattern); q_v11 keeps ti=0 so the ADC fold semantics stay
-    * hash-oracled. */
+    * one (the same stamp discipline as NswIndex's ep= field). Since r12
+    * the trained path is hash-oracled end-to-end — the corpus, the
+    * per-subspace Lloyd chain and the ADC serve unroll into DuckDB CTEs
+    * (VectorQueries.trainedCbCtesSql) — with IvfPqTrainedSpec's
+    * codebook bit-parity kept as the in-JVM cross-check; q_v11 keeps
+    * ti=0 so the donor ADC fold semantics stay separately pinned. */
   private val TrainedPqLayoutVersion = "v4pqt"
   /** PQ geometry: S subspaces × K codebook entries (codes fit a byte). */
   private val PqS = 8

@@ -290,6 +290,186 @@ object VectorQueries extends QueryPack {
     (e, k, path)
   }
 
+  // ---- DuckDB mirrors for the trained-PQ family (r12 — VERDICT r11
+  // next #5: the q_v12 "not reasonably SQL-mirrorable" claim fell to
+  // the same treatment q_v6d gave full-vector k-means: the corpus, the
+  // per-subspace Lloyd refinement, and the ADC serve all unroll into
+  // CTEs, so the whole trained path is hash-oracled end-to-end).
+
+  /** Spark's `hash(id, r)` — Murmur3 x86-32, seed 42, a LongType block
+    * then an IntType block, each fully fmixed (Spark chains per-child
+    * full hashes, not raw Murmur blocks) — as a DuckDB lateral-alias
+    * column chain ending in the coefficient
+    * `(pmod(hash,2001)/1000 − 1)·0.6`. Mod-2³² arithmetic rides
+    * HUGEINT for the multiplies (a 32-bit value times a 32-bit constant
+    * overflows BIGINT); shifts/xors stay BIGINT. The high half of `id`
+    * is zero for any corpus id (< 2³¹), so its mixK1 contributes the
+    * identity and only the rotate/multiply of mixH1 appears (h2b/h2).
+    * Validated bit-exact against Spark over id < 2³¹, r ∈ 0..3. */
+  private val murmurCoefColsSql: String =
+    """CAST((CAST(id AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS a1,
+      |    (((a1 * 32768) % 4294967296) | (a1 // 131072)) AS a2,
+      |    CAST((CAST(a2 AS HUGEINT) * 461845907) % 4294967296 AS BIGINT) AS k1,
+      |    xor(42, k1) AS h1a,
+      |    (((h1a * 8192) % 4294967296) | (h1a // 524288)) AS h1b,
+      |    CAST((CAST(h1b AS HUGEINT) * 5 + 3864292196) % 4294967296 AS BIGINT) AS h1,
+      |    (((h1 * 8192) % 4294967296) | (h1 // 524288)) AS h2b,
+      |    CAST((CAST(h2b AS HUGEINT) * 5 + 3864292196) % 4294967296 AS BIGINT) AS h2,
+      |    xor(h2, 8) AS f0, xor(f0, f0 // 65536) AS f1,
+      |    CAST((CAST(f1 AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS f2,
+      |    xor(f2, f2 // 8192) AS f3,
+      |    CAST((CAST(f3 AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS f4,
+      |    xor(f4, f4 // 65536) AS hL,
+      |    CAST((CAST(r AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS b1,
+      |    (((b1 * 32768) % 4294967296) | (b1 // 131072)) AS b2,
+      |    CAST((CAST(b2 AS HUGEINT) * 461845907) % 4294967296 AS BIGINT) AS kr,
+      |    xor(hL, kr) AS g1,
+      |    (((g1 * 8192) % 4294967296) | (g1 // 524288)) AS g2,
+      |    CAST((CAST(g2 AS HUGEINT) * 5 + 3864292196) % 4294967296 AS BIGINT) AS g3,
+      |    xor(g3, 4) AS e0, xor(e0, e0 // 65536) AS e1,
+      |    CAST((CAST(e1 AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS e2,
+      |    xor(e2, e2 // 8192) AS e3,
+      |    CAST((CAST(e3 AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS e4,
+      |    xor(e4, e4 // 65536) AS hf,
+      |    CASE WHEN hf >= 2147483648 THEN hf - 4294967296 ELSE hf END AS hs,
+      |    (CAST(((hs % 2001) + 2001) % 2001 AS DOUBLE) / 1000.0 - 1.0) * 0.6 AS coef""".stripMargin
+
+  /** [[clusteredCorpus]] as DuckDB CTEs ending in
+    * `e(vec_id, label, emb)` — |embeddings| rows of the same bits Spark
+    * produces (geometry embedded as double literals, coefficients from
+    * the Murmur mirror, per-dimension sums in the identical
+    * left-to-right order). The id grid enumerates `embeddings.vec_id`
+    * (contiguous 0..n−1 by the testdata contract — DuckDB's `range`
+    * table function rejects a subquery bound, so `s.range(n)` mirrors
+    * through the table itself). Prepend inside a WITH; `nn` carries the
+    * corpus count for [[kkCtes]]-style sizing downstream. */
+  private lazy val clusteredCorpusCtesSql: String = {
+    val cl = clustCenters.flatten.map(dl).mkString("[", ",", "]")
+    val dls = clustDirs.flatten.map(dl).mkString("[", ",", "]")
+    s"""nn AS (SELECT count(*) AS n FROM embeddings),
+       |geo AS (SELECT $cl AS centers, $dls AS dirs),
+       |grid AS (SELECT e0.vec_id AS id, r.r
+       |         FROM embeddings e0,
+       |              (SELECT unnest([0,1,2,3]) AS r) r),
+       |mm AS (SELECT id, r, $murmurCoefColsSql FROM grid),
+       |co AS (SELECT id,
+       |    max(CASE WHEN r=0 THEN coef END) AS k0,
+       |    max(CASE WHEN r=1 THEN coef END) AS k1,
+       |    max(CASE WHEN r=2 THEN coef END) AS k2,
+       |    max(CASE WHEN r=3 THEN coef END) AS k3
+       |  FROM mm GROUP BY id),
+       |e AS (SELECT co.id AS vec_id,
+       |    'c' || CAST(CAST(co.id % $ClustC AS INT) AS VARCHAR) AS label,
+       |    list_transform(range(0, $Dim), j ->
+       |      geo.centers[(co.id % $ClustC) * $Dim + j + 1]
+       |      + co.k0 * geo.dirs[((co.id % $ClustC) * $ClustRank + 0) * $Dim + j + 1]
+       |      + co.k1 * geo.dirs[((co.id % $ClustC) * $ClustRank + 1) * $Dim + j + 1]
+       |      + co.k2 * geo.dirs[((co.id % $ClustC) * $ClustRank + 2) * $Dim + j + 1]
+       |      + co.k3 * geo.dirs[((co.id % $ClustC) * $ClustRank + 3) * $Dim + j + 1]) AS emb
+       |  FROM co, geo)""".stripMargin
+  }
+
+  /** Squared-L2 between two `d`-element list expressions, ascending-i
+    * left-assoc adds — the fold order of both [[VectorOps.l2dist]] and
+    * `graft_pq_encode`'s inner loop (0.0-seeded folds equal the bare
+    * chain bit-for-bit because every term is a non-negative square). */
+  private def l2TermsSql(a: String, b: String, d: Int): String =
+    (1 to d).map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])").mkString(" + ")
+
+  /** The trained-PQ codebook + encoding as DuckDB CTEs (mirrors
+    * [[graft.operators.IvfIndex.buildPqIfAbsent]] with the default
+    * trainIters=3): requires `nn`, `e`, `cells` in scope; emits
+    * `resid` (per-row residuals), `cbk(s, j, remb)` (the refined 8-dim
+    * codebook entries) and `codes(vec_id, s, code)`. The Lloyd mirror
+    * is the q_v6d pattern under the L2 metric: argmin ties → smallest
+    * cent_id, per-dim means as exact DECIMAL(28,12) sums rounded at
+    * scale 12 then divided as DOUBLE, empty cells keep their previous
+    * entry; the training set is the stride sample
+    * (stride = max(1, n ÷ 65536)), the init is the donor slices. */
+  private def trainedCbCtesSql(iters: Int = 3): String = {
+    val subD = Dim / 8
+    def lloydIter(prev: String, i: Int): String =
+      s"""pqa$i AS (
+         |  SELECT vec_id, s, cent_id FROM (
+         |    SELECT sb.vec_id, sb.s, c.cent_id,
+         |           row_number() OVER (PARTITION BY sb.vec_id, sb.s
+         |             ORDER BY ${l2TermsSql("sb.sub", "c.cvec", subD)}, c.cent_id) AS rk
+         |    FROM subs sb JOIN $prev c ON c.s = sb.s) t
+         |  WHERE rk = 1
+         |), pqu$i AS (
+         |  SELECT s, cent_id, list(m ORDER BY d) AS uvec FROM (
+         |    SELECT a.s, a.cent_id, dims8.d,
+         |           round(CAST(sum(CAST(sb.sub[dims8.d + 1] AS DECIMAL(28,12))) AS DOUBLE)
+         |                 / count(*), 12) AS m
+         |    FROM subs sb JOIN pqa$i a ON a.vec_id = sb.vec_id AND a.s = sb.s, dims8
+         |    GROUP BY a.s, a.cent_id, dims8.d) t
+         |  GROUP BY s, cent_id
+         |), pqcb$i AS (
+         |  SELECT p.s, p.cent_id, COALESCE(u.uvec, p.cvec) AS cvec
+         |  FROM $prev p LEFT JOIN pqu$i u ON u.s = p.s AND u.cent_id = p.cent_id
+         |)""".stripMargin
+    val chain = (1 to iters).map(i =>
+      lloydIter(if (i == 1) "cb0" else s"pqcb${i - 1}", i)).mkString(",\n")
+    s"""resid AS (
+       |  SELECT vec_id, list_transform(list_zip(emb, cvec),
+       |           p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS res
+       |  FROM cells
+       |), ss AS (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS INT) AS s
+       |), dims8 AS (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS INT) AS d
+       |), st AS (SELECT greatest(1, n // 65536) AS stride FROM nn
+       |), cb0 AS (
+       |  SELECT ss.s, CAST(r.vec_id AS INT) AS cent_id,
+       |         list_transform(range(0, $subD), i -> r.res[ss.s * $subD + i + 1]) AS cvec
+       |  FROM resid r, ss WHERE r.vec_id < 16
+       |), subsAll AS (
+       |  SELECT r.vec_id, ss.s,
+       |         list_transform(range(0, $subD), i -> r.res[ss.s * $subD + i + 1]) AS sub
+       |  FROM resid r, ss
+       |), subs AS (
+       |  SELECT sb.vec_id, sb.s, sb.sub FROM subsAll sb, st
+       |  WHERE sb.vec_id % st.stride = 0
+       |), $chain,
+       |cbk AS (SELECT s, cent_id AS j, cvec AS remb FROM pqcb$iters),
+       |codes AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT sb.vec_id, sb.s, cb.j AS code,
+       |           row_number() OVER (PARTITION BY sb.vec_id, sb.s
+       |             ORDER BY ${l2TermsSql("sb.sub", "cb.remb", subD)}, cb.j) AS rk
+       |    FROM subsAll sb JOIN cbk cb ON cb.s = sb.s) t
+       |  WHERE rk = 1
+       |)""".stripMargin
+  }
+
+  /** DuckDB (1.0) inlines every non-recursive CTE once per reference;
+    * the trained-PQ oracles reference `e`/`cells`/`subsAll`/`codes`
+    * many times TRANSITIVELY, so the inlined expansion multiplies
+    * through the Lloyd chain and the binder plan explodes (measured:
+    * out-of-memory at n = 500). Forcing `AS MATERIALIZED` on every CTE
+    * head evaluates each once — semantics unchanged, cost linear. The
+    * rewrite targets CTE heads only: in these strings `name AS (` never
+    * appears as anything else (column aliases are `expr AS name`). */
+  private def materializeCtes(sql: String): String =
+    sql.replaceAll("([A-Za-z_][A-Za-z0-9_]*) AS \\(", "$1 AS MATERIALIZED (")
+
+  /** Shared WITH-body prefix for the q_v12 oracles: clustered corpus →
+    * coarse quantizer sizing → centroids → cosine cell assignment →
+    * trained codebooks + per-row codes. Ends ready for query-side
+    * CTEs. */
+  private lazy val trainedPqOracleCtes: String =
+    s"""$clusteredCorpusCtesSql,
+       |${kkCtes("embeddings")},
+       |cents AS (
+       |  SELECT vec_id AS cent_id, emb AS cvec FROM e, kk WHERE vec_id < kk.k
+       |), cells AS (
+       |  SELECT vec_id, label, emb, cent_id, cvec
+       |  FROM (SELECT e.vec_id, e.label, e.emb, c.cent_id, c.cvec,
+       |               row_number() OVER (PARTITION BY e.vec_id
+       |                 ORDER BY ${cosineSql("e.emb", "c.cvec")} DESC,
+       |                          c.cent_id) AS rk
+       |        FROM e, cents c) t
+       |  WHERE rk = 1
+       |), ${trainedCbCtesSql()}""".stripMargin
+
   /** The 8 standard query points (vec_id < 8) of a corpus, collected
     * driver-side for the per-query index searches. */
   private def queryPoints(e: DataFrame): Seq[(Long, Seq[Double])] =
@@ -2147,11 +2327,12 @@ object VectorQueries extends QueryPack {
     // sample) replaces the raw donor entries; measured on the low-rank
     // clustered corpus because that is the manifold shape real embedding
     // tables have (the near-orthogonal `embeddings` table is PQ's
-    // degenerate case and stays measured by q_v11b). Rows-only by
-    // design: Lloyd iterations are not reasonably SQL-mirrorable —
-    // IvfPqTrainedSpec pins the codebooks bit-for-bit against a literal
-    // driver-side reference instead (the NSW-family pattern), and the
-    // ADC fold semantics stay hash-oracled via q_v11.
+    // degenerate case and stays measured by q_v11b). Hash-oracled since
+    // r12 (VERDICT r11 next #5): the corpus, the Murmur coefficients,
+    // the per-subspace Lloyd chain and the ADC serve all unroll into
+    // DuckDB CTEs (see [[clusteredCorpusCtesSql]]/[[trainedCbCtesSql]]);
+    // IvfPqTrainedSpec keeps the codebook bit-parity pin as the
+    // in-JVM cross-check.
     QueryDef(
       "q_v12_ivfpq_trained",
       (s, dir) => {
@@ -2160,7 +2341,52 @@ object VectorQueries extends QueryPack {
         graft.operators.IvfIndex.searchTopK(s, path, qv,
           nprobe = ivfNprobe(k), k = 5)
       },
-      None),
+      Some {
+        val qdotrSql = (1 to 8).map(i =>
+          s"qq.qv[c.s*8+$i] * cb.remb[$i]").mkString(" + ")
+        val cdotrSql = (1 to 8).map(i =>
+          s"cl.cvec[c.s*8+$i] * cb.remb[$i]").mkString(" + ")
+        val rn2Sql = (1 to 8).map(i =>
+          s"cb.remb[$i] * cb.remb[$i]").mkString(" + ")
+        def fold(expr: String) =
+          s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |  list($expr ORDER BY s)), (a, b) -> a + b)""".stripMargin
+        materializeCtes(s"""WITH $trainedPqOracleCtes,
+           |qq AS (SELECT emb AS qv FROM e WHERE vec_id = 0
+           |), probes AS (
+           |  SELECT cent_id FROM (
+           |    SELECT c.cent_id, row_number() OVER
+           |      (ORDER BY ${cosineSql("c.cvec", "qq.qv")} DESC, c.cent_id) AS rk
+           |    FROM cents c, qq) t, kk
+           |  WHERE t.rk <= kk.np
+           |), terms AS (
+           |  SELECT cl.vec_id, cl.label, c.s,
+           |         ${dotSql("cl.cvec", "qq.qv")} AS qc,
+           |         ${norm2Sql("cl.cvec")} AS cn2,
+           |         ${norm2Sql("qq.qv")} AS qn2,
+           |         $qdotrSql AS qdotr,
+           |         $cdotrSql AS cdotr,
+           |         $rn2Sql AS rn2
+           |  FROM codes c
+           |    JOIN cells cl ON cl.vec_id = c.vec_id
+           |    JOIN probes p ON p.cent_id = cl.cent_id
+           |    JOIN cbk cb ON cb.s = c.s AND cb.j = c.code
+           |    CROSS JOIN qq
+           |), scored AS (
+           |  SELECT vec_id, any_value(label) AS label,
+           |         any_value(qc) AS qc, any_value(cn2) AS cn2,
+           |         any_value(qn2) AS qn2,
+           |         ${fold("qdotr")} AS dotr,
+           |         ${fold("cdotr")} AS cdr,
+           |         ${fold("rn2")} AS rn2s
+           |  FROM terms GROUP BY vec_id
+           |)
+           |SELECT vec_id, label, round(score, 6) AS score
+           |FROM (SELECT vec_id, label,
+           |             (qc + dotr) / (sqrt(qn2) * sqrt(cn2 + 2.0 * cdr + rn2s)) AS score
+           |      FROM scored) s
+           |ORDER BY s.score DESC, vec_id LIMIT 5""".stripMargin)
+      }),
 
     // V12b — ADC-only recall of the trained codebooks: same instrument
     // as q_v11b (8 query points, |ADC top-5 ∩ exact top-5| / 5,
@@ -2186,7 +2412,70 @@ object VectorQueries extends QueryPack {
           .agg(call_function("graft_topk", col("score"), col("vec_id"), lit(5)).as("nbrs"))
         recallOf(q, exact, ann, 5)
       },
-      None),
+      Some {
+        val qdotrSql = (1 to 8).map(i =>
+          s"qs.qv[c.s*8+$i] * cb.remb[$i]").mkString(" + ")
+        val cdotrSql = (1 to 8).map(i =>
+          s"cl.cvec[c.s*8+$i] * cb.remb[$i]").mkString(" + ")
+        val rn2Sql = (1 to 8).map(i =>
+          s"cb.remb[$i] * cb.remb[$i]").mkString(" + ")
+        def fold(expr: String) =
+          s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |  list($expr ORDER BY s)), (a, b) -> a + b)""".stripMargin
+        materializeCtes(s"""WITH $trainedPqOracleCtes,
+           |qs AS (
+           |  SELECT vec_id AS qid, emb AS qv FROM e WHERE vec_id < 8
+           |), probes AS (
+           |  SELECT qid, cent_id FROM (
+           |    SELECT qs.qid, c.cent_id, row_number() OVER (PARTITION BY qs.qid
+           |      ORDER BY ${cosineSql("c.cvec", "qs.qv")} DESC, c.cent_id) AS rk
+           |    FROM cents c, qs) t, kk
+           |  WHERE rk <= kk.np
+           |), terms AS (
+           |  SELECT qs.qid, cl.vec_id, c.s,
+           |         ${dotSql("cl.cvec", "qs.qv")} AS qc,
+           |         ${norm2Sql("cl.cvec")} AS cn2,
+           |         ${norm2Sql("qs.qv")} AS qn2,
+           |         $qdotrSql AS qdotr,
+           |         $cdotrSql AS cdotr,
+           |         $rn2Sql AS rn2
+           |  FROM codes c
+           |    JOIN cells cl ON cl.vec_id = c.vec_id
+           |    JOIN probes p ON p.cent_id = cl.cent_id
+           |    JOIN qs ON qs.qid = p.qid
+           |    JOIN cbk cb ON cb.s = c.s AND cb.j = c.code
+           |), scored AS (
+           |  SELECT qid, vec_id,
+           |         any_value(qc) AS qc, any_value(cn2) AS cn2,
+           |         any_value(qn2) AS qn2,
+           |         ${fold("qdotr")} AS dotr,
+           |         ${fold("cdotr")} AS cdr,
+           |         ${fold("rn2")} AS rn2s
+           |  FROM terms GROUP BY qid, vec_id
+           |), ann AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT sc.qid, sc.vec_id, row_number() OVER (PARTITION BY sc.qid
+           |      ORDER BY (sc.qc + sc.dotr) /
+           |               (sqrt(sc.qn2) * sqrt(sc.cn2 + 2.0 * sc.cdr + sc.rn2s))
+           |               DESC, sc.vec_id) AS rk
+           |    FROM scored sc WHERE sc.vec_id <> sc.qid) t
+           |  WHERE rk <= 5
+           |), exact AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qs.qid, e.vec_id, row_number() OVER (PARTITION BY qs.qid
+           |      ORDER BY ${cosineSql("e.emb", "qs.qv")} DESC, e.vec_id) AS rk
+           |    FROM e, qs WHERE e.vec_id <> qs.qid) t
+           |  WHERE rk <= 5
+           |), common AS (
+           |  SELECT ex.qid, count(*) AS n
+           |  FROM exact ex JOIN ann ON ex.qid = ann.qid AND ex.vec_id = ann.vec_id
+           |  GROUP BY ex.qid
+           |)
+           |SELECT qs.qid, COALESCE(n, 0) AS n_common,
+           |       round(COALESCE(n, 0) / 5.0, 6) AS recall
+           |FROM qs LEFT JOIN common ON qs.qid = common.qid
+           |ORDER BY qs.qid""".stripMargin)
+      }),
 
     // V12c — the trained SERVING path: ADC shortlist of CONSTANT size
     // L = RerankMult·k·nprobe (independent of corpus size — VERDICT r7
@@ -2218,7 +2507,79 @@ object VectorQueries extends QueryPack {
           .agg(call_function("graft_topk", col("score"), col("vec_id"), lit(5)).as("nbrs"))
         recallOf(q, exact, ann, 5)
       },
-      None),
+      Some {
+        val qdotrSql = (1 to 8).map(i =>
+          s"qs.qv[c.s*8+$i] * cb.remb[$i]").mkString(" + ")
+        val cdotrSql = (1 to 8).map(i =>
+          s"cl.cvec[c.s*8+$i] * cb.remb[$i]").mkString(" + ")
+        val rn2Sql = (1 to 8).map(i =>
+          s"cb.remb[$i] * cb.remb[$i]").mkString(" + ")
+        def fold(expr: String) =
+          s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |  list($expr ORDER BY s)), (a, b) -> a + b)""".stripMargin
+        materializeCtes(s"""WITH $trainedPqOracleCtes,
+           |qs AS (
+           |  SELECT vec_id AS qid, emb AS qv FROM e WHERE vec_id < 8
+           |), probes AS (
+           |  SELECT qid, cent_id FROM (
+           |    SELECT qs.qid, c.cent_id, row_number() OVER (PARTITION BY qs.qid
+           |      ORDER BY ${cosineSql("c.cvec", "qs.qv")} DESC, c.cent_id) AS rk
+           |    FROM cents c, qs) t, kk
+           |  WHERE rk <= kk.np
+           |), terms AS (
+           |  SELECT qs.qid, cl.vec_id, c.s,
+           |         ${dotSql("cl.cvec", "qs.qv")} AS qc,
+           |         ${norm2Sql("cl.cvec")} AS cn2,
+           |         ${norm2Sql("qs.qv")} AS qn2,
+           |         $qdotrSql AS qdotr,
+           |         $cdotrSql AS cdotr,
+           |         $rn2Sql AS rn2
+           |  FROM codes c
+           |    JOIN cells cl ON cl.vec_id = c.vec_id
+           |    JOIN probes p ON p.cent_id = cl.cent_id
+           |    JOIN qs ON qs.qid = p.qid
+           |    JOIN cbk cb ON cb.s = c.s AND cb.j = c.code
+           |), scored AS (
+           |  SELECT qid, vec_id,
+           |         any_value(qc) AS qc, any_value(cn2) AS cn2,
+           |         any_value(qn2) AS qn2,
+           |         ${fold("qdotr")} AS dotr,
+           |         ${fold("cdotr")} AS cdr,
+           |         ${fold("rn2")} AS rn2s
+           |  FROM terms GROUP BY qid, vec_id
+           |), shortlist AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT sc.qid, sc.vec_id, row_number() OVER (PARTITION BY sc.qid
+           |      ORDER BY (sc.qc + sc.dotr) /
+           |               (sqrt(sc.qn2) * sqrt(sc.cn2 + 2.0 * sc.cdr + sc.rn2s))
+           |               DESC, sc.vec_id) AS rk
+           |    FROM scored sc) t, kk
+           |  WHERE rk <= $RerankMult * 5 * kk.np
+           |), ann AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT sh.qid, sh.vec_id, row_number() OVER (PARTITION BY sh.qid
+           |      ORDER BY ${cosineSql("e.emb", "qs.qv")} DESC, sh.vec_id) AS rk
+           |    FROM shortlist sh
+           |      JOIN e ON e.vec_id = sh.vec_id
+           |      JOIN qs ON qs.qid = sh.qid
+           |    WHERE sh.vec_id <> sh.qid) t
+           |  WHERE rk <= 5
+           |), exact AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qs.qid, e.vec_id, row_number() OVER (PARTITION BY qs.qid
+           |      ORDER BY ${cosineSql("e.emb", "qs.qv")} DESC, e.vec_id) AS rk
+           |    FROM e, qs WHERE e.vec_id <> qs.qid) t
+           |  WHERE rk <= 5
+           |), common AS (
+           |  SELECT ex.qid, count(*) AS n
+           |  FROM exact ex JOIN ann ON ex.qid = ann.qid AND ex.vec_id = ann.vec_id
+           |  GROUP BY ex.qid
+           |)
+           |SELECT qs.qid, COALESCE(n, 0) AS n_common,
+           |       round(COALESCE(n, 0) / 5.0, 6) AS recall
+           |FROM qs LEFT JOIN common ON qs.qid = common.qid
+           |ORDER BY qs.qid""".stripMargin)
+      }),
 
     // V5 — embedding-cosine near-duplicate pairs. The corpus is augmented
     // with perturbed copies of the first 25 vectors (deterministic +0.01
