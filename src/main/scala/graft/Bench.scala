@@ -80,6 +80,25 @@ object Bench {
     // a ~60 s half-life, so a short bounded wait before the serve
     // measurements buys a defensible machine state; the stamped value
     // then PROVES the state in the artifact instead of asserting it.
+    /** (steal, total) jiffies from /proc/stat — hypervisor CPU steal is
+      * the contention loadavg CANNOT see (loadavg counts THIS VM's
+      * runnable threads; a noisy neighbor stealing cycles shows up only
+      * here). r12: the record run stamped loadavg_start 0.78 yet its
+      * frame spread ran [5.18..10.96] — steal%, stamped per phase,
+      * attributes that spread to the box instead of the code. */
+    def cpuStat(): (Long, Long) =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } catch { case _: Throwable => (-1L, -1L) }
+
+    /** Percent of machine CPU capacity stolen by the hypervisor across
+      * the span between two [[cpuStat]] samples; −1 when unreadable. */
+    def stealPct(before: (Long, Long), after: (Long, Long)): Double =
+      if (before._1 < 0 || after._1 < 0 || after._2 <= before._2) -1.0
+      else 100.0 * (after._1 - before._1) / (after._2 - before._2).toDouble
+
     def waitQuiet(threshold: Double = 12.0, maxWaitSec: Int = 90): Double = {
       var l = loadAvg()
       if (l < 0) return l // platform without loadavg: stamp and move on
@@ -100,6 +119,7 @@ object Bench {
       // the starting state either way.
       waitQuiet()
       val load0 = loadAvg()
+      val cpu0 = cpuStat()
       // frame-kernel probe: SMA30 + Bollinger(20,2) over 20M synthetic
       // rows across 1000 series — one shuffle, windowed aggregates in
       // whole-stage codegen
@@ -364,6 +384,7 @@ object Bench {
       Some(
         s""""throughput":{"order":"pre-sweep",""" +
         f""""loadavg_start":$load0%.2f,"loadavg_end":${loadAvg()}%.2f,""" +
+        f""""steal_pct":${stealPct(cpu0, cpuStat())}%.2f,""" +
         s""""frame_rows":$frameRows,"frame_sec":$frameSec,""" +
         s""""frame_rows_per_s":${(frameRows / frameSec).toLong},""" +
         s""""frame_narrow_sec":$narrowSec,""" +
@@ -1079,6 +1100,12 @@ object Bench {
       val scaledDir = graft.sources.ScaledTables.ensure(spark, sfDir, mult)
       val subRel = rel.view.filterKeys(names.contains).toMap
       val duckScaled = runDuck(scaledDir, writeJson(subRel)).getOrElse(Map.empty)
+      // the DuckDB sweep just saturated every core; without a gate the
+      // first Spark timings of the tier absorb its loadavg tail (r12:
+      // q_j1b stamped 0.51 s exec in the record vs 0.25 s quiet — the
+      // whole apparent >2x on the named read-path queries was this)
+      waitQuiet()
+      val cpu0 = cpuStat()
       // a duck value <= 0 means the oracle errored or hit the
       // per-query budget: keep the query in the block with
       // duck_timed_out:true and its MEASURED spark seconds (VERDICT
@@ -1129,6 +1156,7 @@ object Bench {
       }.mkString("{", ",", "}")
       scaledBlocks = scaledBlocks :+ (
         s""""$label":{"scale_mult":$mult,"base_sf":${jstr(sfDir)},""" +
+        f""""steal_pct":${stealPct(cpu0, cpuStat())}%.2f,""" +
         s""""n_compared":${compared.size},""" +
         s""""n_duck_timed_out":${pairs.count(_.timedOut)},""" +
         s""""subset":${jstr(subsetLabel)},""" +

@@ -338,19 +338,22 @@ object VectorQueries extends QueryPack {
     * `e(vec_id, label, emb)` — |embeddings| rows of the same bits Spark
     * produces (geometry embedded as double literals, coefficients from
     * the Murmur mirror, per-dimension sums in the identical
-    * left-to-right order). The id grid enumerates `embeddings.vec_id`
-    * (contiguous 0..n−1 by the testdata contract — DuckDB's `range`
-    * table function rejects a subquery bound, so `s.range(n)` mirrors
-    * through the table itself). Prepend inside a WITH; `nn` carries the
-    * corpus count for [[kkCtes]]-style sizing downstream. */
+    * left-to-right order). The id grid mirrors `s.range(n)` as
+    * `row_number() − 1` over the embeddings table: DuckDB's `range`
+    * table function rejects a subquery bound, and the raw `vec_id`s are
+    * NOT usable — scaled replicas key-shift them (×10 ids reach 9e9,
+    * non-contiguous AND above the 2³¹ bound the Murmur mirror's
+    * zero-high-half shortcut needs). Prepend inside a WITH; `nn`
+    * carries the corpus count for [[kkCtes]]-style sizing downstream. */
   private lazy val clusteredCorpusCtesSql: String = {
     val cl = clustCenters.flatten.map(dl).mkString("[", ",", "]")
     val dls = clustDirs.flatten.map(dl).mkString("[", ",", "]")
     s"""nn AS (SELECT count(*) AS n FROM embeddings),
        |geo AS (SELECT $cl AS centers, $dls AS dirs),
-       |grid AS (SELECT e0.vec_id AS id, r.r
-       |         FROM embeddings e0,
-       |              (SELECT unnest([0,1,2,3]) AS r) r),
+       |ids AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS id
+       |        FROM embeddings),
+       |grid AS (SELECT i.id, r.r
+       |         FROM ids i, (SELECT unnest([0,1,2,3]) AS r) r),
        |mm AS (SELECT id, r, $murmurCoefColsSql FROM grid),
        |co AS (SELECT id,
        |    max(CASE WHEN r=0 THEN coef END) AS k0,
