@@ -328,8 +328,12 @@ object Bench {
       // not surface as a silent number drift. Only armed when both
       // build phases started quiet, so machine contention can't fake a
       // regression.
-      if (nswlLoadBuild >= 0 && nswlLoadBuild < 12.0 &&
-          nswqLoadBuild >= 0 && nswqLoadBuild < 12.0 &&
+      // arm only on a GENUINELY quiet box: the waitQuiet threshold (12)
+      // is a proceed-anyway bound, not a quiet certificate — an x100
+      // special run armed at loadavg 11.x and stamped a 53.9 s int8
+      // build that three <6-loadavg runs put at 10-12 s
+      if (nswlLoadBuild >= 0 && nswlLoadBuild < 6.0 &&
+          nswqLoadBuild >= 0 && nswqLoadBuild < 6.0 &&
           nswqBuildSec > 5.0 * math.max(nswlBuildSec, 0.5)) {
         errors("__int8_build_guard") =
           f"int8 layered build $nswqBuildSec%.1fs > 5x raw layered " +
@@ -574,8 +578,8 @@ object Bench {
       // int8-vs-raw build-cost guard (VERDICT r11 next #9): the staged
       // quantize projection must stay a small constant over the raw
       // build; armed only when both phases started quiet
-      if (loadBuild >= 0 && loadBuild < 12.0 &&
-          qLoadBuild >= 0 && qLoadBuild < 12.0 &&
+      if (loadBuild >= 0 && loadBuild < 6.0 &&
+          qLoadBuild >= 0 && qLoadBuild < 6.0 &&
           qBuildSec > 5.0 * math.max(buildSec, 0.5)) {
         errors("__ivf_int8_build_guard") =
           f"ivf int8 build $qBuildSec%.1fs > 5x raw $buildSec%.1fs on a quiet box"
