@@ -126,7 +126,12 @@ object IncrementalTick {
       // strict <: the ts_ns bound can clip rows inside the boundary day
       val wholeHistory = minDay.forall(boundDay < _)
       if (wholeHistory) return slice
-      val counts = slice.groupBy("user_id").count()
+      // count only the series the batch touches — the deficiency
+      // question is theirs alone, and at scale the sink holds far more
+      // series than any one batch
+      val counts = slice
+        .join(broadcast(newSeries), Seq("user_id"), "leftsemi")
+        .groupBy("user_id").count()
       val deficient = newSeries.join(counts, Seq("user_id"), "left")
         .filter(coalesce(col("count"), lit(0L)) < Lookback)
       if (deficient.isEmpty) return slice
@@ -186,7 +191,18 @@ object IncrementalTick {
       }
     Phases.probeNanos.addAndGet(System.nanoTime() - probeT0)
     val appendT0 = System.nanoTime()
-    val union = slice match {
+    // kernel input prunes to the series the batch TOUCHES: appended
+    // rows are leftsemi'd to new event_ids below, so untouched series
+    // contribute nothing — re-kerneling them is pure waste, and at
+    // scale it is THE waste (a tick touching one symbol must not
+    // recompute a 10k-symbol sink; the reference ticks per-symbol,
+    // btc_usdt_etl_dag.py:55-106). The per-user window kernels make
+    // the cut lossless; the batch's distinct users are broadcast-sized
+    // by construction (bounded by the batch itself).
+    val touched = slice.map(_.join(
+      broadcast(newRows.select("user_id").distinct()),
+      Seq("user_id"), "leftsemi"))
+    val union = touched match {
       case None    => newRows.select(InputCols.map(col): _*)
       case Some(s) => rowCap(s).unionByName(newRows.select(InputCols.map(col): _*))
     }
@@ -196,7 +212,9 @@ object IncrementalTick {
     val out = enriched.join(
       broadcast(newKeys), col("event_id") === col("__new_id"), "leftsemi")
     // X5: drop rows already present in the sink (idempotent re-delivery)
-    val guarded = slice match {
+    // — `out` carries only touched-series rows, so the seen-set needs
+    // only their slice
+    val guarded = touched match {
       case None    => out
       case Some(s) => out.join(s.select(col("event_id").as("__seen")),
         col("event_id") === col("__seen"), "left_anti")

@@ -114,6 +114,40 @@ class IncrementalTickSpec extends AnyFunSuite {
     assert(mismatch.isEmpty)
   }
 
+  test("X2 touched-series pruning: a one-series tick neither rewrites nor re-kernels the others") {
+    // r12: kernel input prunes to the batch's user set (a tick touching
+    // one symbol must not recompute a many-symbol sink). Parity for the
+    // touched series AND zero writes for the untouched ones.
+    val sinkPath = Files.createTempDirectory("graft_ticku").toString + "/sink"
+    val all = hourly(30)
+    val cols = Seq("event_id", "ts", "ts_ns", "user_id", "value")
+    val backfill = all.filter(col("h") < 700).select(cols.map(col): _*)
+    // the tick: ONE new hourly bar, series 0 only
+    val tick = all.filter(col("h") === 700 && col("user_id") === 0)
+      .select(cols.map(col): _*)
+    IncrementalTick.run(spark, Seq(backfill, tick), sinkPath)
+
+    val sink = spark.read.parquet(sinkPath)
+    // exactly one appended row, for series 0
+    assert(sink.count() == backfill.count() + 1)
+    assert(sink.filter(col("user_id") === 1).count() ==
+      backfill.filter(col("user_id") === 1).count())
+    // the appended row's kernels equal the full recompute over BOTH series
+    val full = IncrementalTick.enrich(
+      backfill.unionByName(tick).select(cols.map(col): _*))
+      .filter(col("user_id") === 0 && col("ts_ns") ===
+        tick.select(max(col("ts_ns"))).first().getLong(0))
+      .select("event_id", "sma30", "bb_up", "bb_lo", "buy", "sell").first()
+    val got = sink
+      .filter(col("event_id") === full.getLong(0))
+      .select("event_id", "sma30", "bb_up", "bb_lo", "buy", "sell").first()
+    assert(math.abs(got.getDouble(1) - full.getDouble(1)) < 1e-9)
+    assert(math.abs(got.getDouble(2) - full.getDouble(2)) < 1e-9)
+    assert(math.abs(got.getDouble(3) - full.getDouble(3)) < 1e-9)
+    assert(got.getBoolean(4) == full.getBoolean(4))
+    assert(got.getBoolean(5) == full.getBoolean(5))
+  }
+
   test("X2 through a REAL writeStream.foreachBatch over a file source") {
     // the full Structured Streaming loop the scaladoc promises: a parquet
     // file source (one file per micro-batch, mod-time ordered), the tick
