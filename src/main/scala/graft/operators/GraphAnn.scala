@@ -47,6 +47,13 @@ object GraphAnn {
     * / `efSearch`: beam widths for insertion and query search. Defaults
     * scaled down from the reference's (m=32, ef_construct=128) for the
     * testdata corpus size; recall-vs-beam is measured, not assumed.
+    * efConstruction default is 64, not 32: on the scaled sin-ramp ladder
+    * (nsw_scaled), efc=32 graphs navigate 0.90 recall@10 at serve ef=64
+    * once shards hold >=3k nodes (x5 and x25 both missed one true
+    * neighbor), while efc=64 holds 1.00 at BOTH points at unchanged
+    * build cost (x25: 8.1 s vs 8.3 s) — the insertion beam, not m or the
+    * serve beam, was the binding constraint. m stays 8 (m=16/efc=128
+    * bought nothing further at 2-3x the link work).
     * `entryProbes`: beam entry points, evaluated over a deterministic
     * stride sample of the built nodes and seeded best-first — the
     * flat-graph stand-in for HNSW's upper layers (init_qdrant.py:45-50),
@@ -62,7 +69,7 @@ object GraphAnn {
     * Layered graphs persist via [[NswIndex]]'s v3 layout (lvl + unbrs
     * columns) and restore with [[Nsw.withLayeredState]]; the flat
     * adjacency-prefix path is the v2 contract only. */
-  final case class Params(m: Int = 8, efConstruction: Int = 32, efSearch: Int = 32,
+  final case class Params(m: Int = 8, efConstruction: Int = 64, efSearch: Int = 32,
       entryProbes: Int = -1, layered: Boolean = false)
 
   /** One shard's NSW graph over `vecs` (insertion order = array order).
