@@ -47,13 +47,17 @@ object GraphAnn {
     * / `efSearch`: beam widths for insertion and query search. Defaults
     * scaled down from the reference's (m=32, ef_construct=128) for the
     * testdata corpus size; recall-vs-beam is measured, not assumed.
-    * efConstruction default is 64, not 32: on the scaled sin-ramp ladder
-    * (nsw_scaled), efc=32 graphs navigate 0.90 recall@10 at serve ef=64
-    * once shards hold >=3k nodes (x5 and x25 both missed one true
-    * neighbor), while efc=64 holds 1.00 at BOTH points at unchanged
-    * build cost (x25: 8.1 s vs 8.3 s) — the insertion beam, not m or the
-    * serve beam, was the binding constraint. m stays 8 (m=16/efc=128
-    * bought nothing further at 2-3x the link work).
+    * Defaults m=16/efConstruction=64, raised from 8/32 on scaled-ladder
+    * measurement (NswRecallProbe over the nsw_scaled corpora, recall@10
+    * at serve ef=64): the 8/32 graphs navigate only 0.90 once shards
+    * hold >=3k nodes (x5/x25/x100 each missed one true neighbor).
+    * efc=64 alone restores 1.00 through x25 (~15k nodes/shard) at
+    * unchanged build cost (x25: 8.1 s vs 8.3 s) — there the insertion
+    * beam is the binding constraint; at x100 (~62k nodes/shard) the
+    * DEGREE binds instead (m=8 stays 0.90 at any efc, m=16 holds 1.00
+    * even at efc=64). efc=128 bought nothing at ~2x the link work.
+    * m=16 is also hnswlib's default M; the reference's m=32 remains a
+    * supported explicit setting.
     * `entryProbes`: beam entry points, evaluated over a deterministic
     * stride sample of the built nodes and seeded best-first — the
     * flat-graph stand-in for HNSW's upper layers (init_qdrant.py:45-50),
@@ -69,7 +73,7 @@ object GraphAnn {
     * Layered graphs persist via [[NswIndex]]'s v3 layout (lvl + unbrs
     * columns) and restore with [[Nsw.withLayeredState]]; the flat
     * adjacency-prefix path is the v2 contract only. */
-  final case class Params(m: Int = 8, efConstruction: Int = 64, efSearch: Int = 32,
+  final case class Params(m: Int = 16, efConstruction: Int = 64, efSearch: Int = 32,
       entryProbes: Int = -1, layered: Boolean = false)
 
   /** One shard's NSW graph over `vecs` (insertion order = array order).
@@ -98,13 +102,16 @@ object GraphAnn {
     // surviving subset — so a re-prune only needs sims involving
     // members appended since the last prune. The kept set is EXACTLY
     // the full heuristic's (bit-identical graphs; the append path
-    // restores with verMask=0 = full re-tests, which the same argument
-    // makes equal too — NswLayeredSpec's append==rebuild pin
-    // cross-checks memoized-vs-unmemoized for free).
+    // restores with all-unverified rows = full re-tests, which the same
+    // argument makes equal too — NswLayeredSpec's append==rebuild pin
+    // cross-checks memoized-vs-unmemoized for free). Verified flags are
+    // boolean rows, not a bitmask: slots run 0..2m inclusive, so an Int
+    // mask silently wraps its shifts for m >= 16 — the reference's own
+    // config (m=32, init_qdrant.py:45-50) sits past that cliff.
     private val simAdj: Array[Array[Double]] =
       if (params.layered) new Array[Array[Double]](n) else null
-    private val verMask: Array[Int] =
-      if (params.layered) new Array[Int](n) else null
+    private val verAdj: Array[Array[Boolean]] =
+      if (params.layered) new Array[Array[Boolean]](n) else null
 
     /** Anchor-sim cache row for `from`, computed on first touch (restored
       * graphs arrive without sims; fresh nodes start empty). */
@@ -118,6 +125,8 @@ object GraphAnn {
           e += 1
         }
         simAdj(from) = row
+        // restored/fresh rows start all-unverified = full re-tests
+        verAdj(from) = new Array[Boolean](maxDeg + 1)
       }
       row
     }
@@ -129,15 +138,16 @@ object GraphAnn {
       * same double — and prune incrementally on overflow. */
     private def addLinkL(from: Int, to: Int, sim: Double): Unit = {
       val row = ensureSims(from)
+      val va = verAdj(from)
       val d = deg(from)
       var p = d
       while (p > 0 && better(sim, to, row(p - 1), adj(from)(p - 1))) p -= 1
       System.arraycopy(adj(from), p, adj(from), p + 1, d - p)
       System.arraycopy(row, p, row, p + 1, d - p)
+      System.arraycopy(va, p, va, p + 1, d - p)
       adj(from)(p) = to
       row(p) = sim
-      val low = (1 << p) - 1
-      verMask(from) = (verMask(from) & low) | ((verMask(from) & ~low) << 1)
+      va(p) = false
       deg(from) = d + 1
       if (deg(from) > maxDeg) pruneIncr(from)
     }
@@ -149,24 +159,26 @@ object GraphAnn {
     private def pruneIncr(from: Int): Unit = {
       val d = deg(from)
       val row = simAdj(from)
+      val va = verAdj(from)
       val keptSlot = new Array[Int](maxDeg)
+      // keptNew(j): kept member j joined since the last prune
+      val keptNew = new Array[Boolean](maxDeg)
       var k = 0
-      var keptNew = 0 // bit j: kept member j joined since the last prune
       var e = 0
       while (e < d && k < maxDeg) {
         val m = adj(from)(e)
         val simM = row(e)
-        val isVer = (verMask(from) >> e & 1) == 1
+        val isVer = va(e)
         var ok = true
         var j = 0
         while (ok && j < k) {
-          if ((!isVer || (keptNew >> j & 1) == 1) &&
+          if ((!isVer || keptNew(j)) &&
               simBetween(m, adj(from)(keptSlot(j))) > simM) ok = false
           j += 1
         }
         if (ok) {
           keptSlot(k) = e
-          if (!isVer) keptNew |= 1 << k
+          keptNew(k) = !isVer
           k += 1
         }
         e += 1
@@ -175,10 +187,10 @@ object GraphAnn {
       while (t < k) {
         adj(from)(t) = adj(from)(keptSlot(t))
         row(t) = row(keptSlot(t))
+        va(t) = true
         t += 1
       }
       deg(from) = k
-      verMask(from) = (1 << k) - 1
     }
     // nodes visible to search-entry sampling: during construction only
     // the already-inserted prefix is linked, so probes must stay inside

@@ -144,4 +144,37 @@ class NswLayeredSpec extends AnyFunSuite {
     val b = NswIndex.searchTopK(spark, full, query, k = 5).collect().toSeq
     assert(a.map(_.toSeq) == b.map(_.toSeq))
   }
+
+  test("append==rebuild parity holds at the reference degree (m=32)") {
+    // m=32 is the reference's HNSW config (init_qdrant.py:45-50) and the
+    // regime where layer-0 prune slots run past 31: the incremental
+    // prune's verified flags were an Int bitmask through r12, whose
+    // shifts silently wrap there — this pin locks the boolean-row form.
+    // Append restores all-unverified rows (full dominance re-tests)
+    // while rebuild prunes with memoized flags, so bit-parity between
+    // the two IS the memoized==unmemoized cross-check at deg cap 65.
+    val p32 = Params(m = 32, layered = true)
+    val small = 1200
+    val grown = freshPath("m32app")
+    NswIndex.buildIfAbsent(corpus(small - 200), "vec_id", "embedding",
+      grown, p32, numShards = 2)
+    NswIndex.append(corpus(small).filter(col("vec_id") >= small - 200),
+      "vec_id", "embedding", grown)
+    val full = freshPath("m32full")
+    NswIndex.buildIfAbsent(corpus(small), "vec_id", "embedding", full,
+      p32, numShards = 2)
+    def rows(p: String) = spark.read.parquet(s"$p/graph")
+      .select(col("shard").cast("int"), col("vec_id"), col("nbrs"),
+        col("lvl"), col("unbrs"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toSeq,
+        r.getInt(3), r.getSeq[scala.collection.Seq[Long]](4).map(_.toSeq).toSeq))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val g = rows(grown)
+    assert(g == rows(full),
+      "m=32 append must reproduce the full layered build bit-for-bit")
+    // the regime is actually exercised: some node saturates the 2m cap
+    assert(g.exists(_._3.length > 31),
+      "corpus too sparse to drive layer-0 degrees past an Int bitmask")
+  }
 }
