@@ -2,7 +2,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * r13 (VERDICT r12 next #1 — the r12 driver round left CORRECTNESS_r12
+  * empty after its wall budget died): two budget fixes.
+  *  - `oracle_sql.json` is written FIRST, so a Verify killed mid-run
+  *    leaves the oracle map plus every already-dumped query dir — a
+  *    partial correctness gate instead of `{}`.
+  *  - queries dump CONCURRENTLY (SPARK_GRAFT_VERIFY_PAR threads, default
+  *    6; 1 restores the serial path). Spark job submission is
+  *    thread-safe, every query writes its own output dir, and the
+  *    engine-side memo caches are lock-guarded — the win is overlapping
+  *    each query's driver-side planning/coalesce latency with the
+  *    others' execution, which dominates wall time at sf0.01 where per
+  *    query work is small (the serial sweep paid ~139 back-to-back
+  *    plan→execute→write round-trips).
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -12,19 +27,6 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.get(cpus)
     new java.io.File(outDir).mkdirs()
-    val selected = SparkEntry.queries.filter { case (name, _) =>
-      prefixes.isEmpty || prefixes.exists(name.startsWith)
-    }
-    selected.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -40,6 +42,41 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      prefixes.isEmpty || prefixes.exists(name.startsWith)
+    }.toSeq.sortBy(_._1)
+    val par = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "6").toInt)
+    val queue = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+    selected.foreach(queue.add)
+    val t0All = System.nanoTime()
+    def worker(): Unit = {
+      var next = queue.poll()
+      while (next != null) {
+        val (name, fn) = next
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          System.err.println(
+            f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+        next = queue.poll()
+      }
+    }
+    val threads = (1 to par).map { i =>
+      val t = new Thread(() => worker(), s"verify-$i")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    threads.foreach(_.join())
+    System.err.println(
+      f"[verify] done: ${selected.size} queries in " +
+        f"${(System.nanoTime() - t0All) / 1e9}%.1fs (par=$par)")
     spark.stop()
   }
 }

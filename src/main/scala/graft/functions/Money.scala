@@ -38,18 +38,36 @@ object Money {
   /** `x` rounded to `scale` decimal places, returned as the unscaled
     * int64 — bit-for-bit the value Spark's `cast(x as decimal(p,s))`
     * would hold. HALF_UP on the shortest decimal representation of the
-    * double, exactly as `Decimal.set(BigDecimal.valueOf(x), p, s)`. */
-  def scaledLong(x: Double, scale: Int): Long =
-    java.math.BigDecimal.valueOf(x)
+    * double, exactly as `Decimal.set(BigDecimal.valueOf(x), p, s)`.
+    *
+    * Edge inputs follow Spark's NON-ANSI cast (ADVICE r12 #2 — the
+    * function is registered session-wide as `graft_money_scaled`, so
+    * arbitrary SQL can feed it arbitrary doubles): NaN/±Infinity → null
+    * (`BigDecimal.valueOf` would throw), and a value whose unscaled form
+    * no longer fits int64 → null rather than wrap/throw. The null bound
+    * (2^63 ≈ 9.2e18) is marginally wider than decimal(18,s)'s 1e18 cast
+    * bound — callers that need the exact decimal(18) domain (q_j1b's
+    * two-tier sum) bound their inputs far below either. */
+  def scaledLongOrNull(x: Double, scale: Int): java.lang.Long = {
+    if (!java.lang.Double.isFinite(x)) return null
+    val unscaled = java.math.BigDecimal.valueOf(x)
       .setScale(scale, java.math.RoundingMode.HALF_UP)
-      .unscaledValue().longValueExact()
+      .unscaledValue()
+    if (unscaled.bitLength() > 63) null
+    else java.lang.Long.valueOf(unscaled.longValue())
+  }
 }
 
-/** Codegen'd per-row money scaling (tier 1 of [[Money]]). */
+/** Codegen'd per-row money scaling (tier 1 of [[Money]]). Nullable even
+  * over non-null input: NaN/±Infinity and int64-overflowing magnitudes
+  * yield null, mirroring the non-ANSI double→decimal cast (see
+  * [[Money.scaledLongOrNull]]). */
 final case class MoneyScaled(child: Expression, scale: Int)
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -59,11 +77,17 @@ final case class MoneyScaled(child: Expression, scale: Int)
     }
 
   override protected def nullSafeEval(input: Any): Any =
-    Money.scaledLong(input.asInstanceOf[Double], scale)
+    Money.scaledLongOrNull(input.asInstanceOf[Double], scale)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.Money.scaledLong($c, $scale);")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long ${ev.value}_r =
+        graft.functions.Money.scaledLongOrNull($c, $scale);
+      if (${ev.value}_r == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ${ev.value}_r.longValue();
+      }""")
 
   override protected def withNewChildInternal(newChild: Expression): MoneyScaled =
     copy(child = newChild)

@@ -71,24 +71,31 @@ object RelationalQueries extends QueryPack {
         } else false
     }
 
-  private def starDimsHandle(s: SparkSession, dir: String): Long = {
-    val key = (graft.GraftSession.sessionUuid(s), dir)
-    starDimsCache.synchronized(Option(starDimsCache.get(key)))
-      .map(_.longValue).getOrElse {
-      import s.implicits._
-      val pairs = Tables.orders(s, dir)
-        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
-        .select(col("o_orderkey"), col("r_name"))
-        .as[(Long, String)]
-        .collect()
-      val bc = s.sparkContext.broadcast(graft.functions.LongDomainMap(pairs))
-      val h = graft.functions.BroadcastRegistry.register(bc)
-      starDimsCache.synchronized(starDimsCache.put(key, java.lang.Long.valueOf(h)))
-      h
+  private def starDimsHandle(s: SparkSession, dir: String): Long =
+    // the WHOLE get-or-build holds the cache lock (ADVICE r12 #3): the
+    // old check-build-put window let two threads on a cold key both
+    // collect + broadcast, and the second put displaced the first handle
+    // WITHOUT unregistering it — a session-lifetime Broadcast leak.
+    // Holding the lock across the (bounded, ≤4M-row) collect serializes
+    // only the cold build; hits return immediately after the lock.
+    // Parallel Verify (r13) makes this race real, not theoretical.
+    starDimsCache.synchronized {
+      val key = (graft.GraftSession.sessionUuid(s), dir)
+      Option(starDimsCache.get(key)).map(_.longValue).getOrElse {
+        import s.implicits._
+        val pairs = Tables.orders(s, dir)
+          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .select(col("o_orderkey"), col("r_name"))
+          .as[(Long, String)]
+          .collect()
+        val bc = s.sparkContext.broadcast(graft.functions.LongDomainMap(pairs))
+        val h = graft.functions.BroadcastRegistry.register(bc)
+        starDimsCache.put(key, java.lang.Long.valueOf(h))
+        h
+      }
     }
-  }
 
   /** Both q_j1b shapes, selected by `mapSide` (exposed so
     * StarJoinShapeSpec can pin plan shape AND cross-shape row parity).

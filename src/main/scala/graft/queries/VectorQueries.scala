@@ -448,11 +448,42 @@ object VectorQueries extends QueryPack {
     * many times TRANSITIVELY, so the inlined expansion multiplies
     * through the Lloyd chain and the binder plan explodes (measured:
     * out-of-memory at n = 500). Forcing `AS MATERIALIZED` on every CTE
-    * head evaluates each once — semantics unchanged, cost linear. The
-    * rewrite targets CTE heads only: in these strings `name AS (` never
-    * appears as anything else (column aliases are `expr AS name`). */
-  private def materializeCtes(sql: String): String =
-    sql.replaceAll("([A-Za-z_][A-Za-z0-9_]*) AS \\(", "$1 AS MATERIALIZED (")
+    * head evaluates each once — semantics unchanged, cost linear.
+    *
+    * The rewrite is QUOTE-AWARE (ADVICE r12 #5): a `name AS (` token
+    * sequence inside a string literal or quoted identifier is left
+    * untouched instead of being silently corrupted — the scanner tracks
+    * '…' / "…" state and only rewrites identifier-boundary matches in
+    * plain SQL text, where the sequence can only be a CTE head (column
+    * aliases are `expr AS name`, never followed by `(`). */
+  private def materializeCtes(sql: String): String = {
+    val p = java.util.regex.Pattern.compile("[A-Za-z_][A-Za-z0-9_]* AS \\(")
+    val m = p.matcher(sql)
+    val out = new StringBuilder(sql.length + 256)
+    var i = 0
+    var inStr = false   // inside '…' (doubled '' toggles twice — net correct)
+    var inIdent = false // inside "…"
+    def identChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!inStr && !inIdent && (c.isLetter || c == '_') &&
+          (i == 0 || !identChar(sql.charAt(i - 1)))) {
+        m.region(i, sql.length)
+        if (m.lookingAt()) {
+          out.append(sql.substring(i, m.end).stripSuffix(" AS ("))
+            .append(" AS MATERIALIZED (")
+          i = m.end()
+        } else { out.append(c); i += 1 }
+      } else {
+        if (inStr) { if (c == '\'') inStr = false }
+        else if (inIdent) { if (c == '"') inIdent = false }
+        else if (c == '\'') inStr = true
+        else if (c == '"') inIdent = true
+        out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
 
   /** Shared WITH-body prefix for the q_v12 oracles: clustered corpus →
     * coarse quantizer sizing → centroids → cosine cell assignment →
@@ -482,6 +513,85 @@ object VectorQueries extends QueryPack {
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
       .sortBy(_._1)
+
+  /** The q_v8g batch WALK (the one-job searchShards serve over the
+    * persisted flat NSW graphs, merged per qid) — since r13 the
+    * registered q_v8g is the walk's hash-oracled exact side; this is
+    * the walk itself, pinned row-exactly against the per-query
+    * searchTopK loop by NswBatchSpec. */
+  def nswBatchWalk(s: SparkSession, dir: String): DataFrame = {
+    val path = s.conf.getOption("spark.graft.nswIndexDir").getOrElse(
+      System.getProperty("java.io.tmpdir") + "/graft_nsw_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_"))
+    graft.operators.NswIndex.buildIfAbsent(
+      Tables.embeddings(s, dir), "vec_id", "embedding", path)
+    val byQ = graft.operators.NswIndex.searchShards(s, path,
+      BatchQueryVecs.zipWithIndex.map { case (q, i) => (i.toLong, q) },
+      kPerShard = 5)
+    import org.apache.spark.sql.expressions.Window
+    byQ
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(desc("score"), col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank").cast("int").as("rank"),
+        col("vec_id"), round(col("score"), 6).as("score"))
+      .orderBy("qid", "rank")
+  }
+
+  /** The entry-strategy sweep behind q_v8d — for entry mode {single,
+    * probed, layered} × shard count {8, 1}, the measured mean recall@5
+    * over the [[SweepPanelN]] standard query points AND the mean
+    * distance-evaluations per search. Since r13 the registered q_v8d is
+    * the sweep's hash-oracled exact baseline (the measuring stick every
+    * matrix row is judged against); the matrix itself stays measured —
+    * GraphAnnSpec pins its values on the clustered fixture, and Bench
+    * reads the (probed, 8) row as ann_recall.v8b_nsw. The panel was
+    * widened 8 → 16 points in the same change: recall@5 over 8 queries
+    * moves in 1/40 steps, over 16 in 1/80 — a finer instrument for the
+    * same build cost. */
+  val SweepPanelN = 16
+  def nswEntrySweep(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < SweepPanelN)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = exactTopK(e, q, 5)
+    val qPts = q.select(col("qid"), transform(col("qvec"),
+        x => x.cast("double")).as("qv"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+      .sortBy(_._1)
+    // layered (r9): the HNSW hierarchy proper — geometric levels,
+    // greedy descent, diversity-heuristic links (GraphAnnSpec: 1.000
+    // recall at 217 evals/search on the 12k clustered shard, vs
+    // probed 0.750 at 295)
+    val modes = Seq(
+      ("single", graft.operators.GraphAnn.Params(entryProbes = 1)),
+      ("probed", graft.operators.GraphAnn.Params()),
+      ("layered", graft.operators.GraphAnn.Params(layered = true)))
+    val shardCounts = Seq(8, 1)
+    modes.flatMap { case (mode, params) =>
+      shardCounts.map { ns =>
+        val ann = graft.operators.GraphAnn
+          .searchShards(e, "vec_id", "embedding", qPts, kPerShard = 6,
+            params, numShards = ns)
+          .filter(col("vec_id") =!= col("qid"))
+          .groupBy("qid")
+          .agg(call_function("graft_topk", col("score"), col("vec_id"), lit(5)).as("nbrs"))
+        val rec = recallOf(q, exact, ann, 5)
+          .agg(round(avg(col("recall")), 6).as("mean_recall"))
+        val stats = graft.operators.GraphAnn
+          .shardSearchStats(e, "vec_id", "embedding", qPts, kPerShard = 6,
+            params, numShards = ns)
+          .agg((sum(col("evals")) / sum(col("searches")))
+            .cast("double").as("epq"))
+        rec.crossJoin(stats).select(
+          lit(mode).as("entry"), lit(ns).as("shards"),
+          col("mean_recall"), round(col("epq"), 1).as("evals_per_search"))
+      }
+    }.reduce(_ unionByName _)
+      .orderBy(col("entry"), col("shards"))
+  }
 
   override def queries: Seq[QueryDef] = Seq(
 
@@ -1369,10 +1479,11 @@ object VectorQueries extends QueryPack {
     // but the brute-force top-5 it is judged against IS plain SQL — so
     // this query certifies the instrument's measuring stick against
     // DuckDB, per (qid, rank) with the graft_topk tie order). The walk
-    // itself and its recall stay measured: q_v8d's (probed, 8-shard)
-    // row is the identical searchShards configuration this instrument
-    // used rows-only through r10 (Bench's ann_recall.v8b_nsw now reads
-    // that row), and GraphAnnSpec pins the walk's recall thresholds.
+    // itself and its recall stay measured: the entry sweep's (probed,
+    // 8-shard) row ([[nswEntrySweep]] since r13) is the identical
+    // searchShards configuration this instrument used rows-only through
+    // r10 (Bench's ann_recall.v8b_nsw reads that row), and GraphAnnSpec
+    // pins the walk's recall thresholds.
     QueryDef(
       "q_v8b_nsw_recall",
       (s, dir) => {
@@ -1424,24 +1535,25 @@ object VectorQueries extends QueryPack {
       None),
 
     // V8g — BATCHED graph-index serving (r10, the q_v6g shape on the
-    // NSW side): the whole query batch walks the resident shard graphs
-    // in ONE job (NswIndex.searchShards broadcasts the query array;
-    // each shard serves every query from its beam), k·shards rows per
-    // query merge globally. rows-only like the rest of the family;
-    // NswBatchSpec pins batch == per-query searchTopK parity.
+    // NSW side). r13 (VERDICT r12 next #7, the q_v8b treatment): the
+    // REGISTERED query is the batch instrument's exact measuring stick
+    // — brute-force top-5 per batch query vector, hash-oracled against
+    // DuckDB with the query vectors as SQL literals — because the batch
+    // WALK itself (a pointer-graph traversal) has no SQL mirror. The
+    // walk stays fully exercised: [[nswBatchWalk]] is what NswBatchSpec
+    // pins row-exactly against the per-query searchTopK loop, and
+    // Bench's layered_batched_sec_* numbers time the same one-job
+    // searchShards shape.
     QueryDef(
       "q_v8g_nsw_batch",
       (s, dir) => {
-        val path = s.conf.getOption("spark.graft.nswIndexDir").getOrElse(
-          System.getProperty("java.io.tmpdir") + "/graft_nsw_" +
-            dir.replaceAll("[^A-Za-z0-9]", "_"))
-        graft.operators.NswIndex.buildIfAbsent(
-          Tables.embeddings(s, dir), "vec_id", "embedding", path)
-        val byQ = graft.operators.NswIndex.searchShards(s, path,
-          BatchQueryVecs.zipWithIndex.map { case (q, i) => (i.toLong, q) },
-          kPerShard = 5)
+        import s.implicits._
+        val qdf = BatchQueryVecs.zipWithIndex
+          .map { case (q, i) => (i.toLong, q) }.toDF("qid", "qvec")
         import org.apache.spark.sql.expressions.Window
-        byQ
+        Tables.embeddings(s, dir)
+          .crossJoin(broadcast(qdf))
+          .withColumn("score", cosine(col("embedding"), col("qvec")))
           .withColumn("rank", row_number().over(
             Window.partitionBy(col("qid"))
               .orderBy(desc("score"), col("vec_id"))))
@@ -1450,7 +1562,22 @@ object VectorQueries extends QueryPack {
             col("vec_id"), round(col("score"), 6).as("score"))
           .orderBy("qid", "rank")
       },
-      None),
+      Some(s"""WITH qs AS (
+              |  ${BatchQueryVecs.zipWithIndex.map { case (q, i) =>
+                   s"SELECT $i AS qid, ${q.map(dl).mkString("[", ", ", "]")} AS qvec"
+                 }.mkString("\n  UNION ALL ")}
+              |), ranked AS (
+              |  SELECT q.qid, e.vec_id,
+              |         ${cosineSql("e.embedding", "q.qvec")} AS score,
+              |         row_number() OVER (PARTITION BY q.qid
+              |           ORDER BY ${cosineSql("e.embedding", "q.qvec")} DESC,
+              |                    e.vec_id) AS rank
+              |  FROM embeddings e, qs q
+              |)
+              |SELECT qid, CAST(rank AS INT) AS rank, vec_id,
+              |       round(score, 6) AS score
+              |FROM ranked WHERE rank <= 5
+              |ORDER BY qid, rank""".stripMargin)),
 
     // V8e — the PERSISTED layered-HNSW serving path (r9: NswIndex
     // layout v3): the same build-once/serve-many shape as q_v8c, but
@@ -1518,51 +1645,43 @@ object VectorQueries extends QueryPack {
     // the probes dominate the eval->recall frontier (0.750 at 295
     // evals vs 0.400 at 455). rows-only: a pointer-graph walk has no
     // SQL mirror.
+    // r13 (VERDICT r12 next #7, the q_v8b treatment): the REGISTERED
+    // q_v8d is the sweep's exact measuring stick — brute-force top-5
+    // per query over the widened 16-point panel — hash-oracled against
+    // DuckDB, because the sweep's graph walks have no SQL mirror. The
+    // matrix itself stays measured via [[nswEntrySweep]]: GraphAnnSpec
+    // pins its recall/eval values, and Bench both reads its (probed, 8)
+    // row as ann_recall.v8b_nsw and stamps the full matrix in the
+    // artifact. (q_v8b oracles the same stick over the 8-point panel —
+    // this one is the 16-point panel the widened sweep judges against.)
     QueryDef(
       "q_v8d_nsw_entry_sweep",
       (s, dir) => {
-        import s.implicits._
         val e = Tables.embeddings(s, dir)
-        val q = e.filter(col("vec_id") < 8)
+        val q = e.filter(col("vec_id") < SweepPanelN)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        val exact = exactTopK(e, q, 5)
-        val qPts = q.select(col("qid"), transform(col("qvec"),
-            x => x.cast("double")).as("qv"))
-          .collect()
-          .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
-          .sortBy(_._1)
-        // layered (r9): the HNSW hierarchy proper — geometric levels,
-        // greedy descent, diversity-heuristic links (GraphAnnSpec: 1.000
-        // recall at 217 evals/search on the 12k clustered shard, vs
-        // probed 0.750 at 295)
-        val modes = Seq(
-          ("single", graft.operators.GraphAnn.Params(entryProbes = 1)),
-          ("probed", graft.operators.GraphAnn.Params()),
-          ("layered", graft.operators.GraphAnn.Params(layered = true)))
-        val shardCounts = Seq(8, 1)
-        modes.flatMap { case (mode, params) =>
-          shardCounts.map { ns =>
-            val ann = graft.operators.GraphAnn
-              .searchShards(e, "vec_id", "embedding", qPts, kPerShard = 6,
-                params, numShards = ns)
-              .filter(col("vec_id") =!= col("qid"))
-              .groupBy("qid")
-              .agg(call_function("graft_topk", col("score"), col("vec_id"), lit(5)).as("nbrs"))
-            val rec = recallOf(q, exact, ann, 5)
-              .agg(round(avg(col("recall")), 6).as("mean_recall"))
-            val stats = graft.operators.GraphAnn
-              .shardSearchStats(e, "vec_id", "embedding", qPts, kPerShard = 6,
-                params, numShards = ns)
-              .agg((sum(col("evals")) / sum(col("searches")))
-                .cast("double").as("epq"))
-            rec.crossJoin(stats).select(
-              lit(mode).as("entry"), lit(ns).as("shards"),
-              col("mean_recall"), round(col("epq"), 1).as("evals_per_search"))
-          }
-        }.reduce(_ unionByName _)
-          .orderBy(col("entry"), col("shards"))
+        exactTopK(e, q, 5)
+          .select(col("qid"), posexplode(col("nbrs")))
+          .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+            col("col.vec_id").as("vec_id"),
+            round(col("col.score"), 6).as("score"))
+          .orderBy("qid", "rank")
       },
-      None),
+      Some(s"""WITH q AS (
+              |  SELECT vec_id AS qid, embedding AS qvec
+              |  FROM embeddings WHERE vec_id < $SweepPanelN
+              |), ranked AS (
+              |  SELECT q.qid, e.vec_id,
+              |         ${cosineSql("e.embedding", "q.qvec")} AS score,
+              |         row_number() OVER (PARTITION BY q.qid
+              |           ORDER BY ${cosineSql("e.embedding", "q.qvec")} DESC,
+              |                    e.vec_id) AS rank
+              |  FROM embeddings e, q WHERE e.vec_id <> q.qid
+              |)
+              |SELECT qid, CAST(rank AS INT) AS rank, vec_id,
+              |       round(score, 6) AS score
+              |FROM ranked WHERE rank <= 5
+              |ORDER BY qid, rank""".stripMargin)),
 
     // V7 — int8 scalar quantization (the reference's Qdrant storage
     // config: scalar int8, quantile 1.0, init_qdrant.py:51-57): each

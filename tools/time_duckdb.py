@@ -31,6 +31,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 # env (a 10x corpus legitimately needs more than the sf0.1 default, and a
 # -1 there would silently drop the query from the comparison)
 TIMEOUT_S = float(os.environ.get("GRAFT_DUCK_TIMEOUT_S", "30"))
+# CUMULATIVE sweep budget: on a steal-contended box every query of a
+# sweep can individually hit TIMEOUT_S (the r12 driver run burned
+# 22 x 120 s that way). Once total wall crosses this, the remaining
+# queries stamp -1.0 (the caller's duck_timed_out marker) immediately.
+# 0 / unset = unlimited.
+TOTAL_BUDGET_S = float(os.environ.get("GRAFT_DUCK_TOTAL_BUDGET_S", "0"))
 REPEAT_UNDER_S = 2.0  # best-of-3 only for queries faster than this
 
 
@@ -60,8 +66,12 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads(Path(oracle_path).read_text())
     out = {}
+    sweep_t0 = time.perf_counter()
     for name, sql in sorted(oracle.items()):
         if prefixes and not name.startswith(prefixes):
+            continue
+        if TOTAL_BUDGET_S > 0 and time.perf_counter() - sweep_t0 > TOTAL_BUDGET_S:
+            out[name] = -1.0  # cumulative budget spent: stamp, don't burn
             continue
         first = timed_run(con, sql, TIMEOUT_S)
         if first is None:
