@@ -147,6 +147,19 @@ object Bench {
     // bench_scaled_x10_full_heavy.json (regenerated each round at HEAD)
     // stands in for default runs; set SPARK_GRAFT_X10=1 to run it live.
     val x10Enabled = sys.env.get("SPARK_GRAFT_X10").contains("1")
+    // SPARK_GRAFT_ONLY=block1,block2 runs just the named metric blocks
+    // (throughput, sweep, ann_recall, ivf_index, dedup_scaled,
+    // ann_scaled, nsw_scaled, streaming_tp, duckdb, duckdb_scaled,
+    // duckdb_scaled_x10) — the budget tool for one-off archive runs
+    // (e.g. the x100 dedup ladder or the 768-d graph ladder) that
+    // previously re-paid the whole ~30 min bench per special artifact.
+    // Unset = everything (the driver's default run). The scaled duck
+    // tiers need "duckdb" included (the heavy subset is picked from the
+    // base sweep's measured times). A skipped block stamps null.
+    val onlyBlocks: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def runBlock(name: String): Boolean = onlyBlocks.forall(_.contains(name))
     def pickNum(src: Option[String], key: String): Option[String] =
       src.flatMap { s =>
         ("\"" + java.util.regex.Pattern.quote(key) + "\":\\s*(-?[0-9.eE+]+)").r
@@ -231,15 +244,18 @@ object Bench {
         scaledBlocks.find(_.startsWith("\"duckdb_scaled_x10\":")),
         "median_ratio_exec_heavy").getOrElse("null")},""" +
       s""""dedup":${mini(dedupScaled,
-        "ratio_x5" -> "r5", "ratio_x25" -> "r25")},""" +
+        "ratio_x5" -> "r5", "ratio_x25" -> "r25",
+        "ratio_x100" -> "r100", "x100_pairs" -> "p100")},""" +
       s""""ann_scaled":${mini(annScaled,
         "serve_ratio_x5" -> "r5", "serve_ratio_x25" -> "r25",
+        "serve_ratio_x100" -> "r100",
         "x25_serve_sec" -> "x25_serve",
         "x1_recall10" -> "rec1", "x5_recall10" -> "rec5",
         "x25_recall10" -> "rec25",
         "x25_probed_frac" -> "frac25")},""" +
       s""""nsw_scaled":${mini(nswScaled,
         "serve_ratio_x5" -> "r5", "serve_ratio_x25" -> "r25",
+        "serve_ratio_x100" -> "r100",
         "x25_build_sec" -> "x25_build", "x25_serve_sec" -> "x25_serve",
         "x1_recall10" -> "rec1", "x25_recall10" -> "rec25")},""" +
       s""""stream":${mini(streamTp,
@@ -251,6 +267,26 @@ object Bench {
       try java.nio.file.Files.write(java.nio.file.Paths.get(fullFile),
         (content + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
+    /** The FULL-fragment partial artifact: every completed block's whole
+      * JSON fragment (per-mult ladder fields, per-query scaled blocks —
+      * not the compact minis) plus errors. The r13 first special run
+      * died mid-ladder and its compact-schema partial had silently
+      * dropped the dedup x100 fields the run existed to measure. */
+    def fullPartialLine(): String = {
+      val timed = results.filter(_._2 >= 0)
+      val batchTimed = timed.filterNot(r => streamingNames(r._1))
+      val total = batchTimed.map(_._2).sum
+      val extras = Seq(throughput, recall, ivf, dedupScaled, annScaled,
+        nswScaled, streamTp, duck).flatten ++ scaledBlocks
+      val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"summary","partial":true,"value":$total,"unit":"sec",""" +
+      f""""elapsed_sec":${(System.nanoTime() - runT0) / 1e9}%.1f,""" +
+      s""""quiet_wait_sec":${quietSpentMs.get() / 1000},""" +
+      s""""n_queries":${results.size},"n_failed":${errors.size},""" +
+      extras.map(_ + ",").mkString +
+      s""""queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}"""
+    }
     /** Stamp a completed phase: progress line to stdout + refresh the
       * on-disk partial artifact. */
     def phaseDone(name: String): Unit = {
@@ -259,8 +295,7 @@ object Bench {
         f""""elapsed_sec":$elapsed%.1f,""" +
         s""""quiet_wait_sec":${quietSpentMs.get() / 1000},""" +
         f""""loadavg":${loadAvg()}%.2f}""")
-      writeFullFile(
-        buildCompact(partial = true).stripSuffix("}") + s""","errors":$errJson}""")
+      writeFullFile(fullPartialLine())
     }
     @volatile var finalCompact: Option[String] = None
     // Registered EARLY: on a driver wall-budget SIGTERM mid-run this
@@ -271,7 +306,7 @@ object Bench {
       System.out.println(finalCompact.getOrElse(buildCompact(partial = true)))
       System.out.flush()
     }
-    throughput = try {
+    throughput = if (!runBlock("throughput")) None else try {
       spark.catalog.clearCache()
       System.gc()
       // quiet-gate the probe phase itself, not just the NSW serves: the
@@ -611,29 +646,31 @@ object Bench {
     phaseDone("throughput")
     // ---- the full query sweep (timed cold-ish: first execution of each
     // plan in this JVM; the probes above warmed tables and codegen only)
-    val sweepBuf = scala.collection.mutable.ArrayBuffer[(String, Double)]()
-    SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.foreach {
-      case ((name, fn), i) =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch {
-            case e: Throwable =>
-              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-              false
+    if (runBlock("sweep")) {
+      val sweepBuf = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+      SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.foreach {
+        case ((name, fn), i) =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch {
+              case e: Throwable =>
+                errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+                false
+            }
+          sweepBuf += name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+          if ((i + 1) % 40 == 0) {
+            results = sweepBuf.toSeq
+            phaseDone(s"sweep_${i + 1}")
           }
-        sweepBuf += name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-        if ((i + 1) % 40 == 0) {
-          results = sweepBuf.toSeq
-          phaseDone(s"sweep_${i + 1}")
-        }
+      }
+      results = sweepBuf.toSeq
+      phaseDone("sweep")
     }
-    results = sweepBuf.toSeq
-    phaseDone("sweep")
     // ---- measured ANN recall (VERDICT r2 missing #1): mean over the 8
     // query points of |ANN top-5 ∩ exact top-5| / 5, for the LSH and IVF
     // paths. The per-point numbers are oracle-checked by CORRECTNESS.
-    recall = try {
+    recall = if (!runBlock("ann_recall")) None else try {
       def meanRecall(name: String): Double = {
         val r = SparkEntry.queries(name)(spark, sfDir)
           .agg(avg(col("recall"))).first().getDouble(0)
@@ -704,7 +741,7 @@ object Bench {
     // write); query_amortized_sec = mean of 10 searches against the
     // PREBUILT index (centroid read + partition-pruned cell scan);
     // rebuild_per_query_sec = the q_v6 in-plan path, best-of-3.
-    ivf = try {
+    ivf = if (!runBlock("ivf_index")) None else try {
       import graft.operators.IvfIndex
       val e = graft.sources.Tables.embeddings(spark, sfDir)
       val k = graft.queries.VectorQueries.ivfK(e.count())
@@ -863,7 +900,7 @@ object Bench {
     // and warmed before timing, so the timed span is the
     // scaling-critical stage: banding, hot-bucket cap, bucket
     // self-join, signature rejoin, jaccard filter.
-    dedupScaled = try {
+    dedupScaled = if (!runBlock("dedup_scaled")) None else try {
       val docs = graft.sources.Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("text"))
       val baseDocs = docs.count()
@@ -954,7 +991,7 @@ object Bench {
     // (x*_recall10), so the flat serve-time claim carries the accuracy
     // it buys; x*_probed_frac makes the shrinking-fraction-constant-
     // rows design explicit rather than inferred.
-    annScaled = try {
+    annScaled = if (!runBlock("ann_scaled")) None else try {
       import graft.operators.IvfIndex
       val dim = graft.queries.VectorQueries.Dim
       val baseN = 20000L
@@ -1077,7 +1114,7 @@ object Bench {
     // a fixed ef so the cost knob is pinned across scales. first_search
     // re-pays the per-executor graph load (evictServed per rep); serve
     // is the resident-graph amortized number.
-    nswScaled = try {
+    nswScaled = if (!runBlock("nsw_scaled")) None else try {
       import graft.operators.NswIndex
       // SPARK_GRAFT_NSW_DIM runs the ladder at another dimensionality
       // (VERDICT r12 next #6: the default 64-d synthetic corpus leaves
@@ -1187,7 +1224,7 @@ object Bench {
     // events/s (cold JIT) vs 26–31k here. The stamped loadavg_start
     // carries the contention caveat honestly; a cold-start number would
     // be the bigger lie about steady-state ingest.
-    streamTp = try {
+    streamTp = if (!runBlock("streaming_tp")) None else try {
       import org.apache.spark.sql.streaming.Trigger
       val sFs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
@@ -1452,7 +1489,7 @@ object Bench {
     // DuckDB" — unmeasured through round 2). Benchmark tooling only: the
     // oracle SQLs for the relational subset run in a DuckDB subprocess on
     // the same parquet; skipped silently when python3/duckdb is absent.
-    duck = try {
+    duck = if (!runBlock("duckdb")) None else try {
       val script = new java.io.File("tools/time_duckdb.py")
       if (!script.exists()) None
       else {
@@ -1623,12 +1660,14 @@ object Bench {
       val pins = scaledPins.filter(relScaled.contains)
       val heavyNames =
         (duckSecBase.toSeq.filter(_._2 >= 0.05).map(_._1) ++ pins).distinct.sorted
-      scaledProofAt(scaleMult, "duckdb_scaled", heavyNames,
-        "full_heavy_set_plus_dedup", relScaled, writeOracleJson,
-        (d, o) => runDuckTimer(d, o, perQueryBudgetSec = 120,
-          totalBudgetSec = 600))
-      phaseDone("duckdb_scaled")
-      if (scaleMult != 10 && x10Enabled) {
+      if (runBlock("duckdb_scaled")) {
+        scaledProofAt(scaleMult, "duckdb_scaled", heavyNames,
+          "full_heavy_set_plus_dedup", relScaled, writeOracleJson,
+          (d, o) => runDuckTimer(d, o, perQueryBudgetSec = 120,
+            totalBudgetSec = 600))
+        phaseDone("duckdb_scaled")
+      }
+      if (scaleMult != 10 && x10Enabled && runBlock("duckdb_scaled_x10")) {
         // x10 over the FULL heavy set (VERDICT r11 next #8) — now
         // opt-in via SPARK_GRAFT_X10 (VERDICT r12 next #1b): on the r12
         // driver's contended box all 22 of its oracles individually hit
