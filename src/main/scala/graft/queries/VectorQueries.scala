@@ -1550,16 +1550,22 @@ object VectorQueries extends QueryPack {
         import s.implicits._
         val qdf = BatchQueryVecs.zipWithIndex
           .map { case (q, i) => (i.toLong, q) }.toDF("qid", "qvec")
-        import org.apache.spark.sql.expressions.Window
+        // per-qid top-5 as the partially-aggregating graft_topk k-heap
+        // (same shape as exactTopK — map-side heaps, 3 result rows per
+        // partition into the exchange), NOT a row_number window: a
+        // window would total-sort corpus×|batch| rows on one key. No
+        // self-match exclusion — the batch queries are hyperplanes,
+        // not corpus rows, so qid values don't alias vec_ids.
         Tables.embeddings(s, dir)
           .crossJoin(broadcast(qdf))
           .withColumn("score", cosine(col("embedding"), col("qvec")))
-          .withColumn("rank", row_number().over(
-            Window.partitionBy(col("qid"))
-              .orderBy(desc("score"), col("vec_id"))))
-          .filter(col("rank") <= 5)
-          .select(col("qid"), col("rank").cast("int").as("rank"),
-            col("vec_id"), round(col("score"), 6).as("score"))
+          .groupBy("qid")
+          .agg(call_function("graft_topk", col("score"), col("vec_id"),
+            lit(5)).as("nbrs"))
+          .select(col("qid"), posexplode(col("nbrs")))
+          .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+            col("col.vec_id").as("vec_id"),
+            round(col("col.score"), 6).as("score"))
           .orderBy("qid", "rank")
       },
       Some(s"""WITH qs AS (
