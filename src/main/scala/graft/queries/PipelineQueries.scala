@@ -158,10 +158,25 @@ object PipelineQueries extends QueryPack {
     * denoise chain ([[graft.operators.Wavelet.denoiseSql]], bit-parity
     * validated) mirrors the 22nd column too, so q_e1 itself
     * hash-matches end to end; q_e1b keeps the 21-column form as the
-    * historical witness. */
+    * historical witness.
+    *
+    * Every CTE head is forced `AS MATERIALIZED` ([[OracleSql]], VERDICT
+    * r13 next #2): without it DuckDB inlines `dxt`/`di` into the rec2
+    * recursion step (the whole rec1 chain re-runs per iteration) and the
+    * oracle costs ~180 s at sf0.01; materialized it runs in ~2 s,
+    * hash-identical. The names are explicit because the SQL carries
+    * WINDOW clauses (`pf12`/`f29`/`w`) whose definitions share the
+    * `name AS (` token shape and must not be rewritten. */
+  private def e1CteHeads(includeWavelet: Boolean): Set[String] =
+    Set("bars", "s", "sv", "krec", "serec", "rrec", "rsiv", "mrec",
+      "macdv", "ppos", "prec", "rec1", "di", "dxt", "rec2", "frame",
+      "bands", "gbase", "gpadded", "gconv", "vbase", "vsg", "joined") ++
+      (if (includeWavelet) Set("ser", "w1", "w2", "r1", "r1a", "r0", "wav")
+       else Set.empty)
+
   private def e1Oracle(includeWavelet: Boolean): String = {
     import RecursiveKernelQueries.{adxRecCtes, kalmanRec, macdRec, ppoRec, rsiRec, rsiValExpr, sesRec}
-    s"""WITH RECURSIVE bars AS (
+    val raw = s"""WITH RECURSIVE bars AS (
        |  SELECT user_id, date_trunc('hour', ts) AS bts,
        |         arg_min(value, ts) AS open, max(value) AS high,
        |         min(value) AS low, arg_max(value, ts) AS close,
@@ -264,6 +279,7 @@ object PipelineQueries extends QueryPack {
        |FROM joined
        |WINDOW w AS (PARTITION BY user_id ORDER BY rn)
        |ORDER BY user_id, date""".stripMargin
+    OracleSql.materialize(raw, e1CteHeads(includeWavelet))
   }
 
   /** E2 — the reference's hourly news ETL DAG as ONE composed logical

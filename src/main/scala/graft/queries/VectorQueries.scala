@@ -443,47 +443,13 @@ object VectorQueries extends QueryPack {
        |)""".stripMargin
   }
 
-  /** DuckDB (1.0) inlines every non-recursive CTE once per reference;
-    * the trained-PQ oracles reference `e`/`cells`/`subsAll`/`codes`
-    * many times TRANSITIVELY, so the inlined expansion multiplies
-    * through the Lloyd chain and the binder plan explodes (measured:
-    * out-of-memory at n = 500). Forcing `AS MATERIALIZED` on every CTE
-    * head evaluates each once — semantics unchanged, cost linear.
-    *
-    * The rewrite is QUOTE-AWARE (ADVICE r12 #5): a `name AS (` token
-    * sequence inside a string literal or quoted identifier is left
-    * untouched instead of being silently corrupted — the scanner tracks
-    * '…' / "…" state and only rewrites identifier-boundary matches in
-    * plain SQL text, where the sequence can only be a CTE head (column
-    * aliases are `expr AS name`, never followed by `(`). */
-  private def materializeCtes(sql: String): String = {
-    val p = java.util.regex.Pattern.compile("[A-Za-z_][A-Za-z0-9_]* AS \\(")
-    val m = p.matcher(sql)
-    val out = new StringBuilder(sql.length + 256)
-    var i = 0
-    var inStr = false   // inside '…' (doubled '' toggles twice — net correct)
-    var inIdent = false // inside "…"
-    def identChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
-    while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (!inStr && !inIdent && (c.isLetter || c == '_') &&
-          (i == 0 || !identChar(sql.charAt(i - 1)))) {
-        m.region(i, sql.length)
-        if (m.lookingAt()) {
-          out.append(sql.substring(i, m.end).stripSuffix(" AS ("))
-            .append(" AS MATERIALIZED (")
-          i = m.end()
-        } else { out.append(c); i += 1 }
-      } else {
-        if (inStr) { if (c == '\'') inStr = false }
-        else if (inIdent) { if (c == '"') inIdent = false }
-        else if (c == '\'') inStr = true
-        else if (c == '"') inIdent = true
-        out.append(c); i += 1
-      }
-    }
-    out.toString
-  }
+  /** The trained-PQ oracles reference `e`/`cells`/`subsAll`/`codes` many
+    * times transitively through the Lloyd chain — the classic binder-plan
+    * explosion [[OracleSql]] exists for (measured: OOM at n = 500 without
+    * materialization). These oracles carry no WINDOW clause, so every
+    * `name AS (` is a CTE head and the blanket rewrite is safe. */
+  private def materializeCtes(sql: String): String =
+    OracleSql.materializeAll(sql)
 
   /** Shared WITH-body prefix for the q_v12 oracles: clustered corpus →
     * coarse quantizer sizing → centroids → cosine cell assignment →
