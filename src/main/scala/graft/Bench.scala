@@ -121,15 +121,67 @@ object Bench {
       }
       l
     }
+    // ---- TOTAL-WALL DEADLINE with phase shedding (VERDICT r13 next #1a):
+    // the r13 driver box ran the ~20-min-quiet default at loadavg 13-21
+    // and the run stretched to 3,568 s — past the driver's ~3,600 s kill,
+    // rc 124, two rounds running. The bench now compares elapsed time
+    // against a run budget BEFORE each optional phase and sheds the rest
+    // when the projection crosses it, so on an arbitrarily slow box it
+    // finishes small with rc 0 instead of always dying mid-run.
+    //  - Mandatory phases (never shed): throughput, sweep, and the
+    //    headline duckdb comparison — which is REORDERED to run right
+    //    after the sweep so the mandatory prefix is contiguous; its
+    //    internal DuckDB sweep budget additionally shrinks to half the
+    //    remaining wall so even it cannot blow the deadline.
+    //  - Sheddable (everything else): ann_recall, ivf_index, the scaled
+    //    tiers/ladders, streaming_tp. A shed phase stamps a
+    //    `phase_shed` line + joins `shed_phases` in every artifact.
+    //  - Projection = quiet-box estimate x measured slowdown (elapsed ÷
+    //    quiet estimate of completed phases), so a 4x-contended box
+    //    sheds 4x earlier.
+    // Default 2400 s leaves ~20 min of margin under a 3,600 s kill even
+    // if one phase overruns its estimate 3x.
+    val wallDeadlineSec =
+      sys.env.getOrElse("SPARK_GRAFT_WALL_DEADLINE_S", "2400").toInt
+    def elapsedSec: Double = (System.nanoTime() - runT0) / 1e9
+    var shedPhases: List[String] = Nil
+    // conservative quiet-box wall estimates per phase (sf0.1, 32 cpus;
+    // from the r13 committed record's ~1,220 s full run)
+    val phaseEstSec: Map[String, Double] = Map(
+      "throughput" -> 240, "sweep" -> 300, "duckdb" -> 420,
+      "ann_recall" -> 90, "ivf_index" -> 150, "dedup_scaled" -> 90,
+      "ann_scaled" -> 300, "nsw_scaled" -> 200, "streaming_tp" -> 120,
+      "duckdb_scaled" -> 360, "duckdb_scaled_x10" -> 900)
+    var quietEstDoneSec = 0.0
+    def slowdown: Double =
+      math.max(1.0, elapsedSec / math.max(quietEstDoneSec, 120.0))
+    /** True (and stamps the decision) when running `name` would project
+      * past the wall deadline. Call ONLY for sheddable phases, and only
+      * when the block is otherwise enabled. */
+    def shouldShed(name: String): Boolean = {
+      val projected = elapsedSec +
+        phaseEstSec.getOrElse(name, 120.0) * slowdown
+      if (projected <= wallDeadlineSec) false
+      else {
+        shedPhases = shedPhases :+ name
+        println(s"""{"metric":"phase_shed","name":${jstr(name)},""" +
+          f""""elapsed_sec":$elapsedSec%.1f,"projected_sec":$projected%.1f,""" +
+          f""""slowdown":$slowdown%.2f,"deadline_s":$wallDeadlineSec}""")
+        true
+      }
+    }
     // ---- partial-result state + per-phase emission (VERDICT r12 next
     // #1c): the r12 driver run blew its wall budget and left
     // BENCH_r12.json parsed:null — every number lived only at the very
     // end of a run that never got there. Each completed phase now
     // (a) prints a one-line progress stamp, (b) rewrites the on-disk
-    // full-summary file from the state measured so far, so a killed run
-    // leaves a parseable artifact; an early shutdown hook additionally
-    // prints the partial compact line as the final stdout line when the
-    // JVM dies to SIGTERM mid-run.
+    // full-summary file from the state measured so far, (c) re-prints
+    // the full compact summary line (VERDICT r13 next #1b: the driver's
+    // `timeout` TERMs the sbt WRAPPER and orphans this fork — only
+    // already-flushed stdout survives, so the latest parseable summary
+    // must already be there after every phase, not only at exit); an
+    // early shutdown hook additionally prints the partial compact line
+    // as the final stdout line when the JVM dies to SIGTERM mid-run.
     var throughput: Option[String] = None
     var recall: Option[String] = None
     var ivf: Option[String] = None
@@ -195,6 +247,8 @@ object Bench {
       f""""elapsed_sec":$elapsed%.1f,""" +
       s""""quiet_wait_sec":${quietSpentMs.get() / 1000},""" +
       s""""quiet_budget_s":$quietBudgetSec,"x10_enabled":$x10Enabled,""" +
+      s""""deadline_s":$wallDeadlineSec,""" +
+      s""""shed_phases":[${shedPhases.map(jstr).mkString(",")}],""" +
       s""""failed":[${errors.keys.take(5).map(jstr).mkString(",")}],""" +
       s""""queries":$slowest3,""" +
       s""""tp":${mini(throughput,
@@ -283,19 +337,29 @@ object Bench {
       s"""{"metric":"summary","partial":true,"value":$total,"unit":"sec",""" +
       f""""elapsed_sec":${(System.nanoTime() - runT0) / 1e9}%.1f,""" +
       s""""quiet_wait_sec":${quietSpentMs.get() / 1000},""" +
+      s""""deadline_s":$wallDeadlineSec,""" +
+      s""""shed_phases":[${shedPhases.map(jstr).mkString(",")}],""" +
       s""""n_queries":${results.size},"n_failed":${errors.size},""" +
       extras.map(_ + ",").mkString +
       s""""queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}"""
     }
-    /** Stamp a completed phase: progress line to stdout + refresh the
-      * on-disk partial artifact. */
+    /** Stamp a completed phase: progress line to stdout, refresh the
+      * on-disk partial artifact, then re-print the full compact summary
+      * so the driver's stdout tail ALWAYS ends with a parseable summary
+      * of everything measured so far (VERDICT r13 next #1b). The
+      * slowdown tracker only credits the phase's quiet estimate when the
+      * phase actually ran (an SPARK_GRAFT_ONLY-skipped block costs ~0 s,
+      * and crediting it would mask real contention). */
     def phaseDone(name: String): Unit = {
+      if (runBlock(name) && !shedPhases.contains(name))
+        quietEstDoneSec += phaseEstSec.getOrElse(name, 0.0)
       val elapsed = (System.nanoTime() - runT0) / 1e9
       println(s"""{"metric":"phase","name":${jstr(name)},""" +
         f""""elapsed_sec":$elapsed%.1f,""" +
         s""""quiet_wait_sec":${quietSpentMs.get() / 1000},""" +
         f""""loadavg":${loadAvg()}%.2f}""")
       writeFullFile(fullPartialLine())
+      println(buildCompact(partial = true))
     }
     @volatile var finalCompact: Option[String] = None
     // Registered EARLY: on a driver wall-budget SIGTERM mid-run this
@@ -648,29 +712,247 @@ object Bench {
     // plan in this JVM; the probes above warmed tables and codegen only)
     if (runBlock("sweep")) {
       val sweepBuf = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+      // last-resort guard: the sweep is mandatory, but on a box slow
+      // enough that the sweep ALONE crosses the wall deadline, a partial
+      // sweep with rc 0 beats a complete sweep the driver never sees
+      var sweepShed = 0
       SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.foreach {
         case ((name, fn), i) =>
-          val t0 = System.nanoTime()
-          val ok =
-            try { fn(spark, sfDir).count(); true }
-            catch {
-              case e: Throwable =>
-                errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-                false
-            }
-          sweepBuf += name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+          if (elapsedSec > wallDeadlineSec) sweepShed += 1
+          else {
+            val t0 = System.nanoTime()
+            val ok =
+              try { fn(spark, sfDir).count(); true }
+              catch {
+                case e: Throwable =>
+                  errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+                  false
+              }
+            sweepBuf += name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+          }
           if ((i + 1) % 40 == 0) {
             results = sweepBuf.toSeq
             phaseDone(s"sweep_${i + 1}")
           }
       }
+      if (sweepShed > 0) {
+        shedPhases = shedPhases :+ s"sweep_tail_$sweepShed"
+        println(s"""{"metric":"phase_shed","name":"sweep_tail_$sweepShed",""" +
+          f""""elapsed_sec":$elapsedSec%.1f,"deadline_s":$wallDeadlineSec}""")
+      }
       results = sweepBuf.toSeq
       phaseDone("sweep")
     }
+    // ---- headline DuckDB comparison: MANDATORY phase, reordered to run
+    // right after the sweep (VERDICT r13 next #1a) so the wall-deadline
+    // shedding below can drop every optional phase while still
+    // guaranteeing the three headline blocks land in the artifact.
+    // x5 over the full heavy subset (the r6 artifact, unchanged), then
+    // x10 over a REDUCED subset — the 8 heaviest by measured x5 DuckDB
+    // time — so BENCH_r{N}.json itself carries the "sf1" amortization
+    // point (VERDICT r6 next #3: previously builder-run ScaleProof only)
+    // without a second full DuckDB sweep on 10x data.
+    // the two perennial slowest-list leaders ride BOTH scaled tiers
+    // (VERDICT r10 next #5): their Spark wall at sf0.1 is dominated by
+    // round-trip shuffle latency that should amortize with volume —
+    // pinning them into the x5/x10 comparisons measures that instead of
+    // asserting it. Their oracles live outside the relational prefix
+    // set, so they're spliced into the scaled oracle map explicitly.
+    val dedupPins = Seq("q_d1_minhash_lsh", "q_d5_dup_clusters")
+    // q_s4 (the bare bounded range scan) rides both tiers as the per-job
+    // floor instrument (VERDICT r12 next #3) — floor_ratio needs it
+    // measured in the same tier, whether or not its duck time clears the
+    // 50 ms heavy bar.
+    val scaledPins = dedupPins :+ "q_s4_range_scan"
+    // base-sweep measurements the scaled tiers (separate phases below)
+    // consume: the heavy subset is picked from MEASURED base duck times
+    var duckSecBase: Map[String, Double] = Map.empty
+    var relScaled: Map[String, String] = Map.empty
+    // ---- DuckDB wall-time comparison (BASELINE.md "relational < 2x
+    // DuckDB" — unmeasured through round 2). Benchmark tooling only: the
+    // oracle SQLs for the relational subset run in a DuckDB subprocess on
+    // the same parquet; skipped silently when python3/duckdb is absent.
+    duck = if (!runBlock("duckdb")) None else try {
+      val script = new java.io.File("tools/time_duckdb.py")
+      if (!script.exists()) None
+      else {
+        val prefixes = Seq("q_s", "q_p", "q_j", "q_u", "q_a", "q_w", "q_g", "q_t", "q_e2", "q_e3")
+        val rel = SparkEntry.oracleSql
+          .filter { case (n, _) => prefixes.exists(n.startsWith) }
+        val tmp = java.nio.file.Files.createTempFile("graft_oracle", ".json")
+        java.nio.file.Files.write(tmp,
+          rel.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+            .mkString("{", ",", "}").getBytes("UTF-8"))
+        val basePb = new ProcessBuilder("python3", script.getPath, sfDir, tmp.toString)
+          .redirectErrorStream(true)
+        // ~60 oracles x 30 s worst case = 30 min on a contended box; the
+        // cumulative budget bounds that (quiet sf0.1 sweeps take 2-4 min).
+        // The budget additionally shrinks to half the remaining wall so
+        // this mandatory phase cannot blow the run deadline on a slow box
+        // (VERDICT r13 next #1a) — the Spark-side loops below carry the
+        // same guard.
+        val duckBudget = math.max(120,
+          math.min(480, ((wallDeadlineSec - elapsedSec) / 2).toInt))
+        basePb.environment().put("GRAFT_DUCK_TOTAL_BUDGET_S", duckBudget.toString)
+        val proc = basePb.start()
+        val outS = scala.io.Source.fromInputStream(proc.getInputStream).mkString.trim
+        val rc = proc.waitFor()
+        if (rc != 0 || outS.isEmpty) {
+          errors("__duckdb") = s"time_duckdb.py rc=$rc"
+          None
+        } else {
+          val pair = """"([^"]+)":\s*(-?[0-9.eE+]+)""".r
+          val duckSec = pair.findAllMatchIn(outS)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          // warm-vs-warm AND materialization-vs-materialization: the duck
+          // side executes the full SQL and fetchall()s, so the Spark side
+          // must collect() too — a count() lets Catalyst prune final
+          // projections and drop ORDER BYs, biasing the ratio in Spark's
+          // favor (ADVICE r3). Best-of-3, same as the duck side; cold
+          // first-run numbers stay in `queries`. r6 (ADVICE r5): the
+          // HEADLINE ratio runs on FRESH lineage per rep — plan paid
+          // every rep, no memoized handle, no skipped shuffle stages —
+          // so it compares like-for-like work with DuckDB's full
+          // re-execution; the handle-reuse serving mode is reported
+          // separately as median_ratio_cached_*.
+          // deadline guard for the three Spark-side timing loops: past
+          // the wall, remaining queries are dropped (counted in
+          // n_deadline_dropped so the shrunken median population is
+          // visible in the artifact, not silent)
+          var deadlineDropped = 0
+          def underDeadline[T](f: => T): Option[T] =
+            if (elapsedSec > wallDeadlineSec) { deadlineDropped += 1; None }
+            else Some(f)
+          val warmSec = duckSec.keys.toSeq.sorted.flatMap { n =>
+            SparkEntry.freshQueries.get(n).flatMap { fn => underDeadline {
+              fn(spark, sfDir).collect() // warm tables/codegen once
+              val t = (1 to 3).map { _ =>
+                val t0 = System.nanoTime()
+                fn(spark, sfDir).collect()
+                (System.nanoTime() - t0) / 1e9
+              }.min
+              n -> t
+            }}
+          }.toMap
+          // cached-plan serving mode (PlanCache semantics): ONE DataFrame
+          // handle, re-collected — planning paid once. NOTE (ADVICE r4):
+          // re-executing the same handle lets Spark skip unchanged
+          // shuffle map stages, so this is the serving number on static
+          // data, NOT an execution-cost isolation — that is execSec below.
+          val cachedSec = duckSec.keys.toSeq.sorted.flatMap { n =>
+            SparkEntry.freshQueries.get(n).flatMap { fn => underDeadline {
+              val df = fn(spark, sfDir)
+              df.collect() // warm: triggers analysis + codegen once
+              val t = (1 to 3).map { _ =>
+                val t0 = System.nanoTime()
+                df.collect()
+                (System.nanoTime() - t0) / 1e9
+              }.min
+              n -> t
+            }}
+          }.toMap
+          // execution-cost isolation, unbiased (ADVICE r4): each rep
+          // builds a FRESH DataFrame (fresh RDD lineage — no skipped
+          // stages), and separately-measured planning time (fresh plan to
+          // executedPlan, best-of-3) is subtracted from the fresh
+          // per-call time. Approximation caveat: runtime codegen
+          // compilation sits on the execution side but hits Janino's
+          // cache after the first call.
+          val execSec = duckSec.keys.toSeq.sorted.flatMap { n =>
+            SparkEntry.freshQueries.get(n).flatMap { fn => underDeadline {
+              val planT = (1 to 3).map { _ =>
+                val t0 = System.nanoTime()
+                fn(spark, sfDir).queryExecution.executedPlan
+                (System.nanoTime() - t0) / 1e9
+              }.min
+              val callT = (1 to 3).map { _ =>
+                val t0 = System.nanoTime()
+                fn(spark, sfDir).collect()
+                (System.nanoTime() - t0) / 1e9
+              }.min
+              n -> math.max(callT - planT, 1e-4)
+            }}
+          }.toMap
+          val ratios = duckSec.toSeq.collect {
+            case (n, d) if d > 0 && warmSec.getOrElse(n, -1.0) > 0 =>
+              n -> warmSec(n) / d
+          }.sortBy(_._1)
+          def medianOf(rs: Seq[Double]): Double = {
+            val s = rs.sorted
+            if (s.isEmpty) -1.0 else s(s.size / 2)
+          }
+          val median = medianOf(ratios.map(_._2))
+          // the execution-dominated subset: where DuckDB itself does
+          // >= 50 ms of work, both engines are measuring execution, not
+          // Spark's fixed ~0.1 s planning/scheduling floor — this is the
+          // number that predicts relative cost at scale
+          val heavy = ratios.filter { case (n, _) => duckSec(n) >= 0.05 }
+          val medianHeavy = medianOf(heavy.map(_._2))
+          val execRatios = duckSec.toSeq.collect {
+            case (n, d) if d > 0 && execSec.getOrElse(n, -1.0) > 0 =>
+              n -> execSec(n) / d
+          }
+          val medianExecHeavy = medianOf(
+            execRatios.filter { case (n, _) => duckSec(n) >= 0.05 }.map(_._2))
+          val cachedRatios = duckSec.toSeq.collect {
+            case (n, d) if d > 0 && cachedSec.getOrElse(n, -1.0) > 0 =>
+              n -> cachedSec(n) / d
+          }
+          val medianCachedHeavy = medianOf(
+            cachedRatios.filter { case (n, _) => duckSec(n) >= 0.05 }.map(_._2))
+          val medianCachedAll = medianOf(cachedRatios.map(_._2))
+          // hand the scaled tiers (separate phases below) their inputs
+          duckSecBase = duckSec
+          relScaled = rel ++ SparkEntry.oracleSql.view
+            .filterKeys(scaledPins.contains).toMap
+          val over = ratios.filter(_._2 > 2.0).map(_._1)
+          val warmJson = warmSec.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"${jstr(k)}:${f"$v%.4f"}" }.mkString("{", ",", "}")
+          val execJson = execSec.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"${jstr(k)}:${f"$v%.4f"}" }.mkString("{", ",", "}")
+          val cachedJson = cachedSec.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"${jstr(k)}:${f"$v%.4f"}" }.mkString("{", ",", "}")
+          Some(
+            s""""duckdb":{"duck_sec":$outS,"spark_warm_sec":$warmJson,""" +
+            s""""spark_exec_sec":$execJson,""" +
+            s""""spark_cached_sec":$cachedJson,""" +
+            s""""n_compared":${ratios.size},""" +
+            s""""n_deadline_dropped":$deadlineDropped,""" +
+            s""""duck_total_budget_s":$duckBudget,""" +
+            f""""median_ratio":$median%.3f,""" +
+            s""""n_heavy":${heavy.size},""" +
+            f""""median_ratio_heavy":$medianHeavy%.3f,""" +
+            f""""median_ratio_exec_heavy":$medianExecHeavy%.3f,""" +
+            f""""median_ratio_cached_heavy":$medianCachedHeavy%.3f,""" +
+            f""""median_ratio_cached":$medianCachedAll%.3f,""" +
+            s""""heavy":[${heavy.map(_._1).map(jstr).mkString(",")}],""" +
+            s""""over_2x":[${over.map(jstr).mkString(",")}],""" +
+            jstr("note") + ":" + jstr(
+              "both sides fully materialize (collect/fetchall), warm, " +
+              "best-of-N. median_ratio / median_ratio_heavy (heavy = " +
+              "DuckDB >= 50ms subset) now run on FRESH lineage per rep " +
+              "(plan paid every rep, no memoized handle, no skipped " +
+              "shuffle stages — like-for-like with DuckDB re-executing " +
+              "fully; ADVICE r5). median_ratio_cached_*: explicit " +
+              "handle-reuse serving mode (planning paid once, shuffle " +
+              "stages may be reused on static data). " +
+              "median_ratio_exec_heavy: fresh lineage with separately " +
+              "measured planning time subtracted — execution vs " +
+              "execution; see duckdb_scaled for the same number at a " +
+              "larger SF where the per-job floor amortizes") +
+            "}")
+        }
+      }
+    } catch {
+      case e: Throwable =>
+        errors("__duckdb") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        None
+    }
+    phaseDone("duckdb")
     // ---- measured ANN recall (VERDICT r2 missing #1): mean over the 8
     // query points of |ANN top-5 ∩ exact top-5| / 5, for the LSH and IVF
     // paths. The per-point numbers are oracle-checked by CORRECTNESS.
-    recall = if (!runBlock("ann_recall")) None else try {
+    recall = if (!runBlock("ann_recall") || shouldShed("ann_recall")) None else try {
       def meanRecall(name: String): Double = {
         val r = SparkEntry.queries(name)(spark, sfDir)
           .agg(avg(col("recall"))).first().getDouble(0)
@@ -741,7 +1023,7 @@ object Bench {
     // write); query_amortized_sec = mean of 10 searches against the
     // PREBUILT index (centroid read + partition-pruned cell scan);
     // rebuild_per_query_sec = the q_v6 in-plan path, best-of-3.
-    ivf = if (!runBlock("ivf_index")) None else try {
+    ivf = if (!runBlock("ivf_index") || shouldShed("ivf_index")) None else try {
       import graft.operators.IvfIndex
       val e = graft.sources.Tables.embeddings(spark, sfDir)
       val k = graft.queries.VectorQueries.ivfK(e.count())
@@ -900,7 +1182,7 @@ object Bench {
     // and warmed before timing, so the timed span is the
     // scaling-critical stage: banding, hot-bucket cap, bucket
     // self-join, signature rejoin, jaccard filter.
-    dedupScaled = if (!runBlock("dedup_scaled")) None else try {
+    dedupScaled = if (!runBlock("dedup_scaled") || shouldShed("dedup_scaled")) None else try {
       val docs = graft.sources.Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("text"))
       val baseDocs = docs.count()
@@ -991,7 +1273,7 @@ object Bench {
     // (x*_recall10), so the flat serve-time claim carries the accuracy
     // it buys; x*_probed_frac makes the shrinking-fraction-constant-
     // rows design explicit rather than inferred.
-    annScaled = if (!runBlock("ann_scaled")) None else try {
+    annScaled = if (!runBlock("ann_scaled") || shouldShed("ann_scaled")) None else try {
       import graft.operators.IvfIndex
       val dim = graft.queries.VectorQueries.Dim
       val baseN = 20000L
@@ -1114,7 +1396,7 @@ object Bench {
     // a fixed ef so the cost knob is pinned across scales. first_search
     // re-pays the per-executor graph load (evictServed per rep); serve
     // is the resident-graph amortized number.
-    nswScaled = if (!runBlock("nsw_scaled")) None else try {
+    nswScaled = if (!runBlock("nsw_scaled") || shouldShed("nsw_scaled")) None else try {
       import graft.operators.NswIndex
       // SPARK_GRAFT_NSW_DIM runs the ladder at another dimensionality
       // (VERDICT r12 next #6: the default 64-d synthetic corpus leaves
@@ -1224,7 +1506,7 @@ object Bench {
     // events/s (cold JIT) vs 26–31k here. The stamped loadavg_start
     // carries the contention caveat honestly; a cold-start number would
     // be the bigger lie about steady-state ingest.
-    streamTp = if (!runBlock("streaming_tp")) None else try {
+    streamTp = if (!runBlock("streaming_tp") || shouldShed("streaming_tp")) None else try {
       import org.apache.spark.sql.streaming.Trigger
       val sFs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
@@ -1464,192 +1746,6 @@ object Bench {
           Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         Map.empty
     }
-    // x5 over the full heavy subset (the r6 artifact, unchanged), then
-    // x10 over a REDUCED subset — the 8 heaviest by measured x5 DuckDB
-    // time — so BENCH_r{N}.json itself carries the "sf1" amortization
-    // point (VERDICT r6 next #3: previously builder-run ScaleProof only)
-    // without a second full DuckDB sweep on 10x data.
-    // the two perennial slowest-list leaders ride BOTH scaled tiers
-    // (VERDICT r10 next #5): their Spark wall at sf0.1 is dominated by
-    // round-trip shuffle latency that should amortize with volume —
-    // pinning them into the x5/x10 comparisons measures that instead of
-    // asserting it. Their oracles live outside the relational prefix
-    // set, so they're spliced into the scaled oracle map explicitly.
-    val dedupPins = Seq("q_d1_minhash_lsh", "q_d5_dup_clusters")
-    // q_s4 (the bare bounded range scan) rides both tiers as the per-job
-    // floor instrument (VERDICT r12 next #3) — floor_ratio needs it
-    // measured in the same tier, whether or not its duck time clears the
-    // 50 ms heavy bar.
-    val scaledPins = dedupPins :+ "q_s4_range_scan"
-    // base-sweep measurements the scaled tiers (separate phases below)
-    // consume: the heavy subset is picked from MEASURED base duck times
-    var duckSecBase: Map[String, Double] = Map.empty
-    var relScaled: Map[String, String] = Map.empty
-    // ---- DuckDB wall-time comparison (BASELINE.md "relational < 2x
-    // DuckDB" — unmeasured through round 2). Benchmark tooling only: the
-    // oracle SQLs for the relational subset run in a DuckDB subprocess on
-    // the same parquet; skipped silently when python3/duckdb is absent.
-    duck = if (!runBlock("duckdb")) None else try {
-      val script = new java.io.File("tools/time_duckdb.py")
-      if (!script.exists()) None
-      else {
-        val prefixes = Seq("q_s", "q_p", "q_j", "q_u", "q_a", "q_w", "q_g", "q_t", "q_e2", "q_e3")
-        val rel = SparkEntry.oracleSql
-          .filter { case (n, _) => prefixes.exists(n.startsWith) }
-        val tmp = java.nio.file.Files.createTempFile("graft_oracle", ".json")
-        java.nio.file.Files.write(tmp,
-          rel.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
-            .mkString("{", ",", "}").getBytes("UTF-8"))
-        val basePb = new ProcessBuilder("python3", script.getPath, sfDir, tmp.toString)
-          .redirectErrorStream(true)
-        // ~60 oracles x 30 s worst case = 30 min on a contended box; the
-        // cumulative budget bounds that (quiet sf0.1 sweeps take 2-4 min)
-        basePb.environment().put("GRAFT_DUCK_TOTAL_BUDGET_S", "480")
-        val proc = basePb.start()
-        val outS = scala.io.Source.fromInputStream(proc.getInputStream).mkString.trim
-        val rc = proc.waitFor()
-        if (rc != 0 || outS.isEmpty) {
-          errors("__duckdb") = s"time_duckdb.py rc=$rc"
-          None
-        } else {
-          val pair = """"([^"]+)":\s*(-?[0-9.eE+]+)""".r
-          val duckSec = pair.findAllMatchIn(outS)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          // warm-vs-warm AND materialization-vs-materialization: the duck
-          // side executes the full SQL and fetchall()s, so the Spark side
-          // must collect() too — a count() lets Catalyst prune final
-          // projections and drop ORDER BYs, biasing the ratio in Spark's
-          // favor (ADVICE r3). Best-of-3, same as the duck side; cold
-          // first-run numbers stay in `queries`. r6 (ADVICE r5): the
-          // HEADLINE ratio runs on FRESH lineage per rep — plan paid
-          // every rep, no memoized handle, no skipped shuffle stages —
-          // so it compares like-for-like work with DuckDB's full
-          // re-execution; the handle-reuse serving mode is reported
-          // separately as median_ratio_cached_*.
-          val warmSec = duckSec.keys.toSeq.sorted.flatMap { n =>
-            SparkEntry.freshQueries.get(n).map { fn =>
-              fn(spark, sfDir).collect() // warm tables/codegen once
-              val t = (1 to 3).map { _ =>
-                val t0 = System.nanoTime()
-                fn(spark, sfDir).collect()
-                (System.nanoTime() - t0) / 1e9
-              }.min
-              n -> t
-            }
-          }.toMap
-          // cached-plan serving mode (PlanCache semantics): ONE DataFrame
-          // handle, re-collected — planning paid once. NOTE (ADVICE r4):
-          // re-executing the same handle lets Spark skip unchanged
-          // shuffle map stages, so this is the serving number on static
-          // data, NOT an execution-cost isolation — that is execSec below.
-          val cachedSec = duckSec.keys.toSeq.sorted.flatMap { n =>
-            SparkEntry.freshQueries.get(n).map { fn =>
-              val df = fn(spark, sfDir)
-              df.collect() // warm: triggers analysis + codegen once
-              val t = (1 to 3).map { _ =>
-                val t0 = System.nanoTime()
-                df.collect()
-                (System.nanoTime() - t0) / 1e9
-              }.min
-              n -> t
-            }
-          }.toMap
-          // execution-cost isolation, unbiased (ADVICE r4): each rep
-          // builds a FRESH DataFrame (fresh RDD lineage — no skipped
-          // stages), and separately-measured planning time (fresh plan to
-          // executedPlan, best-of-3) is subtracted from the fresh
-          // per-call time. Approximation caveat: runtime codegen
-          // compilation sits on the execution side but hits Janino's
-          // cache after the first call.
-          val execSec = duckSec.keys.toSeq.sorted.flatMap { n =>
-            SparkEntry.freshQueries.get(n).map { fn =>
-              val planT = (1 to 3).map { _ =>
-                val t0 = System.nanoTime()
-                fn(spark, sfDir).queryExecution.executedPlan
-                (System.nanoTime() - t0) / 1e9
-              }.min
-              val callT = (1 to 3).map { _ =>
-                val t0 = System.nanoTime()
-                fn(spark, sfDir).collect()
-                (System.nanoTime() - t0) / 1e9
-              }.min
-              n -> math.max(callT - planT, 1e-4)
-            }
-          }.toMap
-          val ratios = duckSec.toSeq.collect {
-            case (n, d) if d > 0 && warmSec.getOrElse(n, -1.0) > 0 =>
-              n -> warmSec(n) / d
-          }.sortBy(_._1)
-          def medianOf(rs: Seq[Double]): Double = {
-            val s = rs.sorted
-            if (s.isEmpty) -1.0 else s(s.size / 2)
-          }
-          val median = medianOf(ratios.map(_._2))
-          // the execution-dominated subset: where DuckDB itself does
-          // >= 50 ms of work, both engines are measuring execution, not
-          // Spark's fixed ~0.1 s planning/scheduling floor — this is the
-          // number that predicts relative cost at scale
-          val heavy = ratios.filter { case (n, _) => duckSec(n) >= 0.05 }
-          val medianHeavy = medianOf(heavy.map(_._2))
-          val execRatios = duckSec.toSeq.collect {
-            case (n, d) if d > 0 && execSec.getOrElse(n, -1.0) > 0 =>
-              n -> execSec(n) / d
-          }
-          val medianExecHeavy = medianOf(
-            execRatios.filter { case (n, _) => duckSec(n) >= 0.05 }.map(_._2))
-          val cachedRatios = duckSec.toSeq.collect {
-            case (n, d) if d > 0 && cachedSec.getOrElse(n, -1.0) > 0 =>
-              n -> cachedSec(n) / d
-          }
-          val medianCachedHeavy = medianOf(
-            cachedRatios.filter { case (n, _) => duckSec(n) >= 0.05 }.map(_._2))
-          val medianCachedAll = medianOf(cachedRatios.map(_._2))
-          // hand the scaled tiers (separate phases below) their inputs
-          duckSecBase = duckSec
-          relScaled = rel ++ SparkEntry.oracleSql.view
-            .filterKeys(scaledPins.contains).toMap
-          val over = ratios.filter(_._2 > 2.0).map(_._1)
-          val warmJson = warmSec.toSeq.sortBy(_._1)
-            .map { case (k, v) => s"${jstr(k)}:${f"$v%.4f"}" }.mkString("{", ",", "}")
-          val execJson = execSec.toSeq.sortBy(_._1)
-            .map { case (k, v) => s"${jstr(k)}:${f"$v%.4f"}" }.mkString("{", ",", "}")
-          val cachedJson = cachedSec.toSeq.sortBy(_._1)
-            .map { case (k, v) => s"${jstr(k)}:${f"$v%.4f"}" }.mkString("{", ",", "}")
-          Some(
-            s""""duckdb":{"duck_sec":$outS,"spark_warm_sec":$warmJson,""" +
-            s""""spark_exec_sec":$execJson,""" +
-            s""""spark_cached_sec":$cachedJson,""" +
-            s""""n_compared":${ratios.size},""" +
-            f""""median_ratio":$median%.3f,""" +
-            s""""n_heavy":${heavy.size},""" +
-            f""""median_ratio_heavy":$medianHeavy%.3f,""" +
-            f""""median_ratio_exec_heavy":$medianExecHeavy%.3f,""" +
-            f""""median_ratio_cached_heavy":$medianCachedHeavy%.3f,""" +
-            f""""median_ratio_cached":$medianCachedAll%.3f,""" +
-            s""""heavy":[${heavy.map(_._1).map(jstr).mkString(",")}],""" +
-            s""""over_2x":[${over.map(jstr).mkString(",")}],""" +
-            jstr("note") + ":" + jstr(
-              "both sides fully materialize (collect/fetchall), warm, " +
-              "best-of-N. median_ratio / median_ratio_heavy (heavy = " +
-              "DuckDB >= 50ms subset) now run on FRESH lineage per rep " +
-              "(plan paid every rep, no memoized handle, no skipped " +
-              "shuffle stages — like-for-like with DuckDB re-executing " +
-              "fully; ADVICE r5). median_ratio_cached_*: explicit " +
-              "handle-reuse serving mode (planning paid once, shuffle " +
-              "stages may be reused on static data). " +
-              "median_ratio_exec_heavy: fresh lineage with separately " +
-              "measured planning time subtracted — execution vs " +
-              "execution; see duckdb_scaled for the same number at a " +
-              "larger SF where the per-job floor amortizes") +
-            "}")
-        }
-      }
-    } catch {
-      case e: Throwable =>
-        errors("__duckdb") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-        None
-    }
-    phaseDone("duckdb")
     // ---- scaled-replica tiers, each its own phase. Per-query DuckDB
     // budget 120 s (ADVICE r10 #3: the 30 s default is sized for sf0.1 —
     // at x5/x10 a legitimate heavy query times out and silently drops
@@ -1660,14 +1756,15 @@ object Bench {
       val pins = scaledPins.filter(relScaled.contains)
       val heavyNames =
         (duckSecBase.toSeq.filter(_._2 >= 0.05).map(_._1) ++ pins).distinct.sorted
-      if (runBlock("duckdb_scaled")) {
+      if (runBlock("duckdb_scaled") && !shouldShed("duckdb_scaled")) {
         scaledProofAt(scaleMult, "duckdb_scaled", heavyNames,
           "full_heavy_set_plus_dedup", relScaled, writeOracleJson,
           (d, o) => runDuckTimer(d, o, perQueryBudgetSec = 120,
             totalBudgetSec = 600))
         phaseDone("duckdb_scaled")
       }
-      if (scaleMult != 10 && x10Enabled && runBlock("duckdb_scaled_x10")) {
+      if (scaleMult != 10 && x10Enabled && runBlock("duckdb_scaled_x10") &&
+          !shouldShed("duckdb_scaled_x10")) {
         // x10 over the FULL heavy set (VERDICT r11 next #8) — now
         // opt-in via SPARK_GRAFT_X10 (VERDICT r12 next #1b): on the r12
         // driver's contended box all 22 of its oracles individually hit
@@ -1701,6 +1798,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","headline":$headline,""" +
       f""""streaming_harness_sec":$streamingSec%.3f,""" +
       s""""n_queries":${results.size},"n_failed":${errors.size},""" +
+      s""""deadline_s":$wallDeadlineSec,""" +
+      s""""shed_phases":[${shedPhases.map(jstr).mkString(",")}],""" +
       extras.map(_ + ",").mkString +
       s""""queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
     // re-emit each metrics block as its own compact tail line (survives
@@ -1740,6 +1839,8 @@ object Bench {
       s""""quiet_wait_sec":${quietSpentMs.get() / 1000},""" +
       s""""quiet_budget_s":$quietBudgetSec,"x10_enabled":$x10Enabled,""" +
       f""""wall_sec":${(System.nanoTime() - runT0) / 1e9}%.1f,""" +
+      s""""deadline_s":$wallDeadlineSec,""" +
+      s""""shed_phases":[${shedPhases.map(jstr).mkString(",")}],""" +
       s""""n_queries":${results.size},"n_failed":${errors.size},""" +
       s""""failed":[${errors.keys.map(jstr).mkString(",")}],""" +
       s""""slowest":$slowest,"throughput":$throughputC,""" +

@@ -48,18 +48,37 @@ object SparkEntry {
         size() > 512
     }
 
+  /** Per-key build locks (ADVICE r13 #3): parallel Verify workers
+    * building DIFFERENT queries must not serialize on one global lock —
+    * some builders run multi-second driver-side Spark actions (index
+    * buildIfAbsent, e3 bound probes) that previously stalled all six
+    * workers. The global cache lock now guards only the map get/put
+    * (microseconds); the build itself runs under its key's own monitor,
+    * created atomically, so only same-key callers contend and share one
+    * build. A lock left behind by a throwing build is reused by the next
+    * caller (bounded by key count — harmless). */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Object]()
+
   private def memoized(name: String,
       build: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
-    (s, dir) => builtCache.synchronized {
+    (s, dir) => {
       // conf-pinned UUID, not identityHashCode: hash reuse after GC could
       // hand a dead session's DataFrame to a fresh one (ADVICE r5).
       val key = (GraftSession.sessionUuid(s), dir, name)
-      val hit = builtCache.get(key)
+      val hit = builtCache.synchronized(builtCache.get(key))
       if (hit != null) hit
-      else {
-        val df = build(s, dir)
-        builtCache.put(key, df)
-        df
+      else buildLocks.computeIfAbsent(key, _ => new Object).synchronized {
+        // double-check: a same-key racer may have finished the build
+        // while this thread waited on the key monitor
+        val again = builtCache.synchronized(builtCache.get(key))
+        if (again != null) again
+        else {
+          val df = build(s, dir)
+          builtCache.synchronized(builtCache.put(key, df))
+          buildLocks.remove(key)
+          df
+        }
       }
     }
 

@@ -47,6 +47,14 @@ object Verify {
     }.toSeq.sortBy(_._1)
     val par = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "6").toInt)
+    // total-wall deadline, same discipline as Bench (VERDICT r13 next
+    // #1c): on a contended-enough box a full dump could outlive the
+    // driver's round budget — past the deadline the remaining queries
+    // are skipped (each logged) and the process exits 0 with every
+    // already-dumped dir intact, instead of being killed mid-write.
+    // Default 1800 s is ~20x the quiet full-surface wall (~80 s).
+    val deadlineSec =
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_DEADLINE_S", "1800").toInt
     val queue = new java.util.concurrent.ConcurrentLinkedQueue[
       (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
     selected.foreach(queue.add)
@@ -55,14 +63,19 @@ object Verify {
       var next = queue.poll()
       while (next != null) {
         val (name, fn) = next
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          System.err.println(
-            f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
-        } catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        if ((System.nanoTime() - t0All) / 1e9 > deadlineSec) {
+          System.err.println(s"[verify] $name skipped: past " +
+            s"deadline ${deadlineSec}s (SPARK_GRAFT_VERIFY_DEADLINE_S)")
+        } else {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            System.err.println(
+              f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+          } catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
         }
         next = queue.poll()
       }
