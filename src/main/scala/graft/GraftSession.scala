@@ -269,6 +269,11 @@ object GraftSession {
           (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
             graft.functions.FieldStats(children.head)))
         ext.injectFunction((
+          FunctionIdentifier("graft_pii_scan"),
+          new ExpressionInfo(classOf[graft.functions.PiiScan].getName, "graft_pii_scan"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            graft.functions.PiiScan(children.head)))
+        ext.injectFunction((
           FunctionIdentifier("graft_domain_lookup"),
           new ExpressionInfo(classOf[graft.functions.BroadcastLookup].getName,
             "graft_domain_lookup"),
