@@ -44,16 +44,20 @@ object Money {
     * function is registered session-wide as `graft_money_scaled`, so
     * arbitrary SQL can feed it arbitrary doubles): NaN/±Infinity → null
     * (`BigDecimal.valueOf` would throw), and a value whose unscaled form
-    * no longer fits int64 → null rather than wrap/throw. The null bound
-    * (2^63 ≈ 9.2e18) is marginally wider than decimal(18,s)'s 1e18 cast
-    * bound — callers that need the exact decimal(18) domain (q_j1b's
-    * two-tier sum) bound their inputs far below either. */
+    * exceeds decimal(18,s) precision — |unscaled| >= 10^18 — → null,
+    * exactly where the non-ANSI cast nulls (ADVICE r13 #1: the earlier
+    * 2^63 bound left a [1e18, 2^63) window where the UDF returned a
+    * value the cast would null — the contract is now bit-for-bit on the
+    * WHOLE double domain, not just bounded callers). 10^18 < 2^63, so
+    * the surviving unscaled value always fits the returned long. */
+  private val MaxUnscaled = java.math.BigInteger.TEN.pow(18)
+
   def scaledLongOrNull(x: Double, scale: Int): java.lang.Long = {
     if (!java.lang.Double.isFinite(x)) return null
     val unscaled = java.math.BigDecimal.valueOf(x)
       .setScale(scale, java.math.RoundingMode.HALF_UP)
       .unscaledValue()
-    if (unscaled.bitLength() > 63) null
+    if (unscaled.abs().compareTo(MaxUnscaled) >= 0) null
     else java.lang.Long.valueOf(unscaled.longValue())
   }
 }

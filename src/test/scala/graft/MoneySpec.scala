@@ -33,6 +33,26 @@ class MoneySpec extends AnyFunSuite {
     }
   }
 
+  test("the [1e18, 2^63) precision-overflow window nulls like the cast") {
+    // ADVICE r13 #1: unscaled values in [10^18, 2^63) fit int64 but
+    // overflow decimal(18,4) — the cast nulls there, so must the UDF.
+    // 5e14 @ scale 4 → unscaled 5e18; 9e14 → 9e18; both inside the
+    // window. 9.99e13 → 9.99e17 stays valid on both sides.
+    import spark.implicits._
+    // try_cast: the session is ANSI, where a plain cast THROWS on
+    // precision overflow; try_cast nulls there — the exact non-ANSI
+    // cast semantics the UDF contract names
+    val rows = Seq(5e14, -5e14, 9e14, 9.99e13, -9.99e13).toDF("x")
+      .select(
+        call_function("graft_money_scaled", col("x"), lit(4)).as("m"),
+        expr("try_cast(x as decimal(18,4))").as("c")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1),
+        s"null-edge mismatch at ${r}")
+    }
+    assert(rows.count(_.isNullAt(0)) == 3)
+  }
+
   test("NaN/Infinity/overflow yield null, like the non-ANSI cast") {
     import spark.implicits._
     val df = Seq(Double.NaN, Double.PositiveInfinity,

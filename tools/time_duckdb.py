@@ -10,7 +10,10 @@ per query (single run when the first run is slow), prints ONE JSON line
 {"name": seconds, ...} on stdout. -1.0 = query errored or exceeded the
 per-query budget (TIMEOUT_S, interrupt-enforced so one pathological plan
 cannot wedge the whole bench — a window-heavy SQL did exactly that at
-sf0.1).
+sf0.1). -2.0 = never attempted because the CUMULATIVE sweep budget
+(TOTAL_BUDGET_S) was already spent — distinct from a real timeout so
+artifact readers can tell budget cuts from genuinely slow queries
+(ADVICE r13 #4); consumers treat any value <= 0 as "not compared".
 
 This is benchmark tooling only (invoked by graft.Bench as a subprocess
 when available) — the engine itself is pure Scala/Spark.
@@ -71,7 +74,7 @@ def main():
         if prefixes and not name.startswith(prefixes):
             continue
         if TOTAL_BUDGET_S > 0 and time.perf_counter() - sweep_t0 > TOTAL_BUDGET_S:
-            out[name] = -1.0  # cumulative budget spent: stamp, don't burn
+            out[name] = -2.0  # cumulative budget spent: stamp, don't burn
             continue
         first = timed_run(con, sql, TIMEOUT_S)
         if first is None:
