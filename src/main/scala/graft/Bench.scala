@@ -1409,9 +1409,19 @@ object Bench {
       val nswSFs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
       case class NswPoint(n: Long, buildSec: Double, firstSec: Double,
-        amortSec: Double, recall10: Double)
-      def timeAt(mult: Int): NswPoint = {
+        amortSec: Double, recall10: Double, bytes: Long)
+      val cores = Runtime.getRuntime.availableProcessors()
+      // Per-shard row budget shrinks with dimensionality: a build group
+      // holds its shard graphs in heap at once (rows × dim doubles plus
+      // the boxed Row transient); ~16k rows/shard at 768-d measured
+      // ~45 GB peak for a 32-shard group on this box. The 64-d ladder
+      // keeps its historical cores-shards single-group shape (budget
+      // 234k rows/shard ≥ every ladder point), so prior boards compare.
+      val shardRowBudget = math.max(20000L, 15000000L / dim)
+      def timeAt(mult: Int, quantize: Boolean = false): NswPoint = {
         val n = baseN * mult
+        val numShards = ((((n + shardRowBudget - 1) / shardRowBudget)
+          + cores - 1) / cores * cores).toInt.max(cores)
         val e = spark.range(n).select(
           col("id").as("vec_id"),
           array((0 until dim).map(d =>
@@ -1421,14 +1431,15 @@ object Bench {
         val qv: Seq[Double] =
           (0 until dim).map(d => math.sin(10001.0 * (d * 7 + 3) * 1e-4))
         val path = System.getProperty("java.io.tmpdir") +
-          s"/graft_nswscaled_x${mult}_" +
+          s"/graft_nswscaled_x${mult}${if (quantize) "_q" else ""}_" +
           sfDir.replaceAll("[^A-Za-z0-9]", "_")
         nswSFs.delete(new org.apache.hadoop.fs.Path(path), true)
         waitQuiet()
         val buildSec = time {
           NswIndex.buildIfAbsent(e, "vec_id", "embedding", path,
             graft.operators.GraphAnn.Params(layered = true),
-            numShards = Runtime.getRuntime.availableProcessors())
+            numShards = numShards, quantize = quantize,
+            buildGroupShards = cores)
         }
         waitQuiet()
         val firstSec = (1 to 2).map { _ =>
@@ -1450,9 +1461,10 @@ object Bench {
           .limit(10).select("vec_id")
           .collect().map(_.getLong(0)).toSet
         val recall = annIds.intersect(exactIds).size / 10.0
+        val bytes = NswIndex.graphBytes(spark, path)
         e.unpersist()
         nswSFs.delete(new org.apache.hadoop.fs.Path(path), true)
-        NswPoint(n, buildSec, firstSec, amort, recall)
+        NswPoint(n, buildSec, firstSec, amort, recall, bytes)
       }
       timeAt(1) // discard: codegen + reader warmup, same as ann_scaled
       val mults = sys.env.getOrElse("SPARK_GRAFT_NSW_MULTS", "1,5,25")
@@ -1465,11 +1477,28 @@ object Bench {
           f""""x${m}_serve_sec":${p.amortSec}%.4f,""" +
           f""""x${m}_recall10":${p.recall10}%.2f"""
       }.mkString(",")
+      // SPARK_GRAFT_NSW_INT8=<mult>: one extra point at that mult with
+      // int8-quantized payloads — the reference's actual serving config
+      // (HNSW + scalar int8, always_ram — init_qdrant.py:51-57; VERDICT
+      // r13 next #5). Stamps serve/recall/bytes next to the raw point so
+      // the ratio is read off one artifact. Off by default: the default
+      // bench should not pay a second top-mult build.
+      val int8Body = sys.env.get("SPARK_GRAFT_NSW_INT8")
+        .map(_.trim.toInt).map { m =>
+          val rawBytes = pts.find(_._1 == m).map(_._2.bytes).getOrElse(0L)
+          val p = timeAt(m, quantize = true)
+          s""""x${m}_raw_bytes":$rawBytes,""" +
+            s""""x${m}_int8_bytes":${p.bytes},""" +
+            f""""x${m}_int8_build_sec":${p.buildSec}%.3f,""" +
+            f""""x${m}_int8_first_sec":${p.firstSec}%.3f,""" +
+            f""""x${m}_int8_serve_sec":${p.amortSec}%.4f,""" +
+            f""""x${m}_int8_recall10":${p.recall10}%.2f"""
+        }
       val a1 = pts.head._2.amortSec
       val ratios = pts.tail.map { case (m, p) =>
         f""""serve_ratio_x$m":${p.amortSec / math.max(a1, 1e-9)}%.2f"""
       }
-      val fields = (Seq(s""""dim":$dim,"ef":$ef""", body) ++ ratios)
+      val fields = (Seq(s""""dim":$dim,"ef":$ef""", body) ++ int8Body ++ ratios)
         .filter(_.nonEmpty).mkString(",")
       Some(s""""nsw_scaled":{$fields}""")
     } catch {

@@ -175,12 +175,15 @@ object NswIndex {
     * reconstruction walks exactly the geometry the build linked. */
   def buildIfAbsent(e: DataFrame, idCol: String, vecCol: String, path: String,
       params: Params = Params(), numShards: Int = 8,
-      quantize: Boolean = false): Unit =
+      quantize: Boolean = false,
+      buildGroupShards: Int = Int.MaxValue): Unit =
     lockFor(path).synchronized {
       val spark = e.sparkSession
       val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
       val root = new Path(path)
       val marker = new Path(root, Marker)
+      // buildGroupShards is intentionally NOT in the stamp: grouping only
+      // sequences the writes, the produced graph rows are identical.
       val stamp = stampOf(e.count(), params, numShards, quantize)
       if (fs.exists(marker) && readMarker(fs, marker) == stamp) return
       val layered = params.layered
@@ -190,10 +193,11 @@ object NswIndex {
       // writer; `v` becomes the dequantized array so the mapPartitions
       // below is layout-agnostic at positions 0..2
       val prepared = if (quantize) withQuant(ided) else ided
-      val rows = prepared
+      val sharded = prepared
         .withColumn("shard",
           pmod(hash(col("vec_id")), lit(numShards)).cast("int"))
-        .repartition(numShards, col("shard"))
+      def graphRows(subset: DataFrame, parts: Int) = subset
+        .repartition(parts, col("shard"))
         .mapPartitions { it =>
           // a partition may hold several shard groups (hash-of-hash
           // collisions); each group is exactly one rebuild-path shard.
@@ -227,8 +231,22 @@ object NswIndex {
       val tmp = new Path(
         path + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       try {
-        rows.write.mode("overwrite").partitionBy("shard")
-          .parquet(new Path(tmp, "graph").toString)
+        // Shard builds are independent, so writing them one bounded group
+        // at a time caps peak executor memory at `buildGroupShards`
+        // resident graphs instead of all `numShards` — the knob that lets
+        // a 2M × 768-d build (heap ceiling measured ~45 GB for a 32-shard
+        // group of ~16k-row shards) stream through a fixed-size heap.
+        // Same rows, same shard= partition dirs as the single-pass write
+        // (grouping is stamp-invariant; NswGroupSpec pins row equality).
+        val g = math.max(1, math.min(buildGroupShards, numShards))
+        val tmpGraph = new Path(tmp, "graph").toString
+        (0 until numShards).grouped(g).foreach { grp =>
+          val subset =
+            if (g >= numShards) sharded
+            else sharded.filter(col("shard") >= grp.head && col("shard") <= grp.last)
+          graphRows(subset, grp.size).write.mode("append")
+            .partitionBy("shard").parquet(tmpGraph)
+        }
         val out = fs.create(new Path(tmp, Marker), true)
         try out.write(stamp.getBytes("UTF-8")) finally out.close()
         if (fs.exists(marker) && readMarker(fs, marker) == stamp) return
