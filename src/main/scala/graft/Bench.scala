@@ -918,6 +918,12 @@ object Bench {
             s""""spark_cached_sec":$cachedJson,""" +
             s""""n_compared":${ratios.size},""" +
             s""""n_deadline_dropped":$deadlineDropped,""" +
+            // -1.0 = oracle errored/hit its per-query budget; -2.0 = never
+            // attempted, cumulative sweep budget spent (ADVICE r13 #4 —
+            // the two must stay distinguishable in the artifact, else
+            // budget cuts read as genuinely slow oracles)
+            s""""n_duck_timed_out":${duckSec.count(_._2 == -1.0)},""" +
+            s""""n_duck_budget_cut":${duckSec.count(_._2 == -2.0)},""" +
             s""""duck_total_budget_s":$duckBudget,""" +
             f""""median_ratio":$median%.3f,""" +
             s""""n_heavy":${heavy.size},""" +
@@ -1477,14 +1483,16 @@ object Bench {
           f""""x${m}_serve_sec":${p.amortSec}%.4f,""" +
           f""""x${m}_recall10":${p.recall10}%.2f"""
       }.mkString(",")
-      // SPARK_GRAFT_NSW_INT8=<mult>: one extra point at that mult with
-      // int8-quantized payloads — the reference's actual serving config
-      // (HNSW + scalar int8, always_ram — init_qdrant.py:51-57; VERDICT
-      // r13 next #5). Stamps serve/recall/bytes next to the raw point so
-      // the ratio is read off one artifact. Off by default: the default
-      // bench should not pay a second top-mult build.
-      val int8Body = sys.env.get("SPARK_GRAFT_NSW_INT8")
-        .map(_.trim.toInt).map { m =>
+      // SPARK_GRAFT_NSW_INT8=<mult>[,<mult>...]: extra points at those
+      // mults with int8-quantized payloads — the reference's actual
+      // serving config (HNSW + scalar int8, always_ram —
+      // init_qdrant.py:51-57; VERDICT r13 next #5). Stamps
+      // serve/recall/bytes next to the raw points so the ratio is read
+      // off one artifact. Off by default: the default bench should not
+      // pay second top-mult builds.
+      val int8Body = sys.env.getOrElse("SPARK_GRAFT_NSW_INT8", "")
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+        .map { m =>
           val rawBytes = pts.find(_._1 == m).map(_._2.bytes).getOrElse(0L)
           val p = timeAt(m, quantize = true)
           s""""x${m}_raw_bytes":$rawBytes,""" +
@@ -1706,7 +1714,7 @@ object Bench {
       // DuckDB's recursive-CTE CC approached the budget; raw seconds
       // per side make every ratio auditable and a floored one visible)
       case class ScaledQ(name: String, planSec: Double, callSec: Double,
-        duckSec: Double, timedOut: Boolean) {
+        duckSec: Double, timedOut: Boolean, budgetCut: Boolean) {
         def execSec: Double = math.max(callSec - planSec, 1e-4)
         def execRatio: Double = execSec / duckSec
         def freshRatio: Double = callSec / duckSec
@@ -1726,14 +1734,18 @@ object Bench {
               fn(spark, scaledDir).collect()
               (System.nanoTime() - t0) / 1e9
             }.min
-            Some(ScaledQ(n, planT, callT, d, timedOut = d <= 0))
+            // -2.0 = the tool's cumulative sweep budget ran out before
+            // this oracle was attempted (ADVICE r13 #4) — not a slow
+            // oracle; stamped distinctly so the artifact reader can tell
+            Some(ScaledQ(n, planT, callT, d,
+              timedOut = d <= 0 && d != -2.0, budgetCut = d == -2.0))
           } catch { case _: Throwable => None }
         }
       }
       def med(rs: Seq[Double]): Double = {
         val s = rs.sorted; if (s.isEmpty) -1.0 else s(s.size / 2)
       }
-      val compared = pairs.filterNot(_.timedOut)
+      val compared = pairs.filter(q => !q.timedOut && !q.budgetCut)
       val execMed = med(compared.map(_.execRatio))
       val freshMed = med(compared.map(_.freshRatio))
       // the tier's per-job floor (VERDICT r12 next #3): q_s4 is a bare
@@ -1753,7 +1765,8 @@ object Bench {
           f""""spark_exec_sec":${q.execSec}%.3f,""" +
           f""""spark_fresh_sec":${q.callSec}%.3f,""" +
           floorExec.map(fl => f""""floor_ratio":${q.execSec / fl}%.2f,""").getOrElse("")
-        if (q.timedOut) base + s""""duck_timed_out":true}"""
+        if (q.budgetCut) base + s""""duck_budget_cut":true}"""
+        else if (q.timedOut) base + s""""duck_timed_out":true}"""
         else base + f""""duck_sec":${q.duckSec}%.3f,"ratio":${q.execRatio}%.3f}"""
       }.mkString("{", ",", "}")
       scaledBlocks = scaledBlocks :+ (
@@ -1761,6 +1774,7 @@ object Bench {
         f""""steal_pct":${stealPct(cpu0, cpuStat())}%.2f,""" +
         s""""n_compared":${compared.size},""" +
         s""""n_duck_timed_out":${pairs.count(_.timedOut)},""" +
+        s""""n_duck_budget_cut":${pairs.count(_.budgetCut)},""" +
         s""""subset":${jstr(subsetLabel)},""" +
         floorExec.map(fl =>
           s""""floor_name":"q_s4_range_scan",""" +

@@ -394,20 +394,55 @@ object NswIndex {
     }
 
   /** A built, servable shard graph: node ids (insertion order) + the
-    * NSW over them, held as LIVE JVM objects per executor. */
-  private final class ServedShard(val ids: Array[Long], val nsw: Nsw)
+    * NSW over them, held as LIVE JVM objects per executor, plus the
+    * approximate resident footprint the cache budget charges for it. */
+  private final class ServedShard(val ids: Array[Long], val nsw: Nsw,
+    val approxBytes: Long)
 
   /** Executor-side shard-graph cache, keyed (path, stamp, shard): the
     * way a vector store actually serves — graphs are pointer
     * structures resident in process memory, not rows re-deserialized
-    * per query. Bounded LRU; a rebuild/append changes the marker stamp
-    * and thus the key, so stale graphs age out. Per-JVM: on a cluster
-    * each executor caches the shards it serves. */
+    * per query. Bounded by approximate BYTES, not entry count (r14: the
+    * old 64-entry cap thrashed the 128-shard 2M × 768-d ladder — every
+    * query re-decoded half the corpus from the columnar rows, 16.6 s
+    * amortized serve for what is a millisecond walk); a rebuild/append
+    * changes the marker stamp and thus the key, so stale graphs age
+    * out. Per-JVM: on a cluster each executor caches and is charged for
+    * only the shards it serves. */
+  private val builtShardsBudget: Long =
+    sys.env.get("SPARK_GRAFT_NSW_CACHE_BYTES").map(_.trim.toLong)
+      .getOrElse(math.max(Runtime.getRuntime.maxMemory() / 4, 512L << 20))
   private val builtShards =
-    new java.util.LinkedHashMap[(String, String, Int), ServedShard](16, 0.75f, true) {
-      override def removeEldestEntry(
-          eldest: java.util.Map.Entry[(String, String, Int), ServedShard]): Boolean =
-        size() > 64
+    new java.util.LinkedHashMap[(String, String, Int), ServedShard](16, 0.75f, true)
+  private var builtShardsBytes = 0L
+  /** Insert under the byte budget: evicts least-recently-served shards
+    * (never the one just inserted) until the total fits. */
+  private def putShard(key: (String, String, Int), s: ServedShard): Unit =
+    builtShards.synchronized {
+      val prev = builtShards.put(key, s)
+      builtShardsBytes += s.approxBytes -
+        (if (prev != null) prev.approxBytes else 0L)
+      val it = builtShards.entrySet().iterator()
+      while (builtShardsBytes > builtShardsBudget && it.hasNext) {
+        val e = it.next()
+        if (e.getValue ne s) {
+          builtShardsBytes -= e.getValue.approxBytes
+          it.remove()
+        }
+      }
+    }
+  /** Drop every cached shard whose key matches, keeping the byte ledger
+    * exact (stale-version invalidation and evictServed share it). */
+  private def dropShards(pred: ((String, String, Int)) => Boolean): Unit =
+    builtShards.synchronized {
+      val it = builtShards.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (pred(e.getKey)) {
+          builtShardsBytes -= e.getValue.approxBytes
+          it.remove()
+        }
+      }
     }
 
   /** Driver-held handle to the shard-shuffled, persisted graph ROWS plus
@@ -435,26 +470,34 @@ object NswIndex {
     * (layout: shard, vec_id, v, nbrs — neighbor VEC_IDs, see class doc;
     * v3 rows additionally carry lvl + per-upper-layer unbrs). */
   private def reconstruct(rs: Array[Row], params: Params): ServedShard = {
+    // approximate resident footprint: vectors + norms + ids + adjacency
+    // ints + per-node array headers — what the byte-budget cache charges
+    def bytesFor(n: Int, dim: Int): Long =
+      n.toLong * (8L * dim + 4L * (2 * params.m + 1) + 96L)
     if (params.layered) {
       val sorted = rs.map(r =>
           (r.getLong(1), r.getSeq[Double](2).toArray, r.getSeq[Long](3),
             r.getInt(4), r.getSeq[scala.collection.Seq[Long]](5)))
         .sortBy(_._1)
       val idToIdx = sorted.iterator.map(_._1).zipWithIndex.toMap
+      val dim = if (sorted.nonEmpty) sorted(0)._2.length else 0
       new ServedShard(sorted.map(_._1),
         new Nsw(sorted.map(_._2), params).withLayeredState(
           sorted.toIndexedSeq.map { case (_, _, nbrs, lvl, unbrs) =>
             (lvl, nbrs.map(idToIdx).toArray,
               unbrs.map(_.map(idToIdx).toArray).toArray)
-          }))
+          }),
+        bytesFor(sorted.length, dim))
     } else {
       val sorted = rs.map(r =>
           (r.getLong(1), r.getSeq[Double](2).toArray, r.getSeq[Long](3)))
         .sortBy(_._1)
       val idToIdx = sorted.iterator.map(_._1).zipWithIndex.toMap
       val adj = sorted.toIndexedSeq.map(_._3.map(idToIdx).toArray)
+      val dim = if (sorted.nonEmpty) sorted(0)._2.length else 0
       new ServedShard(sorted.map(_._1),
-        new Nsw(sorted.map(_._2), params).withAdjacency(adj))
+        new Nsw(sorted.map(_._2), params).withAdjacency(adj),
+        bytesFor(sorted.length, dim))
     }
   }
 
@@ -510,13 +553,7 @@ object NswIndex {
           }
         }
       }
-      builtShards.synchronized {
-        val it = builtShards.entrySet().iterator()
-        while (it.hasNext) {
-          val k0 = it.next().getKey
-          if (k0._1 == path && k0._2 != ver) it.remove()
-        }
-      }
+      dropShards(k0 => k0._1 == path && k0._2 != ver)
       // quantized payloads dequantize IN-PLAN (q·scale, the q_v6f
       // pattern) so positions 0..5 match the raw layout and the
       // reconstruction below is byte-layout-agnostic
@@ -535,7 +572,7 @@ object NswIndex {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         it.toArray.groupBy(_.getInt(0)).iterator.map { case (shard, rs) =>
           val s = reconstruct(rs, params)
-          builtShards.synchronized { builtShards.put((path, ver, shard), s) }
+          putShard((path, ver, shard), s)
           (pid, shard)
         }
       }(org.apache.spark.sql.Encoders.tuple(
@@ -565,7 +602,7 @@ object NswIndex {
           // columnar rows — decode only happens on this path
           it.toArray.groupBy(_.getInt(0)).iterator.map { case (shard, rs) =>
             val s = reconstruct(rs, params)
-            builtShards.synchronized { builtShards.put((path, ver, shard), s) }
+            putShard((path, ver, shard), s)
             s
           }
       }
@@ -626,12 +663,7 @@ object NswIndex {
         }
       }
     }
-    builtShards.synchronized {
-      val it = builtShards.entrySet().iterator()
-      while (it.hasNext) {
-        if (it.next().getKey._1 == path) it.remove()
-      }
-    }
+    dropShards(_._1 == path)
   }
 
   /** Total data bytes under the graph directories — the at-rest payload
