@@ -1453,11 +1453,19 @@ object Bench {
           time { NswIndex.searchTopK(spark, path, qv, k = 10, efSearch = ef).collect() }
         }.min
         val nQ = 10
-        val amort = time {
-          (1 to nQ).foreach { _ =>
-            NswIndex.searchTopK(spark, path, qv, k = 10, efSearch = ef).collect()
-          }
-        } / nQ
+        // GC before timing + best-of-3 batches, same discipline as
+        // firstSec: a single batch right after a 32-core build samples
+        // the post-build GC tail (read 3-6x noise on r14 points — the
+        // builds allocate tens of GB of transient boxed rows, and the
+        // collector's debt lands on whatever runs next)
+        System.gc()
+        val amort = (1 to 3).map { _ =>
+          time {
+            (1 to nQ).foreach { _ =>
+              NswIndex.searchTopK(spark, path, qv, k = 10, efSearch = ef).collect()
+            }
+          } / nQ
+        }.min
         val annIds = NswIndex.searchTopK(spark, path, qv, k = 10, efSearch = ef)
           .collect().map(_.getLong(0)).toSet
         val exactIds = e
@@ -1469,6 +1477,11 @@ object Bench {
         val recall = annIds.intersect(exactIds).size / 10.0
         val bytes = NswIndex.graphBytes(spark, path)
         e.unpersist()
+        // drop THIS point's resident state (persisted row cache + shard
+        // graphs) before the next one starts: at 768-d a single x100
+        // point holds ~25 GB, and letting points accumulate until the
+        // byte-budget evicts them OOMs the ladder JVM (seen live r14)
+        NswIndex.evictServed(path)
         nswSFs.delete(new org.apache.hadoop.fs.Path(path), true)
         NswPoint(n, buildSec, firstSec, amort, recall, bytes)
       }
