@@ -7,12 +7,19 @@ package graft
   * visible) without paying a full bench sweep for one number.
   *
   * Usage: runMain graft.TimeQuery <sfDir> <queryName> [<queryName> ...]
+  * `<sfDir>@xN` ensures and times against the N×-replicated copy of the
+  * SF (the Bench scaled tiers' corpus), so scaled-tier numbers can be
+  * reproduced for one query without a full bench phase.
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: TimeQuery <sfDir> <name> [name ...]")
-    val dir = args.head
+    require(args.length >= 2, "usage: TimeQuery <sfDir>[@xN] <name> [name ...]")
     val spark = GraftSession.get()
+    val dir = args.head.split("@x") match {
+      case Array(base, mult) =>
+        graft.sources.ScaledTables.ensure(spark, base, mult.toInt)
+      case _ => args.head
+    }
     args.tail.foreach { name =>
       val fn = SparkEntry.freshQueries.getOrElse(name,
         sys.error(s"unknown query: $name"))

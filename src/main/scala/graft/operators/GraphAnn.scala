@@ -76,17 +76,75 @@ object GraphAnn {
   final case class Params(m: Int = 16, efConstruction: Int = 64, efSearch: Int = 32,
       entryProbes: Int = -1, layered: Boolean = false)
 
-  /** One shard's NSW graph over `vecs` (insertion order = array order).
-    * Package-private so [[NswIndex]] can persist built adjacencies and
-    * serve searches from reloaded ones. */
-  private[operators] final class Nsw(vecs: Array[Array[Double]], params: Params) {
-    private val n = vecs.length
-    private val maxDeg = 2 * params.m
-    private val norms: Array[Double] = vecs.map { v =>
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      math.sqrt(s)
+  /** Node-vector storage the graph walks over. Two layouts: dense
+    * doubles (build paths, raw serves) and int8 + per-vector scale
+    * (quantized serves — the reference's HNSW + int8 always_ram config
+    * held NATIVELY, ~8× smaller resident than dequantizing to doubles
+    * up front, so the same cache budget holds ~8× the corpus).
+    * `dot`/`norm2` on the int8 layout dequantize PER ELEMENT in exactly
+    * the `q8(d)·scale` order the in-plan dequant used — each step is
+    * the same double rounding — so scores are BIT-identical to a dense
+    * store over the pre-dequantized vectors (NswQuantSpec pins it). */
+  private[operators] sealed trait VecStore {
+    def n: Int
+    /** Materialized node vector — build/prune anchor fetches only,
+      * never the serve-time eval loop. */
+    def vec(i: Int): Array[Double]
+    /** Σ_d q(d)·v_i(d), ascending d. */
+    def dot(q: Array[Double], i: Int): Double
+    /** Σ_d v_i(d)², ascending d. */
+    def norm2(i: Int): Double
+  }
+
+  private[operators] final class DenseVecs(
+      vecs: Array[Array[Double]]) extends VecStore {
+    def n: Int = vecs.length
+    def vec(i: Int): Array[Double] = vecs(i)
+    def dot(q: Array[Double], i: Int): Double = {
+      val v = vecs(i)
+      var s = 0.0; var d = 0
+      while (d < v.length) { s += q(d) * v(d); d += 1 }
+      s
     }
+    def norm2(i: Int): Double = {
+      val v = vecs(i)
+      var s = 0.0; var d = 0
+      while (d < v.length) { s += v(d) * v(d); d += 1 }
+      s
+    }
+  }
+
+  private[operators] final class Int8Vecs(q8: Array[Array[Byte]],
+      scales: Array[Double]) extends VecStore {
+    def n: Int = q8.length
+    def vec(i: Int): Array[Double] = {
+      val b = q8(i); val sc = scales(i)
+      Array.tabulate(b.length)(d => b(d) * sc)
+    }
+    def dot(q: Array[Double], i: Int): Double = {
+      val b = q8(i); val sc = scales(i)
+      var s = 0.0; var d = 0
+      while (d < b.length) { s += q(d) * (b(d) * sc); d += 1 }
+      s
+    }
+    def norm2(i: Int): Double = {
+      val b = q8(i); val sc = scales(i)
+      var s = 0.0; var d = 0
+      while (d < b.length) { val x = b(d) * sc; s += x * x; d += 1 }
+      s
+    }
+  }
+
+  /** One shard's NSW graph over `store`'s vectors (insertion order =
+    * store order). Package-private so [[NswIndex]] can persist built
+    * adjacencies and serve searches from reloaded ones. */
+  private[operators] final class Nsw(store: VecStore, params: Params) {
+    def this(vecs: Array[Array[Double]], params: Params) =
+      this(new DenseVecs(vecs), params)
+    private val n = store.n
+    private val maxDeg = 2 * params.m
+    private val norms: Array[Double] =
+      Array.tabulate(n)(i => math.sqrt(store.norm2(i)))
     // adjacency: deg(i) entries in adj(i)(0 until deg(i))
     private val adj = Array.fill(n)(new Array[Int](maxDeg + 1))
     private val deg = new Array[Int](n)
@@ -119,9 +177,10 @@ object GraphAnn {
       var row = simAdj(from)
       if (row == null) {
         row = new Array[Double](maxDeg + 1)
+        val v = store.vec(from)
         var e = 0
         while (e < deg(from)) {
-          row(e) = cos(vecs(from), norms(from), adj(from)(e))
+          row(e) = cos(v, norms(from), adj(from)(e))
           e += 1
         }
         simAdj(from) = row
@@ -243,7 +302,7 @@ object GraphAnn {
 
     private def simBetween(a: Int, b: Int): Double = {
       evalsSelect += 1
-      cos(vecs(a), norms(a), b)
+      cos(store.vec(a), norms(a), b)
     }
 
     /** HNSW Algorithm-4 neighbor selection (the diversity heuristic):
@@ -280,7 +339,7 @@ object GraphAnn {
       * reciprocal link overflows a layered node's degree): score to the
       * anchor, order best-first, re-select with the diversity rule. */
     private def pruneHeuristic(ids: Seq[Int], from: Int, cap: Int): Array[Int] = {
-      val v = vecs(from)
+      val v = store.vec(from)
       val nv = norms(from)
       evalsPrune += ids.length
       val scored = ids.map(nb => (nb, cos(v, nv, nb)))
@@ -399,7 +458,7 @@ object GraphAnn {
       * caps m upper / 2m base). */
     private def insertLayered(i: Int): Unit = {
       val lvl = levels(i)
-      val v = vecs(i)
+      val v = store.vec(i)
       val vn = norms(i)
       var cur = entryNode
       var curSim = cos(v, vn, cur)
@@ -465,10 +524,7 @@ object GraphAnn {
 
     private def cos(q: Array[Double], qNorm: Double, i: Int): Double = {
       evalsCtr += 1
-      val v = vecs(i)
-      var s = 0.0; var d = 0
-      while (d < v.length) { s += q(d) * v(d); d += 1 }
-      s / (qNorm * norms(i))
+      store.dot(q, i) / (qNorm * norms(i))
     }
 
     /** (sim, id) max-first ordering with smaller-id tie-break — every heap
@@ -556,7 +612,7 @@ object GraphAnn {
       deg(from) += 1
       if (deg(from) > maxDeg) {
         // prune to the maxDeg most similar neighbors (ties: smaller id)
-        val v = vecs(from)
+        val v = store.vec(from)
         val nv = norms(from)
         val scored = (0 until deg(from)).map { e =>
           val nb = adj(from)(e)
@@ -684,7 +740,7 @@ object GraphAnn {
       var i = math.max(start, 1) // node 0 is the seed, never "inserted"
       while (i < n) {
         frontier = i // entry probes sample only the linked prefix
-        val nbrs = search(vecs(i), math.max(params.efConstruction, params.m))
+        val nbrs = search(store.vec(i), math.max(params.efConstruction, params.m))
         var t = 0
         while (t < params.m && t < nbrs.length) {
           val j = nbrs(t)._1

@@ -467,38 +467,43 @@ object NswIndex {
     }
 
   /** Reconstruct one shard's servable graph from its persisted rows
-    * (layout: shard, vec_id, v, nbrs — neighbor VEC_IDs, see class doc;
-    * v3 rows additionally carry lvl + per-upper-layer unbrs). */
-  private def reconstruct(rs: Array[Row], params: Params): ServedShard = {
-    // approximate resident footprint: vectors + norms + ids + adjacency
-    // ints + per-node array headers — what the byte-budget cache charges
-    def bytesFor(n: Int, dim: Int): Long =
-      n.toLong * (8L * dim + 4L * (2 * params.m + 1) + 96L)
-    if (params.layered) {
-      val sorted = rs.map(r =>
-          (r.getLong(1), r.getSeq[Double](2).toArray, r.getSeq[Long](3),
-            r.getInt(4), r.getSeq[scala.collection.Seq[Long]](5)))
-        .sortBy(_._1)
-      val idToIdx = sorted.iterator.map(_._1).zipWithIndex.toMap
-      val dim = if (sorted.nonEmpty) sorted(0)._2.length else 0
-      new ServedShard(sorted.map(_._1),
-        new Nsw(sorted.map(_._2), params).withLayeredState(
-          sorted.toIndexedSeq.map { case (_, _, nbrs, lvl, unbrs) =>
-            (lvl, nbrs.map(idToIdx).toArray,
-              unbrs.map(_.map(idToIdx).toArray).toArray)
-          }),
-        bytesFor(sorted.length, dim))
-    } else {
-      val sorted = rs.map(r =>
-          (r.getLong(1), r.getSeq[Double](2).toArray, r.getSeq[Long](3)))
-        .sortBy(_._1)
-      val idToIdx = sorted.iterator.map(_._1).zipWithIndex.toMap
-      val adj = sorted.toIndexedSeq.map(_._3.map(idToIdx).toArray)
-      val dim = if (sorted.nonEmpty) sorted(0)._2.length else 0
-      new ServedShard(sorted.map(_._1),
-        new Nsw(sorted.map(_._2), params).withAdjacency(adj),
-        bytesFor(sorted.length, dim))
-    }
+    * (raw layout: shard, vec_id, v, nbrs — neighbor VEC_IDs, see class
+    * doc; quantized rows carry (q, scale) in place of v and stay int8
+    * RESIDENT — a [[GraphAnn.Int8Vecs]] store, ~8× smaller than the
+    * dequantized doubles, bit-identical walk scores; v3 rows
+    * additionally carry lvl + per-upper-layer unbrs). */
+  private def reconstruct(rs: Array[Row], params: Params,
+      quant: Boolean): ServedShard = {
+    val sorted = rs.sortBy(_.getLong(1))
+    val ids = sorted.map(_.getLong(1))
+    val idToIdx = ids.iterator.zipWithIndex.toMap
+    val nbrsAt = if (quant) 4 else 3
+    val store: GraphAnn.VecStore =
+      if (quant) new GraphAnn.Int8Vecs(
+        sorted.map(_.getSeq[Byte](2).toArray), sorted.map(_.getDouble(3)))
+      else new GraphAnn.DenseVecs(sorted.map(_.getSeq[Double](2).toArray))
+    val dim =
+      if (sorted.isEmpty) 0
+      else if (quant) sorted(0).getSeq[Byte](2).length
+      else sorted(0).getSeq[Double](2).length
+    // approximate resident footprint: vector payload (1 byte/dim + the
+    // scale for int8, 8 bytes/dim dense) + norms + ids + adjacency ints
+    // + per-node array headers — what the byte-budget cache charges
+    val approxBytes = sorted.length.toLong *
+      ((if (quant) 1L * dim + 8L else 8L * dim) + 4L * (2 * params.m + 1) + 96L)
+    val nsw =
+      if (params.layered)
+        new Nsw(store, params).withLayeredState(
+          sorted.toIndexedSeq.map { r =>
+            (r.getInt(nbrsAt + 1),
+              r.getSeq[Long](nbrsAt).map(idToIdx).toArray,
+              r.getSeq[scala.collection.Seq[Long]](nbrsAt + 2)
+                .map(_.map(idToIdx).toArray).toArray)
+          })
+      else
+        new Nsw(store, params).withAdjacency(
+          sorted.toIndexedSeq.map(r => r.getSeq[Long](nbrsAt).map(idToIdx).toArray))
+    new ServedShard(ids, nsw, approxBytes)
   }
 
   /** Multi-query search over the PREBUILT graphs. First call per
@@ -525,6 +530,7 @@ object NswIndex {
     val ver = stamp + "@" + fs.getFileStatus(marker).getModificationTime
     val numShards = field(stamp, "shards").toInt
     val layered = stamp.startsWith(LayeredLayoutVersion + ",")
+    val quant = isQuant(stamp)
     val params = Params(m = field(stamp, "m").toInt,
       efConstruction = field(stamp, "efc").toInt, efSearch = efSearch,
       entryProbes = field(stamp, "ep").toInt, layered = layered)
@@ -554,12 +560,14 @@ object NswIndex {
         }
       }
       dropShards(k0 => k0._1 == path && k0._2 != ver)
-      // quantized payloads dequantize IN-PLAN (q·scale, the q_v6f
-      // pattern) so positions 0..5 match the raw layout and the
-      // reconstruction below is byte-layout-agnostic
+      // quantized payloads stay int8 through the columnar cache AND the
+      // resident graphs (GraphAnn.Int8Vecs): the per-element dequant
+      // happens inside the walk's dot product, bit-identically — both
+      // copies of a 768-d corpus shrink ~8× vs dequantizing in-plan
       val serveCols =
-        Seq(col("shard").cast("int").as("shard"), col("vec_id"),
-          (if (isQuant(stamp)) dequantV else col("v")).as("v"), col("nbrs")) ++
+        Seq(col("shard").cast("int").as("shard"), col("vec_id")) ++
+        (if (isQuant(stamp)) Seq(col("q"), col("scale")) else Seq(col("v"))) ++
+        Seq(col("nbrs")) ++
         (if (layered) Seq(col("lvl"), col("unbrs")) else Nil)
       val df = spark.read.parquet(s"$path/graph")
         .select(serveCols: _*)
@@ -571,7 +579,7 @@ object NswIndex {
       val hosted = df.mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         it.toArray.groupBy(_.getInt(0)).iterator.map { case (shard, rs) =>
-          val s = reconstruct(rs, params)
+          val s = reconstruct(rs, params, quant)
           putShard((path, ver, shard), s)
           (pid, shard)
         }
@@ -601,7 +609,7 @@ object NswIndex {
           // miss (fresh executor or LRU-evicted): rebuild from the cached
           // columnar rows — decode only happens on this path
           it.toArray.groupBy(_.getInt(0)).iterator.map { case (shard, rs) =>
-            val s = reconstruct(rs, params)
+            val s = reconstruct(rs, params, quant)
             putShard((path, ver, shard), s)
             s
           }

@@ -435,15 +435,21 @@ object RelationalQueries extends QueryPack {
       (s, dir) => {
         // micro-floored epoch (DuckDB reads the TIMESTAMP_NS parquet at
         // microsecond precision, so the as-of ordering must live there).
+        // One-source as-of (see AsofJoin.leftAsofOneSource): views and
+        // purchases are both slices of `events`, so the join reads the
+        // table ONCE (pushed In-filter) into one exchange + one sort;
+        // the oracle's max(value)-per-(user, ts) pre-aggregation folds
+        // into the window sort as the rightTie column — the LAST
+        // purchase at the as-of timestamp is the max-value one.
         val ev = Tables.events(s, dir)
+          .filter(col("event_type").isin("view", "purchase"))
           .withColumn("ts_us", expr("(ts_ns - pmod(ts_ns, 1000)) div 1000"))
-        val views = ev.filter(col("event_type") === "view")
-          .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .groupBy(col("user_id"), col("ts_us"))
-          .agg(max(col("value")).as("p_val"))
+          .withColumn("p_val", col("value"))
         graft.operators.AsofJoin
-          .leftAsof(views, purchases, "user_id", "ts_us", Seq("ts_us", "p_val"))
+          .leftAsofOneSource(ev, isLeft = col("event_type") === "view",
+            key = "user_id", ts = "ts_us",
+            leftCols = Seq("event_id", "user_id", "ts_us", "value"),
+            payload = Seq("ts_us", "p_val"), rightTie = Seq("p_val"))
           .orderBy("event_id")
       },
       Some("""WITH v AS (

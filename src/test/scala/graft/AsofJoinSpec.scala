@@ -57,4 +57,57 @@ class AsofJoinSpec extends AnyFunSuite {
         Option(r.get(3)).map(_.asInstanceOf[Double])))
     assert(got.toSeq == ref.toSeq)
   }
+
+  test("one-source variant: row parity with groupBy+leftAsof, incl. " +
+      "max-of-ties via rightTie and null tie values") {
+    import spark.implicits._
+    // deterministic mixed fixture: dup (key, ts) right rows (tie-break
+    // must pick max), a null value inside a tie group (nulls-first sort
+    // must not win the tie), keys with no right rows at all.
+    val rows = (0 until 400).map { i =>
+      val k = (i % 7).toLong
+      val t = ((i * 37) % 50).toLong
+      val side = if (i % 3 == 0) "L" else "R"
+      val v: java.lang.Double =
+        if (i % 11 == 0) null else ((i * 13) % 29).toDouble
+      (i.toLong, k, t, side, v)
+    }.toDF("id", "k", "t", "side", "v")
+    val fused = graft.operators.AsofJoin.leftAsofOneSource(
+      rows.withColumn("pv", col("v")),
+      isLeft = col("side") === "L", key = "k", ts = "t",
+      leftCols = Seq("id", "k", "t", "v"),
+      payload = Seq("t", "pv"), rightTie = Seq("pv"))
+    val leftDf = rows.filter(col("side") === "L")
+      .select("id", "k", "t", "v")
+    val rightAgg = rows.filter(col("side") === "R")
+      .groupBy("k", "t").agg(max(col("v")).as("pv"))
+    val twoSource = graft.operators.AsofJoin.leftAsof(
+      leftDf, rightAgg, "k", "t", Seq("t", "pv"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toSeq
+    assert(canon(fused) == canon(twoSource))
+  }
+
+  test("one-source plan: ONE scan, ONE hash exchange, no join") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_asof_one").toString
+    import spark.implicits._
+    (1 to 200).map(i => (i.toLong, (i % 5).toLong, (i % 40).toLong,
+        if (i % 2 == 0) "L" else "R", i.toDouble))
+      .toDF("id", "k", "t", "side", "v")
+      .write.mode("overwrite").parquet(dir)
+    val src = spark.read.parquet(dir)
+    val fused = graft.operators.AsofJoin.leftAsofOneSource(
+      src, isLeft = col("side") === "L", key = "k", ts = "t",
+      leftCols = Seq("id", "k", "t"), payload = Seq("v"),
+      rightTie = Seq("v"))
+    val plan = fused.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"expected ONE scan:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected ONE hash exchange:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+  }
 }
