@@ -16,7 +16,7 @@ object TimeQuery {
     require(args.length >= 2, "usage: TimeQuery <sfDir>[@xN] <name> [name ...]")
     val spark = GraftSession.get()
     val dir = args.head.split("@x") match {
-      case Array(base, mult) =>
+      case Array(base, mult) if mult.nonEmpty && mult.forall(_.isDigit) =>
         graft.sources.ScaledTables.ensure(spark, base, mult.toInt)
       case _ => args.head
     }
