@@ -153,6 +153,7 @@ object Bench {
       "ann_scaled" -> 300, "nsw_scaled" -> 200, "streaming_tp" -> 120,
       "duckdb_scaled" -> 360, "duckdb_scaled_x10" -> 900)
     var quietEstDoneSec = 0.0
+    var lastPhaseEndSec = 0.0
     def slowdown: Double =
       math.max(1.0, elapsedSec / math.max(quietEstDoneSec, 120.0))
     /** True (and stamps the decision) when running `name` would project
@@ -349,11 +350,19 @@ object Bench {
       * of everything measured so far (VERDICT r13 next #1b). The
       * slowdown tracker only credits the phase's quiet estimate when the
       * phase actually ran (an SPARK_GRAFT_ONLY-skipped block costs ~0 s,
-      * and crediting it would mask real contention). */
+      * and crediting it would mask real contention). A phase that DID
+      * run but finished in under 5% of its quiet estimate did ~no work
+      * (internal error caught into errors(), python3/duckdb absent) —
+      * credit only its measured wall, or `slowdown` underestimates the
+      * contention the deadline shedding keys off. */
     def phaseDone(name: String): Unit = {
-      if (runBlock(name) && !shedPhases.contains(name))
-        quietEstDoneSec += phaseEstSec.getOrElse(name, 0.0)
       val elapsed = (System.nanoTime() - runT0) / 1e9
+      val phaseWall = elapsed - lastPhaseEndSec
+      lastPhaseEndSec = elapsed
+      if (runBlock(name) && !shedPhases.contains(name)) {
+        val est = phaseEstSec.getOrElse(name, 0.0)
+        quietEstDoneSec += (if (phaseWall < est * 0.05) phaseWall else est)
+      }
       println(s"""{"metric":"phase","name":${jstr(name)},""" +
         f""""elapsed_sec":$elapsed%.1f,""" +
         s""""quiet_wait_sec":${quietSpentMs.get() / 1000},""" +
@@ -912,8 +921,15 @@ object Bench {
             .map { case (k, v) => s"${jstr(k)}:${f"$v%.4f"}" }.mkString("{", ",", "}")
           val cachedJson = cachedSec.toSeq.sortBy(_._1)
             .map { case (k, v) => s"${jstr(k)}:${f"$v%.4f"}" }.mkString("{", ",", "}")
+          // duck_sec is REBUILT from the parsed map, never the raw
+          // subprocess output: stderr is merged into outS, so a single
+          // python/duckdb warning line spliced verbatim would corrupt
+          // the whole summary JSON (the r12 parsed:null failure mode)
+          // even though the regex extraction above tolerates it.
+          val duckJson = duckSec.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
           Some(
-            s""""duckdb":{"duck_sec":$outS,"spark_warm_sec":$warmJson,""" +
+            s""""duckdb":{"duck_sec":$duckJson,"spark_warm_sec":$warmJson,""" +
             s""""spark_exec_sec":$execJson,""" +
             s""""spark_cached_sec":$cachedJson,""" +
             s""""n_compared":${ratios.size},""" +
@@ -1511,9 +1527,11 @@ object Bench {
       val int8Body = sys.env.getOrElse("SPARK_GRAFT_NSW_INT8", "")
         .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
         .map { m =>
-          val rawBytes = pts.find(_._1 == m).map(_._2.bytes).getOrElse(0L)
           val p = timeAt(m, quantize = true)
-          s""""x${m}_raw_bytes":$rawBytes,""" +
+          // raw_bytes only when the raw ladder measured this mult — a
+          // literal 0 would read as infinite compression downstream
+          pts.find(_._1 == m).map(_._2.bytes)
+            .map(b => s""""x${m}_raw_bytes":$b,""").getOrElse("") +
             s""""x${m}_int8_bytes":${p.bytes},""" +
             f""""x${m}_int8_build_sec":${p.buildSec}%.3f,""" +
             f""""x${m}_int8_first_sec":${p.firstSec}%.3f,""" +

@@ -64,10 +64,17 @@ object AsofJoin {
   def leftAsofOneSource(src: DataFrame, isLeft: Column,
       key: String, ts: String, leftCols: Seq[String],
       payload: Seq[String], rightTie: Seq[String] = Nil): DataFrame = {
+    // both structs are nulled on the side that never reads them — right
+    // rows are dropped by the __side filter, so carrying their __l
+    // through the exchange+sort would roughly double the shuffled width
+    // of the right side for nothing (left rows' __p likewise)
+    val lType = src.select(struct(leftCols.map(col): _*).as("__l"))
+      .schema("__l").dataType
     val tagged = src.select(
       Seq(col(key), col(ts),
         when(isLeft, lit(1)).otherwise(lit(0)).as("__side"),
-        struct(leftCols.map(col): _*).as("__l"),
+        when(isLeft, struct(leftCols.map(col): _*))
+          .otherwise(lit(null).cast(lType)).as("__l"),
         when(isLeft, lit(null)).otherwise(struct(payload.map(col): _*))
           .as("__p")) ++
       rightTie.map(c =>

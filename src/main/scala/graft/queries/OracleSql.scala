@@ -31,12 +31,19 @@ package graft.queries
   * (`-- …\n`, `/* … */`) so an apostrophe inside a comment cannot desync
   * the string tracker (ADVICE r13 #2).
   */
-private[queries] object OracleSql {
+private[graft] object OracleSql {
 
   /** Rewrite `n AS (` → `n AS MATERIALIZED (` for each n in `names`,
     * outside string literals, quoted identifiers, and comments, at
-    * identifier boundaries only. */
+    * identifier boundaries only. Every listed name MUST match at least
+    * one head in `sql` — a stale list (a renamed CTE, a typo like `dx`
+    * for `dxt`) would otherwise silently revert that head to inlining
+    * and re-inflate the O(L²) recursion cost the rewrite exists to
+    * kill; the require makes it fail at oracle-build time instead
+    * (exercised by CteHeadsSpec; every Verify run builds every oracle
+    * string, so staleness cannot reach the driver's gate silently). */
   def materialize(sql: String, names: Set[String]): String = {
+    val applied = scala.collection.mutable.Set[String]()
     val out = new StringBuilder(sql.length + 32 * names.size)
     var i = 0
     def identChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
@@ -62,11 +69,15 @@ private[queries] object OracleSql {
         while (j < sql.length && identChar(sql.charAt(j))) j += 1
         val word = sql.substring(i, j)
         if (names(word) && sql.regionMatches(j, " AS (", 0, 5)) {
+          applied += word
           out.append(word).append(" AS MATERIALIZED (")
           i = j + 5
         } else { out.append(word); i = j }
       } else { out.append(c); i += 1 }
     }
+    require(applied.size == names.size,
+      s"OracleSql.materialize: no CTE head found for " +
+        s"${(names -- applied).toSeq.sorted.mkString(", ")} — stale head list?")
     out.toString
   }
 
