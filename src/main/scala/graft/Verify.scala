@@ -58,14 +58,25 @@ object Verify {
     val queue = new java.util.concurrent.ConcurrentLinkedQueue[
       (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
     selected.foreach(queue.add)
+    // The deadline gates STARTING a query, not a running one (Spark jobs
+    // aren't interrupted mid-flight), so each worker stops dequeuing a
+    // margin before the deadline — the margin is the worst single-query
+    // wall this surface shows under heavy contention (~2 min), which is
+    // what keeps an almost-expired run from launching `par` more
+    // long-runners that the driver's outer `timeout` would then kill
+    // mid-write. An individual pathological query can still overrun;
+    // the already-dumped dirs stay intact either way.
+    val startMarginSec =
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_START_MARGIN_S", "120").toInt
     val t0All = System.nanoTime()
     def worker(): Unit = {
       var next = queue.poll()
       while (next != null) {
         val (name, fn) = next
-        if ((System.nanoTime() - t0All) / 1e9 > deadlineSec) {
-          System.err.println(s"[verify] $name skipped: past " +
-            s"deadline ${deadlineSec}s (SPARK_GRAFT_VERIFY_DEADLINE_S)")
+        if ((System.nanoTime() - t0All) / 1e9 > deadlineSec - startMarginSec) {
+          System.err.println(s"[verify] $name skipped: within " +
+            s"${startMarginSec}s of deadline ${deadlineSec}s " +
+            "(SPARK_GRAFT_VERIFY_DEADLINE_S / _START_MARGIN_S)")
         } else {
           val t0 = System.nanoTime()
           try {

@@ -81,6 +81,41 @@ private[graft] object OracleSql {
     out.toString
   }
 
+  /** Collect every `ident AS (` head with the SAME quote/comment-aware
+    * walk [[materialize]] applies with — a regex harvest would also
+    * collect a `name AS (` that lives only inside a comment or string
+    * literal, which the apply scanner then never rewrites, tripping the
+    * coverage require on perfectly valid SQL. */
+  private def scanHeads(sql: String): Set[String] = {
+    val names = scala.collection.mutable.Set[String]()
+    var i = 0
+    def identChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        i += 1
+        while (i < sql.length && sql.charAt(i) != '\'') i += 1
+        if (i < sql.length) i += 1
+      } else if (c == '"') {
+        i += 1
+        while (i < sql.length && sql.charAt(i) != '"') i += 1
+        if (i < sql.length) i += 1
+      } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        while (i < sql.length && sql.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        val end = sql.indexOf("*/", i + 2)
+        i = if (end < 0) sql.length else end + 2
+      } else if ((c.isLetter || c == '_') &&
+          (i == 0 || !identChar(sql.charAt(i - 1)))) {
+        var j = i
+        while (j < sql.length && identChar(sql.charAt(j))) j += 1
+        if (sql.regionMatches(j, " AS (", 0, 5)) names += sql.substring(i, j)
+        i = j
+      } else i += 1
+    }
+    names.toSet
+  }
+
   /** Rewrite EVERY `ident AS (` head. Only valid for SQL with no WINDOW
     * clauses (a `WINDOW w AS (` definition shares the token shape); the
     * require makes a misuse fail loudly at build time instead of
@@ -88,10 +123,6 @@ private[graft] object OracleSql {
   def materializeAll(sql: String): String = {
     require(!sql.contains("WINDOW "),
       "materializeAll on SQL with a WINDOW clause — pass explicit CTE names")
-    val p = java.util.regex.Pattern.compile("[A-Za-z_][A-Za-z0-9_]*(?= AS \\()")
-    val names = scala.collection.mutable.Set[String]()
-    val m = p.matcher(sql)
-    while (m.find()) names += m.group()
-    materialize(sql, names.toSet)
+    materialize(sql, scanHeads(sql))
   }
 }

@@ -59,6 +59,17 @@ class CteHeadsSpec extends AnyFunSuite {
     }
   }
 
+  test("materializeAll ignores heads that exist only inside comments " +
+      "or literals (harvest uses the same scanner as apply)") {
+    val sql =
+      """WITH real AS (SELECT 1) -- legacy: tmp AS (SELECT 2)
+        |SELECT 'ghost AS (' FROM real""".stripMargin
+    val got = OracleSql.materializeAll(sql) // must not trip the require
+    assert(got.contains("real AS MATERIALIZED (SELECT 1)"))
+    assert(got.contains("-- legacy: tmp AS (SELECT 2)"))
+    assert(got.contains("'ghost AS ('"))
+  }
+
   test("a stale head list fails loudly at rewrite time") {
     val sql = "WITH dxt AS (SELECT 1) SELECT * FROM dxt"
     val e = intercept[IllegalArgumentException] {
