@@ -66,8 +66,13 @@ object Verify {
     // long-runners that the driver's outer `timeout` would then kill
     // mid-write. An individual pathological query can still overrun;
     // the already-dumped dirs stay intact either way.
-    val startMarginSec =
-      sys.env.getOrElse("SPARK_GRAFT_VERIFY_START_MARGIN_S", "120").toInt
+    // clamp to half the deadline (ADVICE r14 #1): a deadline at or below
+    // the default 120 s margin would otherwise skip EVERY query at t=0
+    // and exit 0 with an empty gate — under a short deadline, letting
+    // early queries start is strictly better than a silent no-op run
+    val startMarginSec = math.min(
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_START_MARGIN_S", "120").toInt,
+      deadlineSec / 2)
     val t0All = System.nanoTime()
     def worker(): Unit = {
       var next = queue.poll()

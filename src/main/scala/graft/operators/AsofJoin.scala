@@ -64,6 +64,11 @@ object AsofJoin {
   def leftAsofOneSource(src: DataFrame, isLeft: Column,
       key: String, ts: String, leftCols: Seq[String],
       payload: Seq[String], rightTie: Seq[String] = Nil): DataFrame = {
+    // a NULL discriminator classifies as RIGHT (ADVICE r14 #2): the
+    // coalesce makes the three-valued `when` explicit instead of
+    // falling through `otherwise` by accident — callers with rows that
+    // are neither side must filter them out beforehand
+    val isL = coalesce(isLeft, lit(false))
     // both structs are nulled on the side that never reads them — right
     // rows are dropped by the __side filter, so carrying their __l
     // through the exchange+sort would roughly double the shuffled width
@@ -72,13 +77,13 @@ object AsofJoin {
       .schema("__l").dataType
     val tagged = src.select(
       Seq(col(key), col(ts),
-        when(isLeft, lit(1)).otherwise(lit(0)).as("__side"),
-        when(isLeft, struct(leftCols.map(col): _*))
+        when(isL, lit(1)).otherwise(lit(0)).as("__side"),
+        when(isL, struct(leftCols.map(col): _*))
           .otherwise(lit(null).cast(lType)).as("__l"),
-        when(isLeft, lit(null)).otherwise(struct(payload.map(col): _*))
+        when(isL, lit(null)).otherwise(struct(payload.map(col): _*))
           .as("__p")) ++
       rightTie.map(c =>
-        when(isLeft, lit(null)).otherwise(col(c)).as(s"__tb_$c")): _*)
+        when(isL, lit(null)).otherwise(col(c)).as(s"__tb_$c")): _*)
     windowTail(tagged, key, ts, rightTie.map(c => s"__tb_$c"),
       leftCols, payload)
   }

@@ -68,7 +68,11 @@ private[graft] object OracleSql {
         var j = i
         while (j < sql.length && identChar(sql.charAt(j))) j += 1
         val word = sql.substring(i, j)
-        if (names(word) && sql.regionMatches(j, " AS (", 0, 5)) {
+        // ignoreCase (ADVICE r14 #3): a lowercase 'as (' head would
+        // otherwise be invisible to BOTH scanners — the harvest returns
+        // zero heads, the coverage require passes vacuously, and the
+        // O(L^2) inlining cost returns silently
+        if (names(word) && sql.regionMatches(true, j, " AS (", 0, 5)) {
           applied += word
           out.append(word).append(" AS MATERIALIZED (")
           i = j + 5
@@ -109,7 +113,8 @@ private[graft] object OracleSql {
           (i == 0 || !identChar(sql.charAt(i - 1)))) {
         var j = i
         while (j < sql.length && identChar(sql.charAt(j))) j += 1
-        if (sql.regionMatches(j, " AS (", 0, 5)) names += sql.substring(i, j)
+        // ignoreCase: keep in lockstep with materialize's matcher
+        if (sql.regionMatches(true, j, " AS (", 0, 5)) names += sql.substring(i, j)
         i = j
       } else i += 1
     }
@@ -123,6 +128,12 @@ private[graft] object OracleSql {
   def materializeAll(sql: String): String = {
     require(!sql.contains("WINDOW "),
       "materializeAll on SQL with a WINDOW clause — pass explicit CTE names")
-    materialize(sql, scanHeads(sql))
+    val heads = scanHeads(sql)
+    // a zero-head harvest on a 'materialize everything' call means the
+    // scanner failed to see the heads the caller knows are there (ADVICE
+    // r14 #3's failure class) — fail loudly instead of rewriting nothing
+    require(heads.nonEmpty,
+      "materializeAll found no CTE heads — scanner/SQL out of sync?")
+    materialize(sql, heads)
   }
 }

@@ -25,6 +25,20 @@ class CteHeadsSpec extends AnyFunSuite {
     assert(got.contains("ab AS (SELECT 2)"), "must not rewrite 'ab' for 'a'")
   }
 
+  test("lowercase 'as (' heads are harvested and rewritten (ADVICE r14 #3)") {
+    val sql = "WITH a as (SELECT 1), b As (SELECT 2) SELECT * FROM a, b"
+    val got = OracleSql.materializeAll(sql)
+    assert(got.contains("a AS MATERIALIZED (SELECT 1)"))
+    assert(got.contains("b AS MATERIALIZED (SELECT 2)"))
+  }
+
+  test("materializeAll on head-free SQL fails loudly instead of " +
+      "rewriting nothing (ADVICE r14 #3)") {
+    intercept[IllegalArgumentException] {
+      OracleSql.materializeAll("SELECT 1")
+    }
+  }
+
   test("heads inside string literals, quoted identifiers, and comments stay") {
     val sql =
       """WITH x AS (SELECT 'x AS (' AS s, "x" AS q), -- x AS ( in a comment
