@@ -1788,7 +1788,24 @@ object Bench {
         "an anti-pattern at scale, rejected. Cost = two irreducible " +
         "total data movements (frame partitioning + output total " +
         "order) that DuckDB also executes but with single-process " +
-        "constants; ratio decays with tier (x10 1.38x)."))
+        "constants; ratio decays with tier (x10 1.38x)."),
+      "q_j3" -> ("floor_ratio ~1.9 at both tiers = two bare-scan " +
+        "equivalents of stage latency, sub-second absolute. The plan is " +
+        "the GENERAL bounded-fan-out interval join (scan x2 -> bucketed " +
+        "pair shuffle -> re-agg exchange -> total-order); because both " +
+        "sides here come from ONE table and the aggregate is a trailing " +
+        "COUNT, a one-source sliding-window kernel (exchange(user)+sort+" +
+        "ring count, the q_a2 shape) would halve the data movements - " +
+        "at this corpus the q_a2 decomposition prices that rewrite at " +
+        "~0.6s vs the current ~0.67s (movements are stage-latency-bound, " +
+        "not byte-bound, at sub-second scale), so the general operator " +
+        "is kept; the fusion is the known lever if the tier ratio ever " +
+        "stops decaying."),
+      "q_w1" -> ("same two-movement floor as q_a2: exchange(user_id)+" +
+        "sort feeds the O(1)-state SMA(30) ring kernel (the kernel " +
+        "itself prices at ~4% of exec per the q_a2 decomposition), then " +
+        "the total-order output sort is the second movement. " +
+        "Sub-second absolute, tier-decaying ratio, floor_ratio ~1.9."))
     // One scaled-replica comparison at `mult` over `names`: DuckDB times
     // the oracle SQLs on the replica, Spark measures fresh-lineage
     // execution (separately-timed planning subtracted). Returns the
