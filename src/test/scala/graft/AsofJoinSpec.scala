@@ -90,6 +90,33 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(canon(fused) == canon(twoSource))
   }
 
+  test("one-source variant: a NULL discriminator classifies as RIGHT " +
+      "(ADVICE r14 #2)") {
+    import spark.implicits._
+    // one left row at t=20; a null-side row at t=10 carrying payload 9.0.
+    // If the null row classifies as RIGHT (the documented contract), the
+    // left row's as-of match is (10, 9.0); if the null row were dropped
+    // or mis-classified as left, the match would be empty.
+    val rows = Seq(
+      (1L, 5L, Some("L"), 1.0),
+      (2L, 10L, None: Option[String], 9.0),
+      (3L, 20L, Some("L"), 2.0))
+      .toDF("id", "k0", "side", "v")
+      .select(lit(1L).as("k"), col("id"), col("k0").as("t"),
+        col("side"), col("v"))
+    val got = graft.operators.AsofJoin.leftAsofOneSource(
+      rows.withColumn("pv", col("v")),
+      isLeft = col("side") === "L", key = "k", ts = "t",
+      leftCols = Seq("id", "k", "t", "v"),
+      payload = Seq("t", "pv"))
+      .orderBy("id")
+      .select("id", "asof_t", "asof_pv")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    assert(got.toSeq == Seq(
+      (1L, None, None),              // before the null-side right row
+      (3L, Some(10L), Some(9.0))))   // null side served as RIGHT payload
+  }
+
   test("one-source plan: ONE scan, ONE hash exchange, no join") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_asof_one").toString
