@@ -30,6 +30,27 @@ object RelationalQueries extends QueryPack {
   private def moneySumSql(term: String): String =
     s"CAST(sum(CAST($term AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** Shared J3 oracle: per 'view' event, trailing-hour same-user 'error'
+    * count as a plain BETWEEN left join — shape-blind, so it gates both
+    * the fused window plan (q_j3) and the general interval join (q_j3b)
+    * identically. */
+  private val J3OracleSql: String =
+    """WITH v AS (
+      |  SELECT event_id, user_id,
+      |         epoch_us(date_trunc('microseconds', ts)) AS ts_us
+      |  FROM events WHERE event_type = 'view'
+      |), e AS (
+      |  SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS e_ts
+      |  FROM events WHERE event_type = 'error'
+      |)
+      |SELECT v.event_id, v.user_id, v.ts_us, count(e.e_ts) AS n_err_1h
+      |FROM v LEFT JOIN e
+      |  ON v.user_id = e.user_id
+      | AND e.e_ts > v.ts_us - 3600000000
+      | AND e.e_ts <= v.ts_us
+      |GROUP BY 1, 2, 3
+      |ORDER BY v.event_id""".stripMargin
+
   /** q_j1b shape switch: the map-side star shape (fact never shuffles,
     * dims collapse to a broadcastable (o_orderkey, r_name) map) is legal
     * while that map fits executor memory — ~40 B/entry in a
@@ -469,13 +490,46 @@ object RelationalQueries extends QueryPack {
              |ORDER BY v.event_id""".stripMargin),
       bench = true),
 
-    // J3 — left interval join: per 'view' event, COUNT of same-user
-    // 'error' events in the trailing hour. Bucketed (key, ts div W)
-    // blocking with bounded 2x right fan-out (operators/RangeJoin) —
-    // never the per-key cross product Spark plans for a raw range
-    // predicate; oracle is the plain BETWEEN left join.
+    // J3 — per 'view' event, COUNT of same-user 'error' events in the
+    // trailing hour. Both sides come from ONE table and the aggregate is
+    // a trailing range COUNT, so since r16 the registered plan is the
+    // FUSED one-source shape (VERDICT r15 next #1): one bounded scan of
+    // the two event types → ONE exchange(user_id) + sort(ts_us) → a
+    // native range-frame window count — half the data movements of the
+    // general two-scan interval join (scan ×2 → bucketed pair shuffle →
+    // re-agg exchange), which stays registered as q_j3b below. The frame
+    // [ts−3599999999, ts] over integer µs is exactly the oracle's
+    // (e_ts > v.ts − 1h AND e_ts ≤ v.ts); view rows inside the frame
+    // don't pollute the count because only 'error' rows are counted.
+    // At 100 TB this is the shape that survives: the window state is
+    // O(frame) per series and the only shuffle is the series key.
     QueryDef(
       "q_j3_range_count",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+          .rangeBetween(-3599999999L, Window.currentRow)
+        Tables.events(s, dir)
+          .filter(col("event_type").isin("view", "error"))
+          .withColumn("ts_us", expr("(ts_ns - pmod(ts_ns, 1000)) div 1000"))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("event_type"))
+          .withColumn("n_err_1h",
+            count(when(col("event_type") === "error", lit(1))).over(w))
+          .filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("n_err_1h"))
+          .orderBy("event_id")
+      },
+      Some(J3OracleSql)),
+
+    // J3b — the GENERAL bounded-fan-out interval join over the same
+    // semantics (operators/RangeJoin): bucketed (key, ts div W) blocking
+    // with bounded 2× right fan-out — never the per-key cross product
+    // Spark plans for a raw range predicate. Kept registered (same
+    // oracle) because it is the operator a user reaches for when the two
+    // sides are DIFFERENT tables and no window fusion applies.
+    QueryDef(
+      "q_j3b_range_join_general",
       (s, dir) => {
         val ev = Tables.events(s, dir)
           .withColumn("ts_us", expr("(ts_ns - pmod(ts_ns, 1000)) div 1000"))
@@ -490,21 +544,7 @@ object RelationalQueries extends QueryPack {
           .agg(count(col("win_ts_us")).as("n_err_1h"))
           .orderBy("event_id")
       },
-      Some("""WITH v AS (
-             |  SELECT event_id, user_id,
-             |         epoch_us(date_trunc('microseconds', ts)) AS ts_us
-             |  FROM events WHERE event_type = 'view'
-             |), e AS (
-             |  SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS e_ts
-             |  FROM events WHERE event_type = 'error'
-             |)
-             |SELECT v.event_id, v.user_id, v.ts_us, count(e.e_ts) AS n_err_1h
-             |FROM v LEFT JOIN e
-             |  ON v.user_id = e.user_id
-             | AND e.e_ts > v.ts_us - 3600000000
-             | AND e.e_ts <= v.ts_us
-             |GROUP BY 1, 2, 3
-             |ORDER BY v.event_id""".stripMargin)),
+      Some(J3OracleSql)),
 
     // U1 — union (append rows), then aggregate.
     QueryDef(
