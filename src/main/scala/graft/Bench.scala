@@ -1781,22 +1781,25 @@ object Bench {
     // explanation, anything else stamps "floor_note_missing":true so a
     // bare >2x row is impossible by construction (VERDICT r15 next #3).
     val floorNotes: Map[String, String] = Map(
-      "q_e3_signal_overlay" -> ("constant-cost read path: exec is scan+one-exchange " +
-        "stage latency (x5 decomposition: bounded scan 0.24s, " +
-        "repartition(user_id) of the 222k-row slice +0.24s, fused " +
-        "bar-agg+Bollinger kernel +0.12s, result sort; flat in corpus " +
-        "x5->x10). Measured-and-rejected: (a) sampling-free total order " +
-        "via repartition(1)+sortWithinPartitions - no win, the range-" +
-        "sample job is not the cost (0.630s vs 0.604s interleaved); " +
-        "(b) AQE off shaves ~0.15s of stage-barrier latency but a " +
-        "session-wide conf mutation inside a library query is rejected; " +
-        "(c) map-side partial bar agg - rejected, bars~=rows on this " +
-        "corpus (212,875 bars from 222,480 slice rows) so it doubles " +
-        "shuffled bytes. Plan already minimal: PushedFilter bounded " +
-        "scan -> ONE 4-column data exchange -> fused agg+kernel " +
-        "(no Window operator) -> tiny sort. At production scale the " +
-        "serving answer is the X2 incremental tick (maintained bars), " +
-        "not a faster cold recompute."),
+      "q_e3_signal_overlay" -> ("the r15 'residual' was the orderBy " +
+        "itself: RangePartitioning's bound-sampling pass re-executed " +
+        "the whole post-shuffle stage (agg+kernel+filter) once more " +
+        "just to sample a few hundred signal rows. Since r16 the total " +
+        "order is repartition(1)+sortWithinPartitions over the tiny " +
+        "filtered signal set (NOT the q_a2 anti-pattern - there the " +
+        "output is every input row). Measured at x5 (noop sink, " +
+        "best-of-3): orderBy 0.883s vs one-task sort 0.495s. Fresh x5 " +
+        "decomposition: bounded scan 0.102s, +repartition(user_id) " +
+        "0.150s, +bar agg 0.082s, +fused Bollinger+crossover kernel " +
+        "0.172s, +signal filter/projection 0.035s, +one-task sort of " +
+        "the tiny result ~0.05s. Plan: PushedFilter bounded scan -> " +
+        "ONE 4-column data exchange -> fused agg+kernel (no Window " +
+        "operator) -> single-task result sort. Still standing from " +
+        "r15: map-side partial bar agg rejected (bars~=rows on this " +
+        "corpus, doubles shuffled bytes); AQE-off rejected " +
+        "(session-wide conf mutation in a library query). At " +
+        "production scale the serving answer is the X2 incremental " +
+        "tick (maintained bars), not a faster cold recompute."),
       "q_a2_median_fill" -> ("the 5-row median kernel is NOT the cost: x5 " +
         "decomposition shows exchange+sort(user_id,ts) 0.458s, +median " +
         "ring kernel 0.019s (4% of exec), +final total-order " +

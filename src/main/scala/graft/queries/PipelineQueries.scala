@@ -52,7 +52,7 @@ object PipelineQueries extends QueryPack {
   /** Same bar aggregation over an arbitrary events slice — the E3
     * read-path prune aggregates bars over a `ts_ns`-bounded suffix of
     * the table instead of all of history. */
-  private def barsOf(events: DataFrame): DataFrame =
+  private[graft] def barsOf(events: DataFrame): DataFrame =
     events
       .groupBy(col("user_id"), date_trunc("HOUR", col("ts")).as("bts"))
       .agg(
@@ -462,7 +462,7 @@ object PipelineQueries extends QueryPack {
     * Bollinger frame reaches 19 further back ⇒ 20 bars. */
   private[graft] val E3WarmupBars = 20
 
-  private case class E3Bounds(winStartNs: Long, boundNs: Long)
+  private[graft] case class E3Bounds(winStartNs: Long, boundNs: Long)
 
   private val e3BoundsCache =
     new java.util.LinkedHashMap[(String, String), E3Bounds](16, 0.75f, true) {
@@ -474,7 +474,7 @@ object PipelineQueries extends QueryPack {
   private def tsLit(ns: Long): Column =
     lit(java.time.Instant.ofEpochSecond(Math.floorDiv(ns, 1000000000L)))
 
-  private def e3Bounds(s: SparkSession, dir: String): Option[E3Bounds] = {
+  private[graft] def e3Bounds(s: SparkSession, dir: String): Option[E3Bounds] = {
     val key = (graft.GraftSession.sessionUuid(s), dir)
     e3BoundsCache.synchronized(Option(e3BoundsCache.get(key))).orElse {
       val ev = Tables.events(s, dir)
@@ -539,7 +539,19 @@ object PipelineQueries extends QueryPack {
         col("buy"), col("sell"),
         round(col("open") - col("open") * 0.01, 6).as("marker_lo"),
         round(col("close") + col("close") * 0.01, 6).as("marker_hi"))
-      .orderBy("user_id", "bucket")
+      // total order WITHOUT a range exchange: the signal set is tiny by
+      // construction (crossover rows within a 240-hour window — bounded
+      // by bars, not events), but `orderBy` plans RangePartitioning
+      // whose bound-sampling pass RE-EXECUTES the whole post-shuffle
+      // stage (agg+kernel+filter) once more just to sample a few
+      // hundred rows. Measured at the x5 replica (r16, noop sink,
+      // best-of-3): orderBy 0.883s vs repartition(1)+sort 0.495s — the
+      // sample pass was the plan's single biggest stage. A one-task
+      // sort over a provably small filtered result is NOT the q_a2
+      // anti-pattern (there the output is every input row); this is
+      // the dashboard read path returning marker rows.
+      .repartition(1)
+      .sortWithinPartitions("user_id", "bucket")
 
   /** Both E3 shapes, selected by `prune` (exposed so E3PruneSpec can pin
     * bit-parity AND the pruned scan shape). prune=false is the pre-r12
