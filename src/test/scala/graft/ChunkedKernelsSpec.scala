@@ -82,6 +82,29 @@ class ChunkedKernelsSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"${bad.count()} rows differ from the unchunked pass")
   }
 
+  test("the stitch path never lands carried state on the driver") {
+    // source-level guard (the PlanAuditSpec precedent): the operator's
+    // stitch must not collect — carried state flows executor-side as a
+    // keyed tails DataFrame joined into the next chunk
+    val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "src/main/scala/graft/operators/ChunkedKernels.scala")), "UTF-8")
+    assert(!src.contains(".collect()"),
+      "ChunkedKernels must not collect carried state to the driver")
+
+    // plan-level witness: chunk j>0 receives its seed through a Join —
+    // state reaches the kernels via the plan, not a driver-side Map
+    import spark.implicits._
+    val specs = Seq(KernelSpec(Seq("value"), Seq("ses"), () => new SesKernel(0.2)))
+    val dfs = Seq(
+      Seq((0L, 0L, 10.0), (0L, 1L, 12.0)),
+      Seq((0L, 2L, 14.0), (0L, 3L, 11.0)))
+      .map(_.toDF("user_id", "ts", "value"))
+    val out = ChunkedKernels.applyChunked(dfs, Seq("user_id"), Seq("ts"), specs)
+    val secondPlan = out(1).queryExecution.analyzed.toString
+    assert(secondPlan.contains("Join"),
+      s"chunk 2 should seed its kernels via a Join on the tails DataFrame:\n$secondPlan")
+  }
+
   test("non-checkpointable kernels are rejected up front, naming the offender") {
     val stateless = new Kernel {
       val arity = 1; val width = 1
