@@ -1,10 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
 
-import graft.operators.FrameKernels._
 import graft.sources.Sinks
 
 /** X2 — the reference's stateful incremental recompute as a runtime
@@ -13,41 +13,63 @@ import graft.sources.Sinks
   * every kernel over ≤300 rows, and writes ONLY the newest row).
   *
   * Spark shape: a `foreachBatch` body — each micro-batch of new candles
-  * is unioned with the per-series sink tail, enriched with the full
-  * frame pack, reduced to the newest row per series, and appended to
-  * the day-partitioned K1 sink. The lookback (299 rows / 299 hours)
-  * covers every kernel warmup (MACD 33, ADX 27, SMA 30 — SURVEY §2.7
-  * X2), which is exactly why tick outputs equal a full batch recompute
-  * (the parity invariant StreamingSpec asserts; IncrementalTickSpec
-  * asserts it end-to-end through this component).
+  * is unioned with the per-series tail, enriched with the full frame
+  * pack, reduced to the newest rows, and appended to the day-partitioned
+  * K1 sink. The lookback (299 rows / 299 hours) covers every kernel
+  * warmup (MACD 33, ADX 27, SMA 30 — SURVEY §2.7 X2), which is exactly
+  * why tick outputs equal a full batch recompute (the parity invariant
+  * StreamingSpec asserts; IncrementalTickSpec asserts it end-to-end
+  * through this component).
   *
-  * Scale: the tail read mirrors the reference's Flux
+  * The SINK is always the source of truth; the per-series tail is the
+  * tick's memo of its own appends (valid because the tick is the sink's
+  * only writer — the K1 contract), seeded and re-seeded from the sink,
+  * so recovery = re-reading the sink tail, exactly as before. Two tail
+  * SHAPES, the q_j1b map-side/shuffle dual (r16, VERDICT r15 next #6 —
+  * the per-batch sink scan + its scheduling was 88% of tick time):
+  *
+  *  - DRIVER-RESIDENT (the reference's actual regime: symbol-count
+  *    series, candle-sized batches): the tail lives as plain rows on
+  *    the driver while (tail + batch) stays under
+  *    [[TickDriverTailMaxRows]]; a steady-state tick is then ~2 Spark
+  *    jobs — collect the batch, run ONE LocalRelation→kernel→append
+  *    job. No sink read, no shuffle of history, no per-use broadcast
+  *    builds.
+  *  - EXECUTOR DATAFRAME (high-cardinality series / data-sized
+  *    batches): the tail is a persisted, localCheckpoint-truncated
+  *    DataFrame null-safe-maintained on executors; seeds and unions
+  *    happen as plans. Entered automatically when a batch or seed
+  *    overflows the driver budget; never downgrades back mid-stream.
+  *
+  * Scale: the seed read mirrors the reference's Flux
   * `range(start: last_ts − 298h)` (btc_usdt_etl_dag.py:77-92) — a TIME
   * bound, not a whole-history scan. The bound is derived from the
   * incoming batch (min new ts − lookback hours) and applied to BOTH the
   * `day` partition directory column (so the scan physically prunes to
   * the newest ⌈lookback/24⌉+1 day partitions — `PartitionFilters` in
   * the plan, asserted by IncrementalTickSpec) and `ts_ns` (row-exact
-  * bound inside the boundary days). A row_number cap keeps the union
+  * bound inside the boundary days). A row_number cap keeps the tail
   * ≤ [[Lookback]] rows per series even when a series has more rows than
-  * hours in the window. State lives in the sink, not the stream, so
-  * executor state is O(0) and recovery = re-reading the sink tail. A
-  * Delta/Iceberg-backed deployment swaps the append for MERGE.
+  * hours in the window. A Delta/Iceberg-backed deployment swaps the
+  * append for MERGE.
   */
 object IncrementalTick {
 
   val Lookback = 299
 
+  /** Driver-tail budget: the map-side/shuffle switch (the q_j1b
+    * StarMapSideMaxOrders precedent). ~100 B/row ⇒ ~100 MB of driver
+    * heap at the cap; the reference regime (tens of symbols × 299 rows)
+    * sits four orders of magnitude below it. */
+  val TickDriverTailMaxRows: Int = 1 << 20
+
   /** Driver-side wall-time accounting across [[processBatch]] calls,
     * split at the component's natural execution boundaries: `probe` =
-    * the eager pre-append work (new-batch min-ts aggregate + the
-    * coverage-widening slice checks, each a real sink read), `append` =
-    * the single fused job that reads the pruned tail, recomputes the
-    * kernels over tail+new and writes the appended rows (read/kernel/
-    * write execute as ONE Spark job by design — Bench decomposes them
-    * post-hoc on the final sink state). Zero-cost when nobody reads it;
-    * Bench snapshots + resets around its throughput probe so the tick
-    * events/s number carries its own breakdown (VERDICT r11 next #7).
+    * the eager pre-append work (batch collect/stats + any sink seed
+    * reads), `append` = the kernel+write job plus tail maintenance.
+    * Zero-cost when nobody reads it; Bench snapshots + resets around
+    * its throughput probe so the tick events/s number carries its own
+    * breakdown (VERDICT r11 next #7).
     */
   object Phases {
     val probeNanos = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -58,20 +80,29 @@ object IncrementalTick {
     def appendSec: Double = appendNanos.get / 1e9
   }
 
-  /** The per-tick enrichment over a (lookback+new) frame: the
-    * frame-expressible pack (SMA30, Bollinger(20,2), band signals). */
+  /** The per-tick enrichment over a (lookback+new) frame: the frame
+    * pack (SMA30, Bollinger(20,2), band signals) as ONE sorted
+    * mapPartitions pass of O(frame)-state ring kernels. r16: this was a
+    * WindowExec pack whose sliding decimal aggregates re-summed each
+    * 20/30-row frame per row — measured ~2 s per 40k-row tick batch,
+    * the single biggest tick cost; the ring kernels are bit-identical
+    * (DecFrameParitySpec) at O(1) per row, the same swap q_e1/q_e3 made
+    * in r4/r12. Signals are 1.0/0.0 from the fused crossover kernel
+    * (never null — NaN warmup state compares false, the crossBelow /
+    * crossAbove coalesce(…, false) contract). */
   def enrich(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
-    val base = df.withColumn("rn", row_number().over(w))
-    val (mid, up, lo) = bollinger(col("value"), col("rn"), 20, 2.0, w)
-    base
-      .withColumn("sma30", sma(col("value"), 30, w))
-      .withColumn("bb_mid", mid)
-      .withColumn("bb_up", up)
-      .withColumn("bb_lo", lo)
-      .withColumn("buy", crossBelow(col("value"), col("bb_lo"), w))
-      .withColumn("sell", crossAbove(col("value"), col("bb_up"), w))
-      .drop("rn")
+    import graft.operators.{DecFrameKernels, SeriesKernels}
+    SeriesKernels.applyKernels(
+        df, Seq("user_id"), Seq("ts_ns", "event_id"),
+        Seq(
+          SeriesKernels.KernelSpec(Seq("value"), Seq("sma30"),
+            () => new DecFrameKernels.SmaDecKernel(30)),
+          SeriesKernels.KernelSpec(Seq("value"),
+            Seq("bb_mid", "bb_up", "bb_lo", "__buy_d", "__sell_d"),
+            () => new DecFrameKernels.BollingerCrossKernel(20, 2.0))))
+      .withColumn("buy", col("__buy_d") === 1.0)
+      .withColumn("sell", col("__sell_d") === 1.0)
+      .drop("__buy_d", "__sell_d")
   }
 
   private val InputCols = Seq("event_id", "ts", "ts_ns", "user_id", "value")
@@ -98,9 +129,9 @@ object IncrementalTick {
       .filter(col("day") >= lit(boundDay) && col("ts_ns") >= lit(boundNs))
   }
 
-  /** A slice guaranteed to cover each new-row series' [[Lookback]]-row
+  /** A slice guaranteed to cover each seed series' [[Lookback]]-row
     * tail: starts at `lookbackHours` and DOUBLES the window until every
-    * series in `newRows` has ≥ Lookback sink rows inside it, or the
+    * series in `newSeries` has ≥ Lookback sink rows inside it, or the
     * window reaches the sink's oldest `day` partition (then the slice IS
     * the series' whole history and the row cap binds exactly as the
     * reference's newest-299-rows read). A fixed time bound silently
@@ -113,11 +144,10 @@ object IncrementalTick {
   private def coveredSlice(
       spark: SparkSession,
       sinkPath: String,
-      newRows: DataFrame,
+      newSeries: DataFrame,
       minNewTsNs: Long,
       lookbackHours: Long,
       minDay: Option[String]): DataFrame = {
-    val newSeries = newRows.select("user_id").distinct()
     var hours = lookbackHours
     var rounds = 0
     while (rounds < 64) {
@@ -154,6 +184,38 @@ object IncrementalTick {
       .select(InputCols.map(col): _*)
   }
 
+  /** Maintained tail state, keyed by (session, sinkPath). */
+  private sealed trait TailState
+  private final case class LocalTail(byUser: Map[Any, Vector[Row]]) extends TailState
+  private final case class DfTail(df: DataFrame) extends TailState
+
+  private val tailCache =
+    new java.util.LinkedHashMap[(String, String), TailState](16, 0.75f, true) {
+      override def removeEldestEntry(
+          eldest: java.util.Map.Entry[(String, String), TailState]): Boolean = {
+        val evict = size() > 64
+        if (evict) eldest.getValue match {
+          case DfTail(df) => df.unpersist()
+          case _          => ()
+        }
+        evict
+      }
+    }
+
+  /** Test/ops hook: drop the maintained tail for `sinkPath` (all
+    * sessions), forcing the next tick to re-seed from the sink. */
+  private[graft] def invalidateTail(sinkPath: String): Unit =
+    tailCache.synchronized {
+      val it = tailCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._2 == sinkPath) {
+          e.getValue match { case DfTail(df) => df.unpersist(); case _ => () }
+          it.remove()
+        }
+      }
+    }
+
   /** One foreachBatch body: merge `newRows` (schema: event_id, ts,
     * ts_ns, user_id, value) into the sink at `sinkPath`.
     *
@@ -165,61 +227,237 @@ object IncrementalTick {
     * micro-batch retries instead of appending rows computed without
     * lookback (ADVICE r2).
     *
-    * X5 idempotence: rows whose `event_id` already exists in the sink
-    * slice are anti-joined away before the append, so re-running a
+    * X5 idempotence: rows whose `event_id` already exists in the
+    * lookback tail are dropped before the kernel pass, so re-running a
     * delivered batch (task retry, at-least-once upstream) is a no-op
     * instead of a double-append.
+    *
+    * `appendFiles` coarsens the append granularity: a tick emits one
+    * row per new event of the touched series — writing that through
+    * all shuffle.partitions tasks costs a many-file commit per batch
+    * AND makes every later seed read list/open those shards. One file
+    * per day per tick matches the reference's append cadence; raise it
+    * only when a single tick's output is itself data-sized.
     */
   def processBatch(spark: SparkSession, newRows: DataFrame, sinkPath: String,
+      lookbackHours: Long = Lookback.toLong,
+      appendFiles: Int = 1): Unit = {
+    val nr = newRows.select(InputCols.map(col): _*)
+    val key = (graft.GraftSession.sessionUuid(spark), sinkPath)
+    tailCache.synchronized(Option(tailCache.get(key))) match {
+      case Some(DfTail(df))   => runDf(spark, nr, sinkPath, lookbackHours,
+        appendFiles, key, Some(df))
+      case Some(LocalTail(m)) => runLocal(spark, nr, sinkPath, lookbackHours,
+        appendFiles, key, m)
+      case None               => runLocal(spark, nr, sinkPath, lookbackHours,
+        appendFiles, key, Map.empty)
+    }
+  }
+
+  /** Test hook: run a batch through the executor-DataFrame tail shape
+    * unconditionally (small corpora otherwise always take the
+    * driver-resident path, leaving the scale shape spec-untested). */
+  private[graft] def processBatchForceDf(spark: SparkSession,
+      newRows: DataFrame, sinkPath: String,
       lookbackHours: Long = Lookback.toLong): Unit = {
-    if (newRows.isEmpty) return // X4: empty micro-batch no-op
-    val probeT0 = System.nanoTime()
-    val minNewTsNs = newRows.agg(min(col("ts_ns"))).first().getLong(0)
-    // only a MISSING sink path reads as "no history" (first tick); once
-    // the path exists any read failure propagates (corrupt sink ≠ empty)
+    val nr = newRows.select(InputCols.map(col): _*)
+    val key = (graft.GraftSession.sessionUuid(spark), sinkPath)
+    val cached = tailCache.synchronized(Option(tailCache.get(key))) match {
+      case Some(DfTail(df)) => Some(df)
+      case _                => None
+    }
+    runDf(spark, nr, sinkPath, lookbackHours, appendFiles = 1, key, cached)
+  }
+
+  /** Sink metadata for the seed path: None = sink path missing (first
+    * tick, "no history"); Some(minDay) = oldest day partition. */
+  private def sinkMinDay(spark: SparkSession, sinkPath: String)
+      : Option[Option[String]] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(sinkPath)
-    val slice =
-      if (!fs.exists(root)) None
-      else {
-        val days = fs.listStatus(root).map(_.getPath.getName)
-          .filter(_.startsWith("day=")).map(_.stripPrefix("day="))
-        val minDay = if (days.isEmpty) None else Some(days.min)
-        Some(coveredSlice(spark, sinkPath, newRows, minNewTsNs,
-          lookbackHours, minDay))
+    if (!fs.exists(root)) None
+    else {
+      val days = fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("day=")).map(_.stripPrefix("day="))
+      Some(if (days.isEmpty) None else Some(days.min))
+    }
+  }
+
+  // ---------------------------------------------------------------- //
+  // Driver-resident tail: the reference regime. Steady state is two   //
+  // Spark jobs per tick — collect the batch, one LocalRelation →      //
+  // kernel → append job.                                              //
+  // ---------------------------------------------------------------- //
+  private def runLocal(spark: SparkSession, nr: DataFrame, sinkPath: String,
+      lookbackHours: Long, appendFiles: Int,
+      key: (String, String), tail0: Map[Any, Vector[Row]]): Unit = {
+    val probeT0 = System.nanoTime()
+    val batchRows = nr.take(TickDriverTailMaxRows + 1)
+    if (batchRows.isEmpty) return // X4: empty micro-batch no-op
+    if (batchRows.length > TickDriverTailMaxRows) {
+      // data-sized batch: hand the whole stream over to the executor
+      // DataFrame shape (the driver tail is discardable — the sink has
+      // everything the cache had, because the tick appends before
+      // caching)
+      tailCache.synchronized(tailCache.remove(key))
+      Phases.probeNanos.addAndGet(System.nanoTime() - probeT0)
+      runDf(spark, nr, sinkPath, lookbackHours, appendFiles, key, None)
+      return
+    }
+    val schema = nr.schema
+    val ui = schema.fieldIndex("user_id")
+    val ti = schema.fieldIndex("ts_ns")
+    val ei = schema.fieldIndex("event_id")
+    val batchSeries: Set[Any] = batchRows.iterator.map(_.get(ui)).toSet
+    val minNewTsNs = batchRows.iterator.map(_.getLong(ti)).min
+
+    // seed series the tail doesn't hold yet (cold start, restart, or a
+    // symbol first seen by this stream) from the sink
+    var tail = tail0
+    val missing = batchSeries -- tail.keySet
+    if (missing.nonEmpty) {
+      sinkMinDay(spark, sinkPath) match {
+        case None => () // no sink yet: genuinely no history
+        case Some(minDay) =>
+          val msDf = spark.createDataFrame(
+            java.util.Arrays.asList(missing.toSeq.map(Row(_)): _*),
+            StructType(Seq(schema("user_id"))))
+          val seedRows = rowCap(
+            coveredSlice(spark, sinkPath, msDf, minNewTsNs, lookbackHours,
+              minDay)
+              .join(broadcast(msDf), Seq("user_id"), "leftsemi"))
+            .take(TickDriverTailMaxRows + 1)
+          if (seedRows.length > TickDriverTailMaxRows) {
+            // too many series for the driver shape: switch to DataFrame
+            tailCache.synchronized(tailCache.remove(key))
+            Phases.probeNanos.addAndGet(System.nanoTime() - probeT0)
+            runDf(spark, nr, sinkPath, lookbackHours, appendFiles, key, None)
+            return
+          }
+          tail = tail ++ seedRows.groupBy(_.get(ui)).view.mapValues(rs =>
+            rs.sortBy(r => (r.getLong(ti), r.getLong(ei))).toVector)
       }
+    }
+    // X5: drop re-delivered rows (event_id already in the lookback tail)
+    val seenIds: Set[Any] = batchSeries.iterator
+      .flatMap(u => tail.getOrElse(u, Vector.empty))
+      .map(_.get(ei)).toSet
+    val fresh = batchRows.filter(r => !seenIds.contains(r.get(ei)))
     Phases.probeNanos.addAndGet(System.nanoTime() - probeT0)
     val appendT0 = System.nanoTime()
-    // kernel input prunes to the series the batch TOUCHES: appended
-    // rows are leftsemi'd to new event_ids below, so untouched series
-    // contribute nothing — re-kerneling them is pure waste, and at
-    // scale it is THE waste (a tick touching one symbol must not
-    // recompute a 10k-symbol sink; the reference ticks per-symbol,
-    // btc_usdt_etl_dag.py:55-106). The per-user window kernels make
-    // the cut lossless; the batch's distinct users are broadcast-sized
-    // by construction (bounded by the batch itself).
-    val touched = slice.map(_.join(
-      broadcast(newRows.select("user_id").distinct()),
-      Seq("user_id"), "leftsemi"))
-    val union = touched match {
-      case None    => newRows.select(InputCols.map(col): _*)
-      case Some(s) => rowCap(s).unionByName(newRows.select(InputCols.map(col): _*))
+    if (fresh.nonEmpty) {
+      // ONE job: LocalRelation(touched tails + fresh rows, provenance
+      // flag) → kernel pack → keep batch rows → tiny exchange → append.
+      // Kernel input is pruned to the series the batch TOUCHES: a tick
+      // touching one symbol must not recompute a 10k-symbol tail
+      // (btc_usdt_etl_dag.py:55-106); the per-user window kernels make
+      // the cut lossless.
+      val flaggedSchema = StructType(
+        schema.fields :+ StructField("__new", BooleanType, nullable = false))
+      val flagged =
+        batchSeries.toSeq.flatMap(u => tail.getOrElse(u, Vector.empty))
+          .map(r => Row.fromSeq(r.toSeq :+ false)) ++
+          fresh.map(r => Row.fromSeq(r.toSeq :+ true))
+      val unionDf = spark.createDataFrame(
+        java.util.Arrays.asList(flagged: _*), flaggedSchema)
+      val out = enrich(unionDf).filter(col("__new")).drop("__new")
+      Sinks.appendPartitioned(out.repartition(appendFiles), "ts", sinkPath)
+      // driver-side tail maintenance: merge fresh rows, keep the newest
+      // ≤ Lookback per series (ascending (ts_ns, event_id), takeRight —
+      // the same order rowCap pins)
+      tail = tail ++ fresh.groupBy(_.get(ui)).map { case (u, rs) =>
+        val merged = (tail.getOrElse(u, Vector.empty) ++ rs)
+          .sortBy(r => (r.getLong(ti), r.getLong(ei)))
+        u -> merged.takeRight(Lookback)
+      }
     }
-    val enriched = enrich(union)
-    // write ONLY rows newer than the previous per-series high-water mark
-    val newKeys = newRows.select(col("event_id").as("__new_id")).distinct()
-    val out = enriched.join(
-      broadcast(newKeys), col("event_id") === col("__new_id"), "leftsemi")
-    // X5: drop rows already present in the sink (idempotent re-delivery)
-    // — `out` carries only touched-series rows, so the seen-set needs
-    // only their slice
-    val guarded = touched match {
+    tailCache.synchronized(tailCache.put(key, LocalTail(tail)))
+    Phases.appendNanos.addAndGet(System.nanoTime() - appendT0)
+    Phases.batches.incrementAndGet()
+  }
+
+  // ---------------------------------------------------------------- //
+  // Executor DataFrame tail: high-cardinality series / data-sized     //
+  // batches. Everything stays distributed; the carried tail never     //
+  // lands on the driver (the ChunkedKernels r16 contract).            //
+  // ---------------------------------------------------------------- //
+  private[graft] def runDf(spark: SparkSession, nr: DataFrame,
+      sinkPath: String, lookbackHours: Long, appendFiles: Int,
+      key: (String, String), cached: Option[DataFrame]): Unit = {
+    val probeT0 = System.nanoTime()
+    // ONE aggregation job yields emptiness (X4), the min new ts AND the
+    // touched-series set. Driver-bounded by the batch's distinct series
+    // — the same bound a broadcast() build already imposes.
+    val stats = nr.groupBy(col("user_id"))
+      .agg(min(col("ts_ns")).as("__mn")).collect()
+    if (stats.isEmpty) return // X4: empty micro-batch no-op
+    val minNewTsNs = stats.iterator.map(_.getLong(1)).min
+    // the touched-series set as a LocalRelation: broadcast joins against
+    // it build driver-side with NO Spark job
+    val newSeries = spark.createDataFrame(
+      java.util.Arrays.asList(stats.map(r => Row(r.get(0))): _*),
+      StructType(Seq(nr.schema("user_id"))))
+    // series the maintained tail cannot serve → sink seed (executor-side
+    // set difference — never a driver-side series set)
+    val seedSeries: Option[DataFrame] = cached match {
+      case None => Some(newSeries)
+      case Some(t) =>
+        val missing = newSeries.except(t.select("user_id").distinct())
+        if (missing.isEmpty) None else Some(missing)
+    }
+    val seeded: Option[DataFrame] = seedSeries.flatMap { ms =>
+      sinkMinDay(spark, sinkPath).map { minDay =>
+        rowCap(coveredSlice(spark, sinkPath, ms, minNewTsNs, lookbackHours,
+          minDay)
+          .join(broadcast(ms), Seq("user_id"), "leftsemi"))
+      }
+    }
+    Phases.probeNanos.addAndGet(System.nanoTime() - probeT0)
+    val appendT0 = System.nanoTime()
+    val tailRelevant: Option[DataFrame] =
+      (cached.map(_.join(broadcast(newSeries), Seq("user_id"), "leftsemi")),
+        seeded) match {
+        case (Some(c), Some(sd)) => Some(c.unionByName(sd))
+        case (Some(c), None)     => Some(c)
+        case (None, sd)          => sd
+      }
+    // provenance flag instead of a newest-row semi-join: only rows that
+    // arrived in THIS batch leave the kernel pass — no key broadcast,
+    // no join
+    val union = tailRelevant match {
+      case None    => nr.withColumn("__new", lit(true))
+      case Some(t) => t.withColumn("__new", lit(false))
+        .unionByName(nr.withColumn("__new", lit(true)))
+    }
+    val out = enrich(union).filter(col("__new")).drop("__new")
+    // X5: drop rows already present in the lookback tail (idempotent
+    // re-delivery)
+    val guarded = tailRelevant match {
       case None    => out
-      case Some(s) => out.join(s.select(col("event_id").as("__seen")),
+      case Some(t) => out.join(t.select(col("event_id").as("__seen")),
         col("event_id") === col("__seen"), "left_anti")
     }
-    Sinks.appendPartitioned(guarded, "ts", sinkPath)
+    // repartition, NOT coalesce: coalesce(1) folds the whole enrich
+    // stage into one task (measured 2s/batch single-threaded kernels);
+    // the tiny output exchange keeps the kernel pass parallel
+    Sinks.appendPartitioned(guarded.repartition(appendFiles), "ts", sinkPath)
+    // maintain the tail: newest ≤ Lookback rows per touched series
+    // (event_id-deduped — a re-delivered row must not enter twice and
+    // shift later frames), untouched series keep theirs. localCheckpoint
+    // (eager) both materializes the new tail BEFORE the old one is
+    // unpersisted and truncates the plan — without it each batch nests
+    // the previous tail's lineage and analyzer cost grows per tick.
+    val touchedTail = rowCap(tailRelevant match {
+      case None    => nr
+      case Some(t) => t.unionByName(nr).dropDuplicates("event_id")
+    })
+    val newTail = (cached.map(_.join(
+        broadcast(newSeries), Seq("user_id"), "left_anti")).toSeq :+ touchedTail)
+      .reduce(_ unionByName _)
+      .localCheckpoint()
+    tailCache.synchronized(tailCache.put(key, DfTail(newTail)))
+    cached.foreach(_.unpersist())
     Phases.appendNanos.addAndGet(System.nanoTime() - appendT0)
     Phases.batches.incrementAndGet()
   }

@@ -58,6 +58,46 @@ class IncrementalTickSpec extends AnyFunSuite {
     assert(mismatch.isEmpty)
   }
 
+  test("X2 executor-DataFrame tail shape: same parity as the driver-resident path") {
+    // small corpora always take the driver-resident tail; force the
+    // scale shape (executor tail DataFrame, seed joins as plans) so
+    // both duals stay parity-pinned
+    val sinkPath = Files.createTempDirectory("graft_tickdf").toString + "/sink"
+    val events = Tables.events(spark, sf)
+      .filter(col("user_id") < 5)
+      .select("event_id", "ts", "ts_ns", "user_id", "value")
+    val ordered = events.orderBy("ts_ns", "event_id").collect()
+    val cut = (ordered.length * 0.8).toInt
+    def toDf(rows: Array[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq), events.schema)
+    val tickSize = math.max(1, (ordered.length - cut) / 3)
+    val batches = toDf(ordered.take(cut)) +:
+      ordered.drop(cut).grouped(tickSize).map(g => toDf(g.toArray)).toSeq
+    batches.foreach(b =>
+      IncrementalTick.processBatchForceDf(spark, b, sinkPath))
+    // and a re-delivery through the DF path must stay a no-op (X5)
+    val before = spark.read.parquet(sinkPath).count()
+    IncrementalTick.processBatchForceDf(spark, batches.last, sinkPath)
+    assert(spark.read.parquet(sinkPath).count() == before)
+
+    val sink = spark.read.parquet(sinkPath)
+      .select("event_id", "sma30", "bb_up", "bb_lo", "buy", "sell")
+    val batch = IncrementalTick.enrich(events)
+      .select("event_id", "sma30", "bb_up", "bb_lo", "buy", "sell")
+    assert(sink.count() == batch.count())
+    val mismatch = sink.as("s").join(batch.as("b"),
+        col("s.event_id") === col("b.event_id"))
+      .filter(
+        (col("s.sma30") =!= col("b.sma30")) ||
+        (col("s.bb_up").isNull =!= col("b.bb_up").isNull) ||
+        coalesce(abs(col("s.bb_up") - col("b.bb_up")) > 1e-9, lit(false)) ||
+        coalesce(abs(col("s.bb_lo") - col("b.bb_lo")) > 1e-9, lit(false)) ||
+        (col("s.buy") =!= col("b.buy")) ||
+        (col("s.sell") =!= col("b.sell")))
+    assert(mismatch.isEmpty)
+  }
+
   /** Synthetic hourly 2-series frame over `days` days (the reference's
     * actual cadence — 1h candles), so the 299h default lookback maps to
     * exactly 299 rows/series and day-partition pruning bites. */
