@@ -151,7 +151,8 @@ object Bench {
       "throughput" -> 240, "sweep" -> 300, "duckdb" -> 420,
       "ann_recall" -> 90, "ivf_index" -> 150, "dedup_scaled" -> 90,
       "ann_scaled" -> 300, "nsw_scaled" -> 200, "streaming_tp" -> 120,
-      "duckdb_scaled" -> 360, "duckdb_scaled_x10" -> 900)
+      "duckdb_scaled" -> 360, "duckdb_scaled_x10" -> 900,
+      "sf1_sweep" -> 1500)
     var quietEstDoneSec = 0.0
     var lastPhaseEndSec = 0.0
     def slowdown: Double =
@@ -190,6 +191,7 @@ object Bench {
     var annScaled: Option[String] = None
     var nswScaled: Option[String] = None
     var streamTp: Option[String] = None
+    var sf1Sweep: Option[String] = None
     var duck: Option[String] = None
     var scaledBlocks: List[String] = Nil
     var results: Seq[(String, Double)] = Nil
@@ -1042,14 +1044,28 @@ object Bench {
           }.mkString("[", ",", "]")
           s""""v8b_nsw":$v8b,"nsw_entry_sweep":$matrix,"""
         } +
-        s""""v11b_ivfpq":${meanRecall("q_v11b_ivfpq_recall")},""" +
-        s""""v11c_ivfpq_rerank":${meanRecall("q_v11c_ivfpq_rerank_recall")},""" +
-        // trained-PQ pair (VERDICT r8 next #4): donor-vs-trained on
-        // degenerate-vs-clustered corpora is the whole IVFADC story —
-        // trained ADC-only >= 0.5 and constant-L rerank >= 0.9 are the
-        // IvfPqTrainedSpec pins, restated here as driver evidence.
-        s""""v12b_ivfpq_trained":${meanRecall("q_v12b_ivfpq_trained_recall")},""" +
-        s""""v12c_ivfpq_trained_rerank":${meanRecall("q_v12c_ivfpq_trained_rerank")}}""")
+        {
+          // trained-PQ pair (VERDICT r8 next #4): donor-vs-trained on
+          // degenerate-vs-clustered corpora is the whole IVFADC story —
+          // trained ADC-only >= 0.5 and constant-L rerank >= 0.9 are the
+          // IvfPqTrainedSpec pins, restated here as driver evidence.
+          val v11b = meanRecall("q_v11b_ivfpq_recall")
+          val v11c = meanRecall("q_v11c_ivfpq_rerank_recall")
+          val v12b = meanRecall("q_v12b_ivfpq_trained_recall")
+          val v12c = meanRecall("q_v12c_ivfpq_trained_rerank")
+          s""""v11b_ivfpq":$v11b,"v11c_ivfpq_rerank":$v11c,""" +
+          s""""v12b_ivfpq_trained":$v12b,"v12c_ivfpq_trained_rerank":$v12c,""" +
+          // PQ serve-mode policy (VERDICT r15 next #7, the int8
+          // serve_mode_default precedent): the artifact itself declares
+          // which IVFADC config is a serving configuration and which
+          // rows are deliberate instrumentation, with this run's
+          // recalls as the evidence.
+          s""""pq_serve_mode_default":{""" +
+          s""""mode":"trained codebook + exact top-L rerank",""" +
+          s""""rule":"PQ serves only with corpus-trained codebooks and a constant-L exact rerank; donor-codebook rows (v11b/v11c) are recall-floor instrumentation, never a serve config",""" +
+          s""""evidence":"this run recall@10: donor ADC $v11b, donor+rerank $v11c, trained ADC $v12b, trained+rerank $v12c; bytes: ivf_index.pq_bytes_ratio (~0.06x raw cells)",""" +
+          s""""serve_cost":"O(probed cells + L) per query"}}"""
+        })
     } catch {
       case e: Throwable =>
         errors("__recall") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -2001,6 +2017,49 @@ object Bench {
         phaseDone("duckdb_scaled_x10")
       }
     }
+    // sf1 full-surface sweep (VERDICT r15 next #8): the ENTIRE oracled
+    // query surface re-gated at the x10 key-shifted replica ("sf1"),
+    // wired as a budgeted phase on the duckdb_scaled_x10 precedent.
+    // Opt-in (SPARK_GRAFT_SF1SWEEP=1): the full-surface DuckDB oracle
+    // side costs ~15-20 min even after the r14 AS MATERIALIZED rewrite
+    // - on by default it would bust the round wall budget, so when off
+    // the block stamps the reason and the standing artifact of record.
+    sf1Sweep = if (!runBlock("sf1_sweep")) None
+    else if (!sys.env.get("SPARK_GRAFT_SF1SWEEP").map(_.trim.toLowerCase)
+        .exists(v => Set("1", "true", "yes", "on").contains(v)))
+      Some(""""sf1_sweep":{"skipped":"opt-in phase (SPARK_GRAFT_SF1SWEEP=1): the full-surface DuckDB oracle side costs ~15-20 min; artifact of record: SCALESWEEP_sf1_r16_full.json (the x10-replica full gate regenerated at HEAD)"}""")
+    else if (shouldShed("sf1_sweep")) None
+    else try {
+      val t0 = System.nanoTime()
+      val scaledDir = graft.sources.ScaledTables.ensure(spark, sfDir, 10)
+      val outDir =
+        java.nio.file.Files.createTempDirectory("graft_sf1sweep").toString
+      val nQueries = Verify.dump(spark, scaledDir, outDir)
+      val pb = new ProcessBuilder(
+        "python3", "tools/check_oracle.py", scaledDir, outDir)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val outLines = scala.io.Source
+        .fromInputStream(proc.getInputStream).getLines().toList
+      val rc = proc.waitFor()
+      val tailLine = outLines.reverse
+        .find(_.contains("oracled queries")).getOrElse("")
+      val m = """(\d+) ok, (\d+) failed of (\d+)""".r
+        .findFirstMatchIn(tailLine)
+      val failNames = outLines.filter(_.startsWith("FAIL"))
+        .take(10).map(l => jstr(l.take(120)))
+      Some(s""""sf1_sweep":{"scaled_dir":${jstr(scaledDir)},""" +
+        s""""n_queries":$nQueries,"check_rc":$rc,""" +
+        m.map(mm => s""""n_ok":${mm.group(1)},"n_failed":${mm.group(2)},"n_oracled":${mm.group(3)},""").getOrElse("") +
+        s""""fails":[${failNames.mkString(",")}],""" +
+        f""""wall_sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+    } catch {
+      case e: Throwable =>
+        errors("__sf1_sweep") =
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        None
+    }
+    phaseDone("sf1_sweep")
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val timed = results.filter(_._2 >= 0)
     // the MemoryStream-harness queries are correctness gates, not
@@ -2016,7 +2075,7 @@ object Bench {
     // copies in the storage pool for the rest of the process)
     ScratchCache.drain(spark)
     val extras = Seq(throughput, recall, ivf, dedupScaled, annScaled,
-      nswScaled, streamTp, duck).flatten ++ scaledBlocks
+      nswScaled, streamTp, sf1Sweep, duck).flatten ++ scaledBlocks
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","headline":$headline,""" +
       f""""streaming_harness_sec":$streamingSec%.3f,""" +

@@ -26,6 +26,15 @@ object Verify {
     val prefixes = args.drop(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.get(cpus)
+    dump(spark, sfDir, outDir, prefixes.toSeq)
+    spark.stop()
+  }
+
+  /** The dump body, callable in-process (Bench's sf1_sweep phase reuses
+    * it against the x10 replica without forking a JVM). Returns the
+    * number of selected queries. */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+      prefixes: Seq[String] = Nil): Int = {
     new java.io.File(outDir).mkdirs()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -106,6 +115,6 @@ object Verify {
     System.err.println(
       f"[verify] done: ${selected.size} queries in " +
         f"${(System.nanoTime() - t0All) / 1e9}%.1fs (par=$par)")
-    spark.stop()
+    selected.size
   }
 }

@@ -41,7 +41,15 @@ object StreamingQueries extends QueryPack {
         col("user_id"), col("value"))
       .as[Ev]
       .collect()
-      .sortBy(_.event_id)
+      // feed in EVENT-TIME order (ties by id): the reference's ingest is
+      // time-ordered, and the watermark queries' oracles are batch SQL
+      // with no drop semantics. An id-ordered feed broke at the x10
+      // key-shifted replica of a tiny SF (r16): the 2000-row sample
+      // crossed the replica boundary, time jumped back to day 1, and
+      // the stream dropped every "late" row the oracle kept. Late /
+      // re-delivered arrival is gated by its own queries (q_x3's
+      // phase-2 re-delivery), not by accidental sample order.
+      .sortBy(e => (e.ts_us, e.event_id))
       .toSeq
   }
 

@@ -26,7 +26,12 @@ class NswOracleExactSpec extends AnyFunSuite {
 
   private def spark = GraftSession.get(4)
 
-  /** Exact top-5 (score desc, vec_id asc) over an embedding frame. */
+  /** Exact top-5 over an embedding frame: SELECTED at full precision
+    * (score desc, vec_id asc — the oracle's rule), then canonicalized
+    * the same way [[resultOf]] is — round to 6 dp FIRST, sort by
+    * (-roundedScore, vec_id) — so two members that tie at 6 dp but
+    * differ at full precision cannot order the two sides differently
+    * (ADVICE r15). */
   private def exactTop5(e: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
     e.withColumn("score",
         graft.operators.VectorOps.cosine(col("emb"),
@@ -35,6 +40,7 @@ class NswOracleExactSpec extends AnyFunSuite {
       .limit(5)
       .select(col("vec_id"), round(col("score"), 6).as("score"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .sortBy(p => (-p._2, p._1))
 
   private def resultOf(name: String): Seq[(Long, Double)] =
     SparkEntry.queries(name)(spark, dir)

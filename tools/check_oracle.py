@@ -138,6 +138,15 @@ def main():
             print(f"FAIL  {name} ({len(spark_df)} rows)")
             for p in problems:
                 print(f"      {p}")
+            if name.startswith("q_v8"):
+                # ADVICE r15: the q_v8 oracles encode MEASURED beam
+                # exactness at the gate corpora, not a structural
+                # guarantee — on a new corpus/scale triage a failure as
+                # corpus-exactness (raise beam/ef, see VectorQueries
+                # contract note) before suspecting the walk kernel.
+                print("      note: q_v8* oracles assume measured beam "
+                      "exactness at this corpus — triage as beam/ef "
+                      "corpus-exactness first, not a kernel bug")
             n_bad += 1
         else:
             print(f"OK    {name} ({len(spark_df)} rows)")
