@@ -63,4 +63,33 @@ class RangeJoinSpec extends AnyFunSuite {
     }.toMap
     assert(got == ref)
   }
+
+  // r16: q_j3 became the FUSED one-source range-frame window count; the
+  // general operator stays registered as q_j3b. Pin the two shapes
+  // row-identical at dev time (both are DuckDB-oracled at the gate, but
+  // this catches a divergence without the oracle in the loop) and pin
+  // the fused plan's whole point: no join operator, ONE data exchange.
+  private val sf = "/root/testdata/sf0.001"
+
+  test("fused q_j3 equals the general interval join row-for-row") {
+    val fused = SparkEntry.queries("q_j3_range_count")(spark, sf)
+      .collect().toSeq
+    val general = SparkEntry.queries("q_j3b_range_join_general")(spark, sf)
+      .collect().toSeq
+    assert(fused.nonEmpty && fused == general)
+  }
+
+  test("fused q_j3 plan: one hash exchange + window, no join operator") {
+    // AQE's toString renders the current plan AND "== Initial Plan =="
+    // — count operators in the current section only
+    val plan = SparkEntry.queries("q_j3_range_count")(spark, sf)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"fused plan contains a join:\n$plan")
+    assert(plan.contains("Window"), s"no Window operator in:\n$plan")
+    val nHashExch =
+      "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nHashExch == 1,
+      s"expected exactly one data exchange, got $nHashExch:\n$plan")
+  }
 }
