@@ -58,6 +58,40 @@ class IncrementalTickSpec extends AnyFunSuite {
     assert(mismatch.isEmpty)
   }
 
+  test("X2 recovery: a mid-stream tail-cache death re-seeds from the sink with full parity") {
+    // the maintained tail is only a memo of the tick's own appends —
+    // kill it between batches (the driver-restart case) and the next
+    // tick must re-seed from the sink and stay bit-equal to the batch
+    // recompute
+    val sinkPath = Files.createTempDirectory("graft_tickrec").toString + "/sink"
+    val all = hourly(30)
+    val cols = Seq("event_id", "ts", "ts_ns", "user_id", "value")
+    val batches = Seq(
+      all.filter(col("h") < 500),
+      all.filter(col("h") >= 500 && col("h") < 600),
+      all.filter(col("h") >= 600)).map(_.select(cols.map(col): _*))
+    IncrementalTick.processBatch(spark, batches(0), sinkPath)
+    IncrementalTick.processBatch(spark, batches(1), sinkPath)
+    IncrementalTick.invalidateTail(sinkPath) // "restart"
+    IncrementalTick.processBatch(spark, batches(2), sinkPath)
+
+    val sink = spark.read.parquet(sinkPath)
+      .select("event_id", "sma30", "bb_up", "bb_lo", "buy", "sell")
+    val batch = IncrementalTick.enrich(all.select(cols.map(col): _*))
+      .select("event_id", "sma30", "bb_up", "bb_lo", "buy", "sell")
+    assert(sink.count() == batch.count())
+    val mismatch = sink.as("s").join(batch.as("b"),
+        col("s.event_id") === col("b.event_id"))
+      .filter(
+        (col("s.sma30") =!= col("b.sma30")) ||
+        (col("s.bb_up").isNull =!= col("b.bb_up").isNull) ||
+        coalesce(abs(col("s.bb_up") - col("b.bb_up")) > 1e-9, lit(false)) ||
+        coalesce(abs(col("s.bb_lo") - col("b.bb_lo")) > 1e-9, lit(false)) ||
+        (col("s.buy") =!= col("b.buy")) ||
+        (col("s.sell") =!= col("b.sell")))
+    assert(mismatch.isEmpty)
+  }
+
   test("X2 executor-DataFrame tail shape: same parity as the driver-resident path") {
     // small corpora always take the driver-resident tail; force the
     // scale shape (executor tail DataFrame, seed joins as plans) so
