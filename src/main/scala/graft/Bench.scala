@@ -234,6 +234,29 @@ object Bench {
     val streamingNames = graft.queries.StreamingQueries.queries.map(_.name).toSet
     val fullFile = "bench_full_" +
       sfDir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_") + ".json"
+    // previous record's scaled-subset membership (VERDICT r16 next #3):
+    // captured from the on-disk artifact BEFORE the first per-phase
+    // rewrite, so queries entering/leaving the heavy subset via the
+    // 0.05 s DuckDB base cut are LOGGED instead of silently changing
+    // coverage (q_t10 left the r16 record unrecorded; q_j3 needed a
+    // manual pin). Bounded to the x5 tier's per_query_exec keys.
+    val prevScaledSubset: Set[String] = try {
+      val p = java.nio.file.Paths.get(fullFile)
+      if (!java.nio.file.Files.exists(p)) Set.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val i = txt.indexOf("\"duckdb_scaled\":{")
+        val j = if (i < 0) -1 else txt.indexOf("\"per_query_exec\":{", i)
+        if (j < 0) Set.empty
+        else {
+          val end = txt.indexOf("\"duckdb_scaled_x10\":{", j)
+          val body = if (end > 0) txt.substring(j, end) else txt.substring(j)
+          """"(q_[a-z0-9_]+)":\{""".r
+            .findAllMatchIn(body).map(_.group(1)).toSet
+        }
+      }
+    } catch { case _: Throwable => Set.empty }
     def errJson: String =
       errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     /** The compact (<1.5 kB) scalar restatement of every headline number
@@ -1804,8 +1827,10 @@ object Bench {
     val TwoMovementNote: String =
       "two-movement kernel floor (the q_a2 shape): exchange(user_id)+" +
       "sort feeds an O(1)-state ring kernel (the kernel itself prices " +
-      "at ~4% of exec per the q_a2 decomposition), then the total-order " +
-      "output sort of the FULL row count is the second movement. " +
+      "at ~4-6% of exec per the q_a2 AND q_w1 decompositions - two " +
+      "same-shape queries measured independently, r16/r17), then the " +
+      "total-order output sort of the FULL row count is the second " +
+      "movement. " +
       "Sub-second absolute, tier-decaying ratio vs a single-process " +
       "DuckDB; both movements are irreducible for a total-ordered " +
       "full-column output."
@@ -1815,7 +1840,40 @@ object Bench {
       "output sort); floor_ratio ~0.6-1.3 = at or below ~1.3 bare scans " +
       "of total cost against a DuckDB side that is near-instant on " +
       "small strings - fixed stage latency, not plan fat."
+    val W1OwnNote: String =
+      "two-movement kernel floor with ITS OWN r17 decomposition " +
+      "(runMain graft.Decomp <sf>@x5, noop sink, best-of-3): bare " +
+      "4-column scan 0.095s, +exchange(user_id)+sort 0.245s, +SMA ring " +
+      "kernel 0.275s (the kernel adds ~6% of exec), +projection 0.284s, " +
+      "+output total order 0.545s. The total order is ~48% of exec; " +
+      "measured-and-rejected: (a) localCheckpoint before the orderBy so " +
+      "RangePartitioning's bound-sampling reads blocks instead of " +
+      "re-executing the kernel stage - 0.528s vs 0.565s same-run (~7%), " +
+      "not worth pinning the full output in the storage pool per call; " +
+      "(b) one-task output sort - the q_a2 measurement, anti-pattern at " +
+      "scale for a full-row-count output. Since r17 the kernel input is " +
+      "pre-projected to 4 fixed-width columns (Tables.eventsSeries) so " +
+      "the series exchange carries no string columns. Both movements " +
+      "are irreducible for a total-ordered full-column output; " +
+      "sub-second absolute, tier-decaying ratio."
+    val G2OwnNote: String =
+      "since r17 the registered plan is the FULLY FUSED shape " +
+      "(VERDICT r16 next #1): bands AND the lag-1 crossover algebra run " +
+      "in ONE sorted mapPartitions pass (BollingerCrossKernel - the E3 " +
+      "kernel), eliminating the second exchange + sort + WindowExec " +
+      "pair that the post-kernel crossover lags forced over the opaque " +
+      "mapPartitions output. Same-run x5 comparison (runMain " +
+      "graft.Decomp, noop sink, best-of-3): fused 0.540s vs windowed " +
+      "0.667s; parity pinned in DecFrameParitySpec, same oracle. Its " +
+      "own x5 decomposition now matches q_w1_sma's shape bit-for-bit: " +
+      "scan 0.095s, +exchange+sort 0.245s, +fused kernel 0.273s, " +
+      "+output total order 0.540s - the extra ~1.1-floor gap vs q_w1 " +
+      "that r16 flagged is GONE (0.540 vs 0.545 same-run). Remaining " +
+      "cost = the two irreducible total movements of the q_w1/q_a2 " +
+      "family; kernel itself ~6% of exec."
     val floorNotes: Map[String, String] = Map(
+      "q_w1_sma" -> W1OwnNote,
+      "q_g2_bbands_signal" -> G2OwnNote,
       "q_e3_signal_overlay" -> ("the r15 'residual' was the orderBy " +
         "itself: RangePartitioning's bound-sampling pass re-executed " +
         "the whole post-shuffle stage (agg+kernel+filter) once more " +
@@ -1891,9 +1949,9 @@ object Bench {
       // the whole two-movement ring-kernel family shares q_a2's shape
       // and therefore its attribution — stamped per name so every >2x
       // sample in any tier self-explains (VERDICT r15 next #3)
-      Seq("q_w1_sma", "q_w2_gaussian", "q_w3_savgol", "q_w5_lag",
+      Seq("q_w2_gaussian", "q_w3_savgol", "q_w5_lag",
         "q_w6_bbands", "q_w7_rank_suite", "q_g1_rsi_signal",
-        "q_g2_bbands_signal", "q_g3_macd_signal", "q_g4_ppo_signal",
+        "q_g3_macd_signal", "q_g4_ppo_signal",
         "q_g5_adx_signal").map(_ -> TwoMovementNote)
     // One scaled-replica comparison at `mult` over `names`: DuckDB times
     // the oracle SQLs on the replica, Spark measures fresh-lineage
@@ -1985,12 +2043,26 @@ object Bench {
                 "near-instant DuckDB side on this corpus, not plan fat."
           } else None
         }
+        // structural-floor stamp (VERDICT r16 next #2): duck_floor_ratio
+        // = bare-scan floor ÷ DuckDB seconds. When 2 x duck_sec is BELOW
+        // the floor, a zero-work Spark query over the same bounded scan
+        // would already exceed 2x DuckDB — the per-query 2x bar is
+        // unreachable BY CONSTRUCTION and the row is auto-classified
+        // structurally_floored, making the q_j3/q_e3-class adjudication
+        // mechanical instead of judge-side arithmetic.
+        val duckFloorR = floorExec.flatMap(fl =>
+          if (q.duckSec > 0 && !q.timedOut && !q.budgetCut)
+            Some(fl / q.duckSec) else None)
+        val structFloored = duckFloorR.exists(_ > 2.0)
         val base = s"${jstr(q.name)}:{" +
           f""""spark_exec_sec":${q.execSec}%.3f,""" +
           f""""spark_fresh_sec":${q.callSec}%.3f,""" +
           floorR.map(r => f""""floor_ratio":$r%.2f,""").getOrElse("") +
+          duckFloorR.map(r => f""""duck_floor_ratio":$r%.2f,""").getOrElse("") +
+          (if (structFloored) s""""structurally_floored":true,""" else "") +
           note.map(t => s""""floor_note":${jstr(t)},""").getOrElse("") +
-          (if (over2 && note.isEmpty) s""""floor_note_missing":true,"""
+          (if (over2 && note.isEmpty && !structFloored)
+             s""""floor_note_missing":true,"""
            else "")
         if (q.budgetCut) base + s""""duck_budget_cut":true}"""
         else if (q.timedOut) base + s""""duck_timed_out":true}"""
@@ -2026,6 +2098,30 @@ object Bench {
       val pins = scaledPins.filter(relScaled.contains)
       val heavyNames =
         (duckSecBase.toSeq.filter(_._2 >= 0.05).map(_._1) ++ pins).distinct.sorted
+      // membership diff vs the previous on-disk record ("no silent
+      // caps", VERDICT r16 next #3): every entered/dropped query is in
+      // the artifact with the cut reason, so a regression in a cut
+      // query can't go unrecorded without a visible trace.
+      if (prevScaledSubset.nonEmpty) {
+        val entered = heavyNames.filterNot(prevScaledSubset.contains)
+        val dropped = (prevScaledSubset -- heavyNames.toSet).toSeq.sorted
+        val droppedJ = dropped.map { n =>
+          val why = duckSecBase.get(n) match {
+            case Some(d) if d < 0.05 =>
+              f"base_duck_sec $d%.3f below the 0.05s heavy cut this run"
+            case Some(d) =>
+              f"base_duck_sec $d%.3f but excluded (not in scaled oracle set)"
+            case None => "no base oracle measurement this run"
+          }
+          s"""{"name":${jstr(n)},"reason":${jstr(why)}}"""
+        }.mkString("[", ",", "]")
+        scaledBlocks = scaledBlocks :+ (
+          s""""scaled_subset_membership":{""" +
+          s""""prev_record_n":${prevScaledSubset.size},""" +
+          s""""current_n":${heavyNames.size},""" +
+          s""""subset_entered":${entered.map(jstr).mkString("[", ",", "]")},""" +
+          s""""subset_dropped":$droppedJ}""")
+      }
       if (runBlock("duckdb_scaled") && !shouldShed("duckdb_scaled")) {
         scaledProofAt(scaleMult, "duckdb_scaled", heavyNames,
           "full_heavy_set_plus_dedup", relScaled, writeOracleJson,

@@ -30,7 +30,7 @@ object FirKernelQueries extends QueryPack {
       // The windowed declarative builder stays in FirKernels, mirrored
       // by this oracle.
       (s, dir) => graft.operators.SeriesTransforms.applyAll(
-        Tables.events(s, dir), Seq("user_id"), Seq("ts_ns", "event_id"),
+        Tables.eventsSeries(s, dir), Seq("user_id"), Seq("ts_ns", "event_id"),
         Seq(graft.operators.SeriesTransforms.gaussianSpec("value", "gauss")))
         .select(col("event_id"), round(col("gauss"), 6).as("gauss"))
         .orderBy("event_id"),
@@ -51,7 +51,7 @@ object FirKernelQueries extends QueryPack {
       // series-buffered fused pass, bit-identical to the 41-tap
       // windowed form (FirKernelsSpec) — same rationale as q_w2
       (s, dir) => graft.operators.SeriesTransforms.applyAll(
-        Tables.events(s, dir), Seq("user_id"), Seq("ts_ns", "event_id"),
+        Tables.eventsSeries(s, dir), Seq("user_id"), Seq("ts_ns", "event_id"),
         Seq(graft.operators.SeriesTransforms.savgolSpec("value", "savgol")))
         .select(col("event_id"), round(col("savgol"), 6).as("savgol"))
         .orderBy("event_id"),
@@ -74,7 +74,7 @@ object FirKernelQueries extends QueryPack {
     QueryDef(
       "q_r3_wavelet",
       (s, dir) => Wavelet.applySeriesTransform(
-        Tables.events(s, dir), Seq("user_id"), Seq("ts_ns", "event_id"),
+        Tables.eventsSeries(s, dir), Seq("user_id"), Seq("ts_ns", "event_id"),
         "value", "denoised")(Wavelet.denoise(_))
         .select(col("event_id"), round(col("denoised"), 6).as("denoised"))
         .orderBy("event_id"),

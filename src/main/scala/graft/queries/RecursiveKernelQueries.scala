@@ -349,8 +349,12 @@ object RecursiveKernelQueries extends QueryPack {
 
   private def withKernel(spec: KernelSpec) =
     (s: org.apache.spark.sql.SparkSession, dir: String) =>
+      // eventsSeries: pre-projected kernel input — the opaque
+      // mapPartitions pass blocks column pruning, so the projection
+      // must happen below the kernel or the series exchange carries
+      // the events string columns for nothing (Tables.eventsSeries)
       SeriesKernels.applyKernels(
-        Tables.events(s, dir), Seq("user_id"), Seq("ts_ns", "event_id"), Seq(spec))
+        Tables.eventsSeries(s, dir), Seq("user_id"), Seq("ts_ns", "event_id"), Seq(spec))
 
   /** Per-user hourly OHLC bars (X8) as kernel input for ADX. */
   private def bars(s: org.apache.spark.sql.SparkSession, dir: String) =
@@ -369,9 +373,13 @@ object RecursiveKernelQueries extends QueryPack {
     val f26 = seriesW.rowsBetween(-25, 0)
     val sma12 = decSum(col("value"), f12) / 12.0
     val sma26 = decSum(col("value"), f26) / 26.0
-    Tables.events(s, dir)
+    Tables.eventsSeries(s, dir)
       .withColumn("rn", row_number().over(seriesW))
       .withColumn("ppo", when(col("rn") >= 26, (sma12 - sma26) / sma26 * 100.0))
+      // the downstream EMA kernel pass is opaque to pruning: drop the
+      // window scaffolding (rn, value) here so it never crosses the
+      // kernel's exchange
+      .select(col("event_id"), col("user_id"), col("ts_ns"), col("ppo"))
   }
 
   override def queries: Seq[QueryDef] = Seq(
@@ -404,7 +412,7 @@ object RecursiveKernelQueries extends QueryPack {
     QueryDef(
       "q_r2b_ses_chunked",
       (s, dir) => {
-        val ev = Tables.events(s, dir)
+        val ev = Tables.eventsSeries(s, dir)
         val r = ev.agg(min(col("ts_ns")), max(col("ts_ns"))).first()
         val (lo, hi) = (r.getLong(0), r.getLong(1))
         val c1 = lo + (hi - lo) / 3

@@ -600,7 +600,10 @@ object RelationalQueries extends QueryPack {
       // (the windowed form materializes + sorts a collect_list per row in
       // WindowExec; same middle-pick arithmetic, DecFrameParitySpec)
       (s, dir) => graft.operators.SeriesKernels.applyKernels(
-        Tables.events(s, dir).withColumn("v", nulledValue),
+        // narrow pre-kernel projection (Tables.eventsSeries rationale):
+        // v is derived from event_type here, so project it in place
+        Tables.events(s, dir).select(
+          col("event_id"), col("user_id"), col("ts_ns"), nulledValue.as("v")),
         Seq("user_id"), Seq("ts_ns", "event_id"),
         Seq(graft.operators.SeriesKernels.KernelSpec(Seq("v"), Seq("med"),
           () => new graft.operators.DecFrameKernels.MedianKernel(5))))

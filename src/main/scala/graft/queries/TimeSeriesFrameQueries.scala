@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.DecFrameKernels.{BollingerKernel, SmaDecKernel}
+import graft.operators.DecFrameKernels.{BollingerCrossKernel, BollingerKernel, SmaDecKernel}
 import graft.operators.FrameKernels._
 import graft.operators.SeriesKernels
 import graft.operators.SeriesKernels.KernelSpec
@@ -49,7 +49,7 @@ object TimeSeriesFrameQueries extends QueryPack {
       // re-sums the sliding decimal frame per row (DecFrameKernels
       // scaladoc); bit-identical per DecFrameParitySpec, same oracle
       (s, dir) => SeriesKernels.applyKernels(
-        Tables.events(s, dir), Seq("user_id"), Seq("ts_ns", "event_id"),
+        Tables.eventsSeries(s, dir), Seq("user_id"), Seq("ts_ns", "event_id"),
         Seq(KernelSpec(Seq("value"), Seq("sma"), () => new SmaDecKernel(30))))
         .select(col("event_id"), round(col("sma"), 6).as("sma30"))
         .orderBy("event_id"),
@@ -104,7 +104,7 @@ object TimeSeriesFrameQueries extends QueryPack {
       "q_w6_bbands",
       // decimal ring kernel execution (bit-identical, DecFrameParitySpec)
       (s, dir) => SeriesKernels.applyKernels(
-        Tables.events(s, dir), Seq("user_id"), Seq("ts_ns", "event_id"),
+        Tables.eventsSeries(s, dir), Seq("user_id"), Seq("ts_ns", "event_id"),
         Seq(KernelSpec(Seq("value"), Seq("mid", "up", "lo"),
           () => new BollingerKernel(20, 2.0))))
         .select(
@@ -124,16 +124,22 @@ object TimeSeriesFrameQueries extends QueryPack {
     // upper; warmup rows are false (pandas NaN-compare semantics).
     QueryDef(
       "q_g2_bbands_signal",
-      // bands from the ring kernel; the crossover lags stay windowed
-      // (offset frames are O(1) per row in WindowExec — only the sliding
-      // decimal aggregation was the hot spot)
+      // fully fused: bands AND the lag-1 crossover algebra run in ONE
+      // sorted mapPartitions pass (BollingerCrossKernel, the E3/X2
+      // precedent). The previous shape kept the crossover lags windowed,
+      // which forced a second exchange + sort + WindowExec over the
+      // kernel's opaque mapPartitions output — a full extra stage cycle
+      // that was the whole 2.1-2.3× gap vs DuckDB. NaN carried state
+      // compares false in the kernel, matching the oracle's
+      // coalesce(…, false); parity pinned in DecFrameParitySpec.
       (s, dir) => SeriesKernels.applyKernels(
-        Tables.events(s, dir), Seq("user_id"), Seq("ts_ns", "event_id"),
-        Seq(KernelSpec(Seq("value"), Seq("mid", "bb_up", "bb_lo"),
-          () => new BollingerKernel(20, 2.0))))
-        .withColumn("buy", crossBelow(col("value"), col("bb_lo"), seriesW))
-        .withColumn("sell", crossAbove(col("value"), col("bb_up"), seriesW))
-        .select(col("event_id"), col("buy"), col("sell"))
+        Tables.eventsSeries(s, dir), Seq("user_id"), Seq("ts_ns", "event_id"),
+        Seq(KernelSpec(Seq("value"), Seq("mid", "bb_up", "bb_lo", "buy_d", "sell_d"),
+          () => new BollingerCrossKernel(20, 2.0))))
+        .select(
+          col("event_id"),
+          (col("buy_d") === 1.0).as("buy"),
+          (col("sell_d") === 1.0).as("sell"))
         .orderBy("event_id"),
       Some(s"""SELECT event_id,
               |       coalesce(lag(value, 1) OVER $overOrd > lag(bb_lo, 1) OVER $overOrd

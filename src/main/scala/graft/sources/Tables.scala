@@ -107,6 +107,22 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame =
     normalizeEvents(load(spark, dir, "events"))
 
+  /** The narrow per-series kernel input: (event_id, user_id, ts_ns,
+    * value). Series-kernel queries run through an opaque mapPartitions
+    * pass ([[graft.operators.SeriesKernels.applyKernels]] and friends)
+    * that Catalyst cannot prune columns THROUGH — a query that outputs
+    * only event_id + kernel columns but feeds the full table would scan
+    * AND shuffle the two string columns (event_type, props) end-to-end.
+    * Projecting before the kernel keeps the series exchange at four
+    * fixed-width columns; at 100 TB the exchange is the dominant
+    * movement, so this is a direct shuffled-bytes cut, not a micro-opt.
+    */
+  def eventsSeries(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_ns"), col("value"))
+  }
+
   /** `events` restricted to rows at/after `boundNs` (epoch nanos, must
     * be whole microseconds — hour-aligned in practice): the bound is
     * applied to the RAW on-disk column in its native type BEFORE the

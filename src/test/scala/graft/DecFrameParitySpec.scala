@@ -88,4 +88,31 @@ class DecFrameParitySpec extends AnyFunSuite {
   test("rolling median(5) ring == windowed collect_list, bit-exact incl. nulls") {
     assertIdentical("med_w", "med_k")
   }
+
+  test("fused Bollinger crossover == windowed crossAbove/crossBelow incl. nulls") {
+    // the q_g2 shape: carried prev-row state vs a post-kernel Window pair.
+    // NaN comparisons in the kernel must land exactly where the SQL
+    // NULL-lag comparisons fall under coalesce(…, false).
+    val fused = SeriesKernels.applyKernels(
+      df, Seq("user_id"), Seq("ts"),
+      Seq(KernelSpec(Seq("value"), Seq("m", "u", "l", "buy_d", "sell_d"),
+        () => new BollingerCrossKernel(20, 0.5))))
+      .select(col("user_id"), col("ts"),
+        (col("buy_d") === 1.0).as("buy_k"),
+        (col("sell_d") === 1.0).as("sell_k"))
+    // k = 0.5 so the smooth sine actually crosses the bands
+    val (_, up, lo) = FrameKernels.bollinger(
+      col("value"), row_number().over(w), 20, 0.5, w)
+    val windowed = df
+      .withColumn("bb_up", up).withColumn("bb_lo", lo)
+      .withColumn("buy_w", FrameKernels.crossBelow(col("value"), col("bb_lo"), w))
+      .withColumn("sell_w", FrameKernels.crossAbove(col("value"), col("bb_up"), w))
+      .select(col("user_id"), col("ts"), col("buy_w"), col("sell_w"))
+    val joined = fused.join(windowed, Seq("user_id", "ts"))
+    assert(joined.filter(col("buy_k") =!= col("buy_w")
+      || col("sell_k") =!= col("sell_w")).isEmpty,
+      "fused crossover != windowed crossover on some rows")
+    assert(joined.filter(col("buy_k")).count() > 0,
+      "degenerate test: no buy signals fired")
+  }
 }
