@@ -82,7 +82,13 @@ object ChunkedKernels {
       // previous carried plan twice per chunk — exponential plan trees
       // that OOM explainString long before the data is big. The
       // checkpointed rows live on executors, never the driver.
+      // localCheckpoint is EAGER: the new tails materialize before the
+      // superseded carried blocks are released, so unpersisting here is
+      // safe — without it checkpointed tail RDDs accumulate O(#chunks)
+      // in the storage pool for the life of the job (ADVICE r16).
+      val superseded = carried
       carried = Some(next.localCheckpoint())
+      superseded.foreach(_.unpersist())
       enriched
     }
   }

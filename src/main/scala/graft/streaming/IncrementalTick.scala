@@ -236,8 +236,11 @@ object IncrementalTick {
     * row per new event of the touched series — writing that through
     * all shuffle.partitions tasks costs a many-file commit per batch
     * AND makes every later seed read list/open those shards. One file
-    * per day per tick matches the reference's append cadence; raise it
-    * only when a single tick's output is itself data-sized.
+    * per day per tick matches the reference's append cadence; it is the
+    * FLOOR — the executor-DataFrame shape scales the fan-out
+    * automatically from the measured batch row count
+    * ([[TickAppendRowsPerFile]]), so a data-sized tick never funnels
+    * through one task even on the automatic overflow handoff.
     */
   def processBatch(spark: SparkSession, newRows: DataFrame, sinkPath: String,
       lookbackHours: Long = Lookback.toLong,
@@ -384,15 +387,49 @@ object IncrementalTick {
   // ---------------------------------------------------------------- //
   private[graft] def runDf(spark: SparkSession, nr: DataFrame,
       sinkPath: String, lookbackHours: Long, appendFiles: Int,
+      key: (String, String), cached: Option[DataFrame]): Unit =
+    try {
+      runDfBody(spark, nr, sinkPath, lookbackHours, appendFiles, key, cached)
+    } catch {
+      case e: Throwable =>
+        // the DfTail lives in NON-reliable localCheckpoint blocks: if an
+        // executor holding them died, every action against the stale
+        // handle fails — and would keep failing on each micro-batch
+        // retry until JVM restart. Dropping the tail here makes the
+        // docstring's recovery contract ("recovery = re-reading the
+        // sink tail") automatic: the foreachBatch retry re-seeds from
+        // the sink, and the X5 pre-kernel guard keeps the retry
+        // idempotent. (ADVICE r16; the manual invalidateTail hook and
+        // its mid-stream cache-death spec stay.)
+        invalidateTail(sinkPath)
+        throw e
+    }
+
+  /** Target rows per append file when a batch is data-sized: the
+    * automatic overflow handoff from the driver shape arrives with the
+    * caller's driver-regime `appendFiles` (default 1), which would push
+    * the whole tick output through one task (ADVICE r16). ~100 B/row ⇒
+    * ~100 MB parquet per file at this target. */
+  val TickAppendRowsPerFile: Long = 1L << 20
+
+  private def runDfBody(spark: SparkSession, nr: DataFrame,
+      sinkPath: String, lookbackHours: Long, appendFiles: Int,
       key: (String, String), cached: Option[DataFrame]): Unit = {
     val probeT0 = System.nanoTime()
     // ONE aggregation job yields emptiness (X4), the min new ts AND the
     // touched-series set. Driver-bounded by the batch's distinct series
     // — the same bound a broadcast() build already imposes.
     val stats = nr.groupBy(col("user_id"))
-      .agg(min(col("ts_ns")).as("__mn")).collect()
+      .agg(min(col("ts_ns")).as("__mn"), count(lit(1)).as("__n")).collect()
     if (stats.isEmpty) return // X4: empty micro-batch no-op
     val minNewTsNs = stats.iterator.map(_.getLong(1)).min
+    // scale the append fan-out with the MEASURED batch size so the
+    // data-sized overflow handoff never funnels through the caller's
+    // driver-regime default (ADVICE r16); the caller's value stays the
+    // floor, 256 caps the commit at a sane file count
+    val batchRowCount = stats.iterator.map(_.getLong(2)).sum
+    val effAppendFiles = math.max(appendFiles, math.min(256L,
+      (batchRowCount + TickAppendRowsPerFile - 1) / TickAppendRowsPerFile).toInt)
     // the touched-series set as a LocalRelation: broadcast joins against
     // it build driver-side with NO Spark job
     val newSeries = spark.createDataFrame(
@@ -422,26 +459,31 @@ object IncrementalTick {
         case (Some(c), None)     => Some(c)
         case (None, sd)          => sd
       }
+    // X5: drop re-delivered rows (event_id already in the lookback
+    // tail) BEFORE the kernel pass, mirroring runLocal's seenIds filter
+    // (ADVICE r16): a duplicate entering the union twice — once from
+    // the tail as history, once as __new — would shift the frames of
+    // every co-batched new row of that series. AQE broadcasts the
+    // bounded tail side when small; the anti-join is the idempotence
+    // price of an at-least-once source.
+    val fresh = tailRelevant match {
+      case None    => nr
+      case Some(t) => nr.join(t.select(col("event_id").as("__seen")),
+        col("event_id") === col("__seen"), "left_anti")
+    }
     // provenance flag instead of a newest-row semi-join: only rows that
     // arrived in THIS batch leave the kernel pass — no key broadcast,
     // no join
     val union = tailRelevant match {
-      case None    => nr.withColumn("__new", lit(true))
+      case None    => fresh.withColumn("__new", lit(true))
       case Some(t) => t.withColumn("__new", lit(false))
-        .unionByName(nr.withColumn("__new", lit(true)))
+        .unionByName(fresh.withColumn("__new", lit(true)))
     }
     val out = enrich(union).filter(col("__new")).drop("__new")
-    // X5: drop rows already present in the lookback tail (idempotent
-    // re-delivery)
-    val guarded = tailRelevant match {
-      case None    => out
-      case Some(t) => out.join(t.select(col("event_id").as("__seen")),
-        col("event_id") === col("__seen"), "left_anti")
-    }
     // repartition, NOT coalesce: coalesce(1) folds the whole enrich
     // stage into one task (measured 2s/batch single-threaded kernels);
     // the tiny output exchange keeps the kernel pass parallel
-    Sinks.appendPartitioned(guarded.repartition(appendFiles), "ts", sinkPath)
+    Sinks.appendPartitioned(out.repartition(effAppendFiles), "ts", sinkPath)
     // maintain the tail: newest ≤ Lookback rows per touched series
     // (event_id-deduped — a re-delivered row must not enter twice and
     // shift later frames), untouched series keep theirs. localCheckpoint
@@ -449,8 +491,8 @@ object IncrementalTick {
     // unpersisted and truncates the plan — without it each batch nests
     // the previous tail's lineage and analyzer cost grows per tick.
     val touchedTail = rowCap(tailRelevant match {
-      case None    => nr
-      case Some(t) => t.unionByName(nr).dropDuplicates("event_id")
+      case None    => fresh
+      case Some(t) => t.unionByName(fresh).dropDuplicates("event_id")
     })
     val newTail = (cached.map(_.join(
         broadcast(newSeries), Seq("user_id"), "left_anti")).toSeq :+ touchedTail)

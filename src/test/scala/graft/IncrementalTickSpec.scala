@@ -132,6 +132,41 @@ class IncrementalTickSpec extends AnyFunSuite {
     assert(mismatch.isEmpty)
   }
 
+  test("X5 mixed re-delivery through the DF tail: dup rows drop BEFORE the kernel pass") {
+    // ADVICE r16: a batch mixing a re-delivered row with genuinely NEW
+    // rows of the same series must not let the duplicate into the
+    // kernel union twice (once from the tail, once as __new) — that
+    // shifts the SMA/Bollinger frames of every co-batched new row.
+    // Without the pre-kernel anti-join the appended VALUES diverge from
+    // the batch recompute even though the row count stays right.
+    val sinkPath = Files.createTempDirectory("graft_tickmix").toString + "/sink"
+    val all = hourly(30)
+    val cols = Seq("event_id", "ts", "ts_ns", "user_id", "value")
+    val b1 = all.filter(col("h") < 500).select(cols.map(col): _*)
+    val b2 = all.filter(col("h") >= 500 && col("h") < 600).select(cols.map(col): _*)
+    // batch 3 = the tail 20 hours of b2 RE-DELIVERED + the new rows
+    val b3 = all.filter(col("h") >= 580).select(cols.map(col): _*)
+    Seq(b1, b2, b3).foreach(b =>
+      IncrementalTick.processBatchForceDf(spark, b, sinkPath))
+
+    val sink = spark.read.parquet(sinkPath)
+      .select("event_id", "sma30", "bb_up", "bb_lo", "buy", "sell")
+    val batch = IncrementalTick.enrich(all.select(cols.map(col): _*))
+      .select("event_id", "sma30", "bb_up", "bb_lo", "buy", "sell")
+    assert(sink.count() == batch.count(), "dup rows were appended")
+    val mismatch = sink.as("s").join(batch.as("b"),
+        col("s.event_id") === col("b.event_id"))
+      .filter(
+        (col("s.sma30") =!= col("b.sma30")) ||
+        (col("s.bb_up").isNull =!= col("b.bb_up").isNull) ||
+        coalesce(abs(col("s.bb_up") - col("b.bb_up")) > 1e-9, lit(false)) ||
+        coalesce(abs(col("s.bb_lo") - col("b.bb_lo")) > 1e-9, lit(false)) ||
+        (col("s.buy") =!= col("b.buy")) ||
+        (col("s.sell") =!= col("b.sell")))
+    assert(mismatch.isEmpty,
+      "re-delivered rows entered the kernel union twice and shifted frames")
+  }
+
   /** Synthetic hourly 2-series frame over `days` days (the reference's
     * actual cadence — 1h candles), so the 299h default lookback maps to
     * exactly 299 rows/series and day-partition pruning bites. */

@@ -10,8 +10,10 @@ result parquet from <verifyOutDir>/<name>/, then compares: column names
 
 This is test tooling only — the engine itself is pure Scala/Spark.
 """
+import hashlib
 import json
 import math
+import os
 import sys
 from pathlib import Path
 
@@ -21,6 +23,58 @@ import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+# ---------------------------------------------------------------------
+# DuckDB-result memo (VERDICT r16 next #5): oracle outputs are a
+# DETERMINISTIC function of (corpus bytes, SQL text), so repeat sweeps
+# over the same corpus (the per-round sf1 x10 replica, regenerated only
+# when missing) can reuse them. The cache key hashes the SQL plus every
+# registered table file's (relative name, size, mtime_ns) — any corpus
+# regeneration or SQL edit invalidates naturally. Disable with
+# GRAFT_ORACLE_CACHE=0; dir override via GRAFT_ORACLE_CACHE_DIR.
+# ---------------------------------------------------------------------
+
+def _cache_dir():
+    if os.environ.get("GRAFT_ORACLE_CACHE", "1").lower() in ("0", "false", "off", "no"):
+        return None
+    d = Path(os.environ.get("GRAFT_ORACLE_CACHE_DIR", "/tmp/graft_oracle_cache"))
+    try:
+        d.mkdir(parents=True, exist_ok=True)
+        return d
+    except Exception:
+        return None
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    h = hashlib.md5()
+    root = Path(sf_dir)
+    for t in TABLES:
+        p = root / f"{t}.parquet"
+        files = sorted(p.glob("*.parquet")) if p.is_dir() else ([p] if p.exists() else [])
+        for f in files:
+            st = f.stat()
+            h.update(f"{t}/{f.name}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()
+
+
+def _cached_duck(con, cache_dir, corpus_fp: str, name: str, sql: str) -> pd.DataFrame:
+    if cache_dir is None:
+        return con.execute(sql).fetchdf()
+    key = hashlib.md5((corpus_fp + "\n" + sql).encode()).hexdigest()
+    f = cache_dir / f"{name}_{key}.parquet"
+    if f.exists():
+        try:
+            return pd.read_parquet(f)
+        except Exception:
+            pass  # unreadable cache entry: fall through and rewrite
+    df = con.execute(sql).fetchdf()
+    try:
+        tmp = f.with_suffix(".tmp")
+        df.to_parquet(tmp)
+        tmp.rename(f)
+    except Exception:
+        pass  # cache write failure must never fail the gate
+    return df
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -114,6 +168,8 @@ def main():
     if prefixes:
         oracle = {k: v for k, v in oracle.items()
                   if any(k.startswith(p) for p in prefixes)}
+    cache_dir = _cache_dir()
+    corpus_fp = _corpus_fingerprint(sf_dir) if cache_dir is not None else ""
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         pq = Path(out_dir) / name
@@ -128,7 +184,7 @@ def main():
             n_bad += 1
             continue
         try:
-            duck_df = con.execute(sql).fetchdf()
+            duck_df = _cached_duck(con, cache_dir, corpus_fp, name, sql)
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_bad += 1
