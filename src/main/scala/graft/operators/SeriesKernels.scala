@@ -86,38 +86,55 @@ object SeriesKernels {
       .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
 
     partitioned.mapPartitions { rows =>
-      val kernels = specs.map(_.make()).toArray
-      var lastKey: Seq[Any] = null
-      rows.map { row =>
-        val key = keyIdx.map(row.get).toSeq
-        if (key != lastKey) {
-          kernels.foreach(_.reset())
-          lastKey = key
-        }
-        val out = new Array[Any](outSchema.length)
-        var i = 0
-        while (i < inSchema.length) { out(i) = row.get(i); i += 1 }
-        var k = 0
-        var o = inSchema.length
-        while (k < kernels.length) {
-          val idx = inIdx(k)
-          val in = new Array[Double](idx.length)
-          var j = 0
-          while (j < idx.length) {
-            in(j) = if (row.isNullAt(idx(j))) Double.NaN else row.getDouble(idx(j))
-            j += 1
-          }
-          val res = kernels(k).step(in)
-          var w = 0
-          while (w < res.length) {
-            out(o) = if (java.lang.Double.isNaN(res(w))) null else res(w)
-            o += 1; w += 1
-          }
-          k += 1
-        }
-        Row.fromSeq(out.toIndexedSeq)
-      }
+      runSequential(rows, inSchema.length, keyIdx, inIdx,
+        specs.map(_.make()).toArray, outSchema.length)
     }(Encoders.row(outSchema))
+  }
+
+  /** The sequential per-partition state machine [[applyKernels]] runs on
+    * executors, exposed so the incremental tick's driver-resident regime
+    * can run the SAME code over already-collected rows — bit-parity by
+    * construction: one implementation, two execution sites. `rows` must
+    * be sorted by key ++ order columns (kernels reset on every key-tuple
+    * change); output rows append one double per kernel output column
+    * (NaN ⇒ null). */
+  private[graft] def runSequential(
+      rows: Iterator[Row],
+      inLen: Int,
+      keyIdx: Array[Int],
+      inIdx: Array[Array[Int]],
+      kernels: Array[Kernel],
+      outLen: Int): Iterator[Row] = {
+    var lastKey: Seq[Any] = null
+    rows.map { row =>
+      val key = keyIdx.map(row.get).toSeq
+      if (key != lastKey) {
+        kernels.foreach(_.reset())
+        lastKey = key
+      }
+      val out = new Array[Any](outLen)
+      var i = 0
+      while (i < inLen) { out(i) = row.get(i); i += 1 }
+      var k = 0
+      var o = inLen
+      while (k < kernels.length) {
+        val idx = inIdx(k)
+        val in = new Array[Double](idx.length)
+        var j = 0
+        while (j < idx.length) {
+          in(j) = if (row.isNullAt(idx(j))) Double.NaN else row.getDouble(idx(j))
+          j += 1
+        }
+        val res = kernels(k).step(in)
+        var w = 0
+        while (w < res.length) {
+          out(o) = if (java.lang.Double.isNaN(res(w))) null else res(w)
+          o += 1; w += 1
+        }
+        k += 1
+      }
+      Row.fromSeq(out.toIndexedSeq)
+    }
   }
 
   // ------------------------------------------------------------------
