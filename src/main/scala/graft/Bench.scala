@@ -235,8 +235,14 @@ object Bench {
       if (fields.isEmpty) "null" else fields.mkString("{", ",", "}")
     }
     val streamingNames = graft.queries.StreamingQueries.queries.map(_.name).toSet
+    // SPARK_GRAFT_ONLY experiment runs write to a SEPARATE file: a
+    // partial run rewriting the round-record artifact would clobber the
+    // committed full record (and with it the previous scaled-subset
+    // membership the next full run diffs against — exactly how the
+    // r17 membership block came up empty on its first outing).
     val fullFile = "bench_full_" +
-      sfDir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_") + ".json"
+      sfDir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_") +
+      (if (onlyBlocks.isDefined) "_partial" else "") + ".json"
     // previous record's scaled-subset membership (VERDICT r16 next #3):
     // captured from the on-disk artifact BEFORE the first per-phase
     // rewrite, so queries entering/leaving the heavy subset via the
