@@ -821,8 +821,14 @@ object Bench {
     // made its base DuckDB time dip below the 0.05 s heavy-subset cut,
     // which silently dropped the very query whose scaled ratio the
     // round record is supposed to carry
+    // q_j3b pinned since r17: the general interval join prices the
+    // generality tax vs the fused q_j3 — its base duck time hovers at
+    // the 0.05 s cut (it dropped out of the first r17 record run, now
+    // visibly logged by scaled_subset_membership, but it should stay
+    // recorded rather than merely logged-as-dropped)
     val scaledPins =
-      dedupPins ++ Seq("q_s4_range_scan", "q_j3_range_count")
+      dedupPins ++ Seq("q_s4_range_scan", "q_j3_range_count",
+        "q_j3b_range_join_general")
     // base-sweep measurements the scaled tiers (separate phases below)
     // consume: the heavy subset is picked from MEASURED base duck times
     var duckSecBase: Map[String, Double] = Map.empty
@@ -2282,6 +2288,12 @@ object Bench {
       .map(_.stripPrefix("\"duckdb_scaled\":")).getOrElse("null")
     val scaledX10C = scaledBlocks.find(_.startsWith("\"duckdb_scaled_x10\":"))
       .map(_.stripPrefix("\"duckdb_scaled_x10\":")).getOrElse("null")
+    // the membership diff must survive into the FINAL file write — the
+    // summary assembly cherry-picks scaledBlocks by name, which is how
+    // the r17 block reached the per-phase extras line but not the record
+    val membershipC = scaledBlocks
+      .find(_.startsWith("\"scaled_subset_membership\":"))
+      .map(_.stripPrefix("\"scaled_subset_membership\":")).getOrElse("null")
     val summaryLine =
       s"""{"metric":"summary","value":$total,"unit":"sec","headline":$headline,""" +
       f""""streaming_harness_sec":$streamingSec%.3f,""" +
@@ -2298,6 +2310,7 @@ object Bench {
       s""""nsw_scaled":$nswScaledC,""" +
       s""""streaming_tp":$streamC,"sf1_sweep":$sf1C,""" +
       s""""duckdb_scaled":$scaledC,"duckdb_scaled_x10":$scaledX10C,""" +
+      s""""scaled_subset_membership":$membershipC,""" +
       s""""sf":${jstr(sfDir)}}"""
     println(summaryLine)
     // FINAL-final line (r10 — VERDICT r9 next #2, parsed:null four rounds
