@@ -826,9 +826,13 @@ object Bench {
     // the 0.05 s cut (it dropped out of the first r17 record run, now
     // visibly logged by scaled_subset_membership, but it should stay
     // recorded rather than merely logged-as-dropped)
+    // q_t10 pinned since r17 for the same reason: its base duck time
+    // flaps around the cut (0.047-0.06 s round to round) and it is a
+    // NOTED floored row that silently left the r16 record — the
+    // membership log now shows such drops, the pin keeps the row.
     val scaledPins =
       dedupPins ++ Seq("q_s4_range_scan", "q_j3_range_count",
-        "q_j3b_range_join_general")
+        "q_j3b_range_join_general", "q_t10_pii_redact")
     // base-sweep measurements the scaled tiers (separate phases below)
     // consume: the heavy subset is picked from MEASURED base duck times
     var duckSecBase: Map[String, Double] = Map.empty

@@ -141,6 +141,100 @@ object SeriesKernels {
   // Kernel implementations
   // ------------------------------------------------------------------
 
+  /** Chains `mk2` onto one output column of `mk1`: each step feeds
+    * k1's output `srcIdx` into k2; emits k1's outputs followed by
+    * k2's. NaN flows through exactly as the two-pass form: a NaN k1
+    * output reaches k2 as NaN input, which (per every kernel's
+    * missing-input contract) returns NaN without advancing state —
+    * identical to applyKernels mapping a null column back to NaN.
+    * Lets the PPO line + its EMA(9) signal (q_r6/q_g4) run as ONE
+    * sorted pass with no Window operator at all. */
+  final class ChainKernel(mk1: () => Kernel, mk2: () => Kernel, srcIdx: Int)
+      extends Kernel {
+    private val k1 = mk1()
+    private val k2 = mk2()
+    val arity: Int = k1.arity
+    val width: Int = k1.width + k2.width
+    private val feed = new Array[Double](1)
+    def reset(): Unit = { k1.reset(); k2.reset() }
+    def step(in: Array[Double]): Array[Double] = {
+      val o1 = k1.step(in)
+      feed(0) = o1(srcIdx)
+      val o2 = k2.step(feed)
+      val out = new Array[Double](width)
+      System.arraycopy(o1, 0, out, 0, o1.length)
+      System.arraycopy(o2, 0, out, o1.length, o2.length)
+      out
+    }
+  }
+
+  /** Crossover operand for [[CrossSignalsKernel]]: an inner-kernel
+    * output column or a constant threshold. */
+  sealed trait CrossOperand extends Serializable
+  final case class OutCol(i: Int) extends CrossOperand
+  final case class Const(v: Double) extends CrossOperand
+
+  /** One crossover signal: fires 1.0 when `a` crosses ABOVE `b`
+    * (`above = true`: prevA < prevB && a > b) or BELOW (`above =
+    * false`: prevA > prevB && a < b), optionally gated by
+    * `inner output(gateIdx) > gateMin` (the G5 adx > 25 gate). NaN
+    * operands/prevs/gates compare false — exactly the windowed
+    * `coalesce(lag(a) <> lag(b) && …, false)` algebra
+    * ([[FrameKernels.crossAbove]]/[[FrameKernels.crossBelow]]) under
+    * SQL NULL semantics. The first row of a series has NaN prevs ⇒
+    * false, matching lag(…, 1)'s leading NULL. */
+  final case class CrossSpec(
+      a: CrossOperand, b: CrossOperand, above: Boolean,
+      gate: Option[(Int, Double)] = None)
+
+  /** Appends lag-1 crossover signals to an inner kernel's outputs in
+    * the SAME sequential pass (the [[graft.operators.DecFrameKernels.BollingerCrossKernel]]
+    * precedent, generalized): emits inner outputs followed by one
+    * 1.0/0.0 column per [[CrossSpec]] (never NaN — warmup rows are
+    * false, not null). prev operand values update EVERY row, NaN
+    * included, mirroring lag over rows whose value is NULL. This is
+    * what lets every G-family signal query drop its post-kernel
+    * Window pair (a second exchange + sort + WindowExec over the
+    * opaque kernel output). */
+  final class CrossSignalsKernel(
+      mkInner: () => Kernel, crosses: Seq[CrossSpec]) extends Kernel {
+    private val inner = mkInner()
+    private val specs = crosses.toArray
+    val arity: Int = inner.arity
+    val width: Int = inner.width + specs.length
+    private val prevA = Array.fill(specs.length)(Double.NaN)
+    private val prevB = Array.fill(specs.length)(Double.NaN)
+    def reset(): Unit = {
+      inner.reset()
+      java.util.Arrays.fill(prevA, Double.NaN)
+      java.util.Arrays.fill(prevB, Double.NaN)
+    }
+    private def eval(op: CrossOperand, out: Array[Double]): Double = op match {
+      case OutCol(i) => out(i)
+      case Const(v)  => v
+    }
+    def step(in: Array[Double]): Array[Double] = {
+      val o = inner.step(in)
+      val res = new Array[Double](width)
+      System.arraycopy(o, 0, res, 0, o.length)
+      var c = 0
+      while (c < specs.length) {
+        val sp = specs(c)
+        val a = eval(sp.a, o)
+        val b = eval(sp.b, o)
+        val crossed =
+          if (sp.above) prevA(c) < prevB(c) && a > b
+          else prevA(c) > prevB(c) && a < b
+        val gated = crossed && sp.gate.forall { case (gi, gv) => o(gi) > gv }
+        res(o.length + c) = if (gated) 1.0 else 0.0
+        prevA(c) = a
+        prevB(c) = b
+        c += 1
+      }
+      res
+    }
+  }
+
   /** R1 — 1-state Kalman filter, filterpy semantics (reference
     * filters.py:8-27): x₀ = first observation, P₀ = 1, F = H = 1,
     * R = 1e-3, Q = 1e-4; per row: predict (P += Q), gain K = P/(P+R),

@@ -1,9 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
-import graft.operators.FrameKernels.{crossAbove, crossBelow, decSum}
 import graft.operators.{ChunkedKernels, SeriesKernels}
 import graft.operators.SeriesKernels._
 import graft.sources.Tables
@@ -23,8 +21,6 @@ import graft.sources.Tables
   * DuckDB parses them as DOUBLE, not DECIMAL ([[dl]]).
   */
 object RecursiveKernelQueries extends QueryPack {
-
-  private val seriesW = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
 
   /** Double literal that DuckDB parses as DOUBLE (e-notation). Scala's
     * Double.toString round-trips, so the parsed value is bit-identical.
@@ -365,23 +361,6 @@ object RecursiveKernelQueries extends QueryPack {
         min(col("value")).as("low"),
         max_by(col("value"), col("ts_ns")).as("close"))
 
-  private val barsW = Window.partitionBy(col("user_id")).orderBy(col("bts"))
-
-  /** PPO line + rn, mirrored against [[ppoSCte]]. */
-  private def ppoDf(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val f12 = seriesW.rowsBetween(-11, 0)
-    val f26 = seriesW.rowsBetween(-25, 0)
-    val sma12 = decSum(col("value"), f12) / 12.0
-    val sma26 = decSum(col("value"), f26) / 26.0
-    Tables.eventsSeries(s, dir)
-      .withColumn("rn", row_number().over(seriesW))
-      .withColumn("ppo", when(col("rn") >= 26, (sma12 - sma26) / sma26 * 100.0))
-      // the downstream EMA kernel pass is opaque to pruning: drop the
-      // window scaffolding (rn, value) here so it never crosses the
-      // kernel's exchange
-      .select(col("event_id"), col("user_id"), col("ts_ns"), col("ppo"))
-  }
-
   override def queries: Seq[QueryDef] = Seq(
 
     // R1 — Kalman filter (filters.py:8-27).
@@ -439,14 +418,22 @@ object RecursiveKernelQueries extends QueryPack {
         .orderBy("event_id"),
       Some(rsiOracle)),
 
-    // G1 — RSI oversold/overbought threshold-crossing signals.
+    // G1 — RSI oversold/overbought threshold-crossing signals. Fused
+    // since r17 (the q_g2 precedent): the threshold crossovers ride the
+    // SAME sequential RSI pass (CrossSignalsKernel) instead of a
+    // post-kernel Window pair over the opaque mapPartitions output —
+    // one exchange instead of two. Parity pinned in CrossFusionSpec.
     QueryDef(
       "q_g1_rsi_signal",
       (s, dir) => withKernel(
-        KernelSpec(Seq("value"), Seq("rsi"), () => new RsiKernel()))(s, dir)
-        .withColumn("buy", crossAbove(col("rsi"), lit(30.0), seriesW))
-        .withColumn("sell", crossBelow(col("rsi"), lit(70.0), seriesW))
-        .select(col("event_id"), col("buy"), col("sell"))
+        KernelSpec(Seq("value"), Seq("rsi", "buy_d", "sell_d"),
+          () => new CrossSignalsKernel(() => new RsiKernel(), Seq(
+            CrossSpec(OutCol(0), Const(30.0), above = true),
+            CrossSpec(OutCol(0), Const(70.0), above = false)))))(s, dir)
+        .select(
+          col("event_id"),
+          (col("buy_d") === 1.0).as("buy"),
+          (col("sell_d") === 1.0).as("sell"))
         .orderBy("event_id"),
       Some(rsiSignalOracle)),
 
@@ -464,24 +451,36 @@ object RecursiveKernelQueries extends QueryPack {
         .orderBy("event_id"),
       Some(macdOracle)),
 
-    // G3 — MACD/signal-line crossovers.
+    // G3 — MACD/signal-line crossovers, fused into the MACD pass
+    // (CrossSignalsKernel, r17 — see q_g1).
     QueryDef(
       "q_g3_macd_signal",
       (s, dir) => withKernel(
-        KernelSpec(Seq("value"), Seq("macd", "macd_signal", "macd_hist"),
-          () => new MacdKernel()))(s, dir)
-        .withColumn("buy", crossAbove(col("macd"), col("macd_signal"), seriesW))
-        .withColumn("sell", crossBelow(col("macd"), col("macd_signal"), seriesW))
-        .select(col("event_id"), col("buy"), col("sell"))
+        KernelSpec(Seq("value"),
+          Seq("macd", "macd_signal", "macd_hist", "buy_d", "sell_d"),
+          () => new CrossSignalsKernel(() => new MacdKernel(), Seq(
+            CrossSpec(OutCol(0), OutCol(1), above = true),
+            CrossSpec(OutCol(0), OutCol(1), above = false)))))(s, dir)
+        .select(
+          col("event_id"),
+          (col("buy_d") === 1.0).as("buy"),
+          (col("sell_d") === 1.0).as("sell"))
         .orderBy("event_id"),
       Some(macdSignalOracle)),
 
     // R6 — PPO line (frame SMAs) + EMA(9) signal line (ta_signals.py:40-53).
+    // r17: the windowed PPO frame sums became the PpoLineKernel ring
+    // (bit-identical, DecFrameParitySpec) CHAINED into the EMA kernel —
+    // the whole query is one scan, one exchange, one sequential pass,
+    // no Window operator (previously: window exchange + decimal frame
+    // re-sums per row + a second exchange for the EMA kernel pass).
     QueryDef(
       "q_r6_ppo",
-      (s, dir) => SeriesKernels.applyKernels(
-        ppoDf(s, dir), Seq("user_id"), Seq("ts_ns", "event_id"),
-        Seq(KernelSpec(Seq("ppo"), Seq("ppo_ema"), () => new EmaKernel(9))))
+      (s, dir) => withKernel(
+        KernelSpec(Seq("value"), Seq("ppo", "ppo_ema"),
+          () => new ChainKernel(
+            () => new graft.operators.DecFrameKernels.PpoLineKernel(),
+            () => new EmaKernel(9), 0)))(s, dir)
         .select(
           col("event_id"),
           round(col("ppo"), 6).as("ppo"),
@@ -489,15 +488,24 @@ object RecursiveKernelQueries extends QueryPack {
         .orderBy("event_id"),
       Some(ppoOracle)),
 
-    // G4 — PPO/EMA crossovers.
+    // G4 — PPO/EMA crossovers: PPO ring + EMA chain + both crossovers
+    // in ONE sequential pass (r17; previously three movements — window
+    // PPO, kernel EMA, window lags).
     QueryDef(
       "q_g4_ppo_signal",
-      (s, dir) => SeriesKernels.applyKernels(
-        ppoDf(s, dir), Seq("user_id"), Seq("ts_ns", "event_id"),
-        Seq(KernelSpec(Seq("ppo"), Seq("ppo_ema"), () => new EmaKernel(9))))
-        .withColumn("buy", crossAbove(col("ppo"), col("ppo_ema"), seriesW))
-        .withColumn("sell", crossBelow(col("ppo"), col("ppo_ema"), seriesW))
-        .select(col("event_id"), col("buy"), col("sell"))
+      (s, dir) => withKernel(
+        KernelSpec(Seq("value"), Seq("ppo", "ppo_ema", "buy_d", "sell_d"),
+          () => new CrossSignalsKernel(
+            () => new ChainKernel(
+              () => new graft.operators.DecFrameKernels.PpoLineKernel(),
+              () => new EmaKernel(9), 0),
+            Seq(
+              CrossSpec(OutCol(0), OutCol(1), above = true),
+              CrossSpec(OutCol(0), OutCol(1), above = false)))))(s, dir)
+        .select(
+          col("event_id"),
+          (col("buy_d") === 1.0).as("buy"),
+          (col("sell_d") === 1.0).as("sell"))
         .orderBy("event_id"),
       Some(ppoSignalOracle)),
 
@@ -517,23 +525,22 @@ object RecursiveKernelQueries extends QueryPack {
         .orderBy("user_id", "bucket"),
       Some(adxOracle)),
 
-    // G5 — DI crossover gated by trend strength (adx > 25).
+    // G5 — DI crossover gated by trend strength (adx > 25), fused into
+    // the ADX pass (CrossSignalsKernel with the gate operand, r17).
     QueryDef(
       "q_g5_adx_signal",
       (s, dir) => SeriesKernels.applyKernels(
         bars(s, dir), Seq("user_id"), Seq("bts"),
         Seq(KernelSpec(Seq("high", "low", "close"),
-          Seq("plus_di", "minus_di", "adx"), () => new AdxKernel())))
-        .withColumn("buy",
-          coalesce(lag(col("plus_di"), 1).over(barsW) < lag(col("minus_di"), 1).over(barsW)
-            && col("plus_di") > col("minus_di") && col("adx") > 25.0, lit(false)))
-        .withColumn("sell",
-          coalesce(lag(col("minus_di"), 1).over(barsW) < lag(col("plus_di"), 1).over(barsW)
-            && col("minus_di") > col("plus_di") && col("adx") > 25.0, lit(false)))
+          Seq("plus_di", "minus_di", "adx", "buy_d", "sell_d"),
+          () => new CrossSignalsKernel(() => new AdxKernel(), Seq(
+            CrossSpec(OutCol(0), OutCol(1), above = true, gate = Some((2, 25.0))),
+            CrossSpec(OutCol(1), OutCol(0), above = true, gate = Some((2, 25.0))))))))
         .select(
           col("user_id"),
           date_format(col("bts"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
-          col("buy"), col("sell"))
+          (col("buy_d") === 1.0).as("buy"),
+          (col("sell_d") === 1.0).as("sell"))
         .orderBy("user_id", "bucket"),
       Some(adxSignalOracle))
   )
