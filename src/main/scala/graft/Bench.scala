@@ -23,6 +23,26 @@ import org.apache.spark.sql.functions._
   * excluded from `total` and reported as `streaming_harness_sec`.
   */
 object Bench {
+
+  /** Record gate (VERDICT r17 next #2): the query names across the
+    * scaled-tier JSON fragments whose per_query_exec row carries
+    * `"floor_note_missing":true` — i.e. >2x vs DuckDB, not structurally
+    * floored, and with neither a named nor an auto-generated floor
+    * note. A record run (SPARK_GRAFT_RECORD=1) REFUSES to write the
+    * round-record file while any such row exists unwaived: the summary
+    * goes to the `_gated_partial` variant and the run exits nonzero, so
+    * a flagged row can never ship silently in a committed record again
+    * (the r17 q_e2 row shipped bare despite its stamp). `waived` comes
+    * from SPARK_GRAFT_WAIVE (comma-separated query names) and is
+    * itself stamped in the artifact. Factored out of main so
+    * RecordGateSpec can prove a synthetic bare row fails the gate. */
+  private[graft] def gateOffenders(scaledBlocks: Seq[String],
+      waived: Set[String]): Seq[String] = {
+    val bare = """"(q_[a-z0-9_]+)":\{[^{}]*?"floor_note_missing":true""".r
+    scaledBlocks.flatMap(b => bare.findAllMatchIn(b).map(_.group(1)))
+      .distinct.filterNot(waived)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runT0 = System.nanoTime()
@@ -235,32 +255,44 @@ object Bench {
       if (fields.isEmpty) "null" else fields.mkString("{", ",", "}")
     }
     val streamingNames = graft.queries.StreamingQueries.queries.map(_.name).toSet
-    // SPARK_GRAFT_ONLY experiment runs write to a SEPARATE file: a
-    // partial run rewriting the round-record artifact would clobber the
-    // committed full record (and with it the previous scaled-subset
-    // membership the next full run diffs against — exactly how the
-    // r17 membership block came up empty on its first outing).
-    val fullFile = "bench_full_" +
-      sfDir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_") +
-      (if (onlyBlocks.isDefined) "_partial" else "") + ".json"
+    // The round-record artifact is written ONLY by an explicit record
+    // run (SPARK_GRAFT_RECORD=1). Everything else — SPARK_GRAFT_ONLY
+    // experiment runs ("_partial", r17) and, since r18, the driver's own
+    // default full invocation ("_rerun") — writes to a separate file, so
+    // a post-commit re-run physically cannot overwrite the committed
+    // quiet record (VERDICT r17 next #6, 5th recurrence of the
+    // dirty-tree complaint).
+    val isRecordRun = sys.env.get("SPARK_GRAFT_RECORD").contains("1")
+    val recordFile = "bench_full_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_") + ".json"
+    val fullFile =
+      if (onlyBlocks.isDefined)
+        recordFile.stripSuffix(".json") + "_partial.json"
+      else if (!isRecordRun) recordFile.stripSuffix(".json") + "_rerun.json"
+      else recordFile
     // previous record's scaled-subset membership (VERDICT r16 next #3):
-    // captured from the on-disk artifact BEFORE the first per-phase
-    // rewrite, so queries entering/leaving the heavy subset via the
-    // 0.05 s DuckDB base cut are LOGGED instead of silently changing
-    // coverage (q_t10 left the r16 record unrecorded; q_j3 needed a
-    // manual pin). Bounded to the x5 tier's per_query_exec keys.
+    // captured from the COMMITTED record artifact (never the _partial /
+    // _rerun variant — ADVICE r17 #5: a partial run diffing against the
+    // previous partial run weakens the no-silent-coverage-change log)
+    // BEFORE the first per-phase rewrite, so queries entering/leaving
+    // the heavy subset via the 0.05 s DuckDB base cut are LOGGED instead
+    // of silently changing coverage (q_t10 left the r16 record
+    // unrecorded; q_j3 needed a manual pin). Bounded to the x5 tier's
+    // per_query_exec keys: the search is capped at the x10 block's start
+    // (ADVICE r17 #1: a record whose x5 block lacks per_query_exec — a
+    // shed run — would otherwise silently adopt the x10 key set).
     val prevScaledSubset: Set[String] = try {
-      val p = java.nio.file.Paths.get(fullFile)
+      val p = java.nio.file.Paths.get(recordFile)
       if (!java.nio.file.Files.exists(p)) Set.empty
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8)
         val i = txt.indexOf("\"duckdb_scaled\":{")
+        val x10i = txt.indexOf("\"duckdb_scaled_x10\":{")
         val j = if (i < 0) -1 else txt.indexOf("\"per_query_exec\":{", i)
-        if (j < 0) Set.empty
+        if (j < 0 || (x10i >= 0 && j > x10i)) Set.empty
         else {
-          val end = txt.indexOf("\"duckdb_scaled_x10\":{", j)
-          val body = if (end > 0) txt.substring(j, end) else txt.substring(j)
+          val body = if (x10i > j) txt.substring(j, x10i) else txt.substring(j)
           """"(q_[a-z0-9_]+)":\{""".r
             .findAllMatchIn(body).map(_.group(1)).toSet
         }
@@ -358,10 +390,20 @@ object Bench {
         "tick_events_per_s" -> "tick_eps")},""" +
       s""""full":${jstr(fullFile)},"sf":${jstr(sfDir)}}"""
     }
-    def writeFullFile(content: String): Unit =
-      try java.nio.file.Files.write(java.nio.file.Paths.get(fullFile),
+    // Progressive (per-phase / mid-run) artifact writes NEVER touch the
+    // record file: during a record run they go to the _partial variant,
+    // so a crashed or gate-refused record run leaves the previously
+    // committed record intact on disk (r18 — before this, phaseDone's
+    // rewrites clobbered it from the first phase on).
+    val progressFile =
+      if (isRecordRun) recordFile.stripSuffix(".json") + "_partial.json"
+      else fullFile
+    def writeArtifact(content: String, file: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(file),
         (content + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
+    def writeFullFile(content: String): Unit =
+      writeArtifact(content, progressFile)
     /** The FULL-fragment partial artifact: every completed block's whole
       * JSON fragment (per-mult ladder fields, per-query scaled blocks —
       * not the compact minis) plus errors. The r13 first special run
@@ -2049,19 +2091,6 @@ object Bench {
         val over2 = !q.budgetCut && !q.timedOut && q.duckSec > 0 &&
           q.execRatio > 2.0
         val floorR = floorExec.map(q.execSec / _)
-        // exact-name note, else the sub-floor auto-attribution for >2x
-        // rows whose exec sits below the bare-scan floor; a >2x row
-        // with neither stamps floor_note_missing so it can't be bare
-        val note = floorNotes.get(q.name).orElse {
-          if (over2) floorR.collect {
-            case r if r < 1.0 =>
-              f"sub-floor constant: exec ${q.execSec}%.3fs is BELOW " +
-                f"the tier's bare-scan floor (q_s4_range_scan " +
-                f"${floorExec.get}%.3fs, floor_ratio $r%.2f) - the " +
-                ">2x ratio is fixed per-job stage latency against a " +
-                "near-instant DuckDB side on this corpus, not plan fat."
-          } else None
-        }
         // structural-floor stamp (VERDICT r16 next #2): duck_floor_ratio
         // = bare-scan floor ÷ DuckDB seconds. When 2 x duck_sec is BELOW
         // the floor, a zero-work Spark query over the same bounded scan
@@ -2073,12 +2102,53 @@ object Bench {
           if (q.duckSec > 0 && !q.timedOut && !q.budgetCut)
             Some(fl / q.duckSec) else None)
         val structFloored = duckFloorR.exists(_ > 2.0)
+        // near-floor band (VERDICT r17 next #4, the moving-denominator
+        // rule): 1.5 < duck_floor_ratio <= 2.0 means the 2x bar sits
+        // within 1.33x of the bare-scan floor — one stage-latency
+        // spread over a sub-second denominator covers the gap, and the
+        // DuckDB side speeding up round-over-round should not re-open
+        // an adjudicated row (q_a2 re-crossed 2x in r17 purely on duck
+        // 0.375->0.245 s with Spark exec flat).
+        val nearFloor = !structFloored && duckFloorR.exists(_ > 1.5)
+        // exact-name note, else the sub-floor / near-floor
+        // auto-attribution; a >2x row with none of these stamps
+        // floor_note_missing AND classification plan_fat — which since
+        // r18 FAILS the record gate (see gateOffenders) so it can't be
+        // bare in a committed record
+        val note = floorNotes.get(q.name).orElse {
+          if (!over2) None
+          else floorR.collect {
+            case r if r < 1.0 =>
+              f"sub-floor constant: exec ${q.execSec}%.3fs is BELOW " +
+                f"the tier's bare-scan floor (q_s4_range_scan " +
+                f"${floorExec.get}%.3fs, floor_ratio $r%.2f) - the " +
+                ">2x ratio is fixed per-job stage latency against a " +
+                "near-instant DuckDB side on this corpus, not plan fat."
+          }.orElse {
+            if (nearFloor) duckFloorR.map(dfr =>
+              f"near-floor: the 2x bar (${2 * q.duckSec}%.3fs) sits " +
+                f"within 1.33x of the tier's bare-scan floor " +
+                f"(${floorExec.get}%.3fs, duck_floor_ratio $dfr%.2f) - " +
+                "the gap is one stage-latency spread over a sub-second " +
+                "DuckDB denominator, classified near_floor by the r18 " +
+                "weak-rule, not plan fat.")
+            else None
+          }
+        }
+        val classification =
+          if (!over2) None
+          else if (structFloored) Some("structurally_floored")
+          else if (nearFloor) Some("near_floor")
+          else if (floorR.exists(_ < 1.0)) Some("sub_floor_constant")
+          else if (floorNotes.contains(q.name)) Some("attributed")
+          else Some("plan_fat")
         val base = s"${jstr(q.name)}:{" +
           f""""spark_exec_sec":${q.execSec}%.3f,""" +
           f""""spark_fresh_sec":${q.callSec}%.3f,""" +
           floorR.map(r => f""""floor_ratio":$r%.2f,""").getOrElse("") +
           duckFloorR.map(r => f""""duck_floor_ratio":$r%.2f,""").getOrElse("") +
           (if (structFloored) s""""structurally_floored":true,""" else "") +
+          classification.map(c => s""""classification":${jstr(c)},""").getOrElse("") +
           note.map(t => s""""floor_note":${jstr(t)},""").getOrElse("") +
           (if (over2 && note.isEmpty && !structFloored)
              s""""floor_note_missing":true,"""
@@ -2089,6 +2159,16 @@ object Bench {
       }.mkString("{", ",", "}")
       scaledBlocks = scaledBlocks :+ (
         s""""$label":{"scale_mult":$mult,"base_sf":${jstr(sfDir)},""" +
+        s""""weak_rule":${jstr("a >2x row is plan_fat ONLY if " +
+          "duck_floor_ratio (bare-scan floor / duck_sec) <= 1.5 and it " +
+          "carries no named floor_note; >2.0 = structurally_floored " +
+          "(2x bar below the bare-scan floor, unreachable by " +
+          "construction); 1.5-2.0 = near_floor (bar within 1.33x of " +
+          "the floor, one stage-latency spread); floor_ratio < 1 = " +
+          "sub_floor_constant. Keyed to duck_floor_ratio so the " +
+          "oracle-side denominator speeding up round-over-round " +
+          "cannot re-open an adjudicated row (r18, VERDICT r17 " +
+          "next #4).")},""" +
         f""""steal_pct":${stealPct(cpu0, cpuStat())}%.2f,""" +
         s""""n_compared":${compared.size},""" +
         s""""n_duck_timed_out":${pairs.count(_.timedOut)},""" +
@@ -2298,6 +2378,15 @@ object Bench {
     val membershipC = scaledBlocks
       .find(_.startsWith("\"scaled_subset_membership\":"))
       .map(_.stripPrefix("\"scaled_subset_membership\":")).getOrElse("null")
+    // record gate (VERDICT r17 next #2): a bare >2x row — stamped
+    // floor_note_missing by the tier classifier — fails a record run.
+    val waiveSet = sys.env.getOrElse("SPARK_GRAFT_WAIVE", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val offenders = gateOffenders(scaledBlocks, waiveSet)
+    val gateC =
+      s"""{"offenders":[${offenders.map(jstr).mkString(",")}],""" +
+      s""""waived":[${waiveSet.toSeq.sorted.map(jstr).mkString(",")}],""" +
+      s""""enforced":$isRecordRun}"""
     val summaryLine =
       s"""{"metric":"summary","value":$total,"unit":"sec","headline":$headline,""" +
       f""""streaming_harness_sec":$streamingSec%.3f,""" +
@@ -2315,6 +2404,7 @@ object Bench {
       s""""streaming_tp":$streamC,"sf1_sweep":$sf1C,""" +
       s""""duckdb_scaled":$scaledC,"duckdb_scaled_x10":$scaledX10C,""" +
       s""""scaled_subset_membership":$membershipC,""" +
+      s""""record_gate":$gateC,""" +
       s""""sf":${jstr(sfDir)}}"""
     println(summaryLine)
     // FINAL-final line (r10 — VERDICT r9 next #2, parsed:null four rounds
@@ -2329,7 +2419,27 @@ object Bench {
     // artifact, leaving nothing to diagnose
     val summaryWithErrors =
       summaryLine.stripSuffix("}") + s""","errors":$errJson}"""
-    writeFullFile(summaryWithErrors)
+    if (isRecordRun && offenders.nonEmpty) {
+      // REFUSE the record: the full summary survives in the
+      // _gated_partial variant, the record file is untouched, and the
+      // run exits nonzero so the invoking shell sees the refusal.
+      val gatedFile = recordFile.stripSuffix(".json") + "_gated_partial.json"
+      writeArtifact(summaryWithErrors, gatedFile)
+      val refusal =
+        s"""{"metric":"record_gate_refusal","offenders":[""" +
+        offenders.map(jstr).mkString(",") +
+        s"""],"kept":${jstr(gatedFile)},"record_not_written":${jstr(recordFile)}}"""
+      println(refusal)
+      finalCompact = Some(refusal)
+      spark.stop()
+      sys.exit(1)
+    }
+    writeArtifact(summaryWithErrors, fullFile)
+    // a completed record supersedes its own progress artifact
+    if (isRecordRun && progressFile != fullFile)
+      try java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(progressFile))
+      catch { case _: Throwable => () }
     val compactLine = buildCompact(partial = false)
     // the early shutdown hook re-prints this after sbt's trailer
     // (VERDICT r8 next #6 kept — un-forked runs would otherwise lose the

@@ -326,15 +326,13 @@ object GraftSession {
       .config("spark.sql.optimizer.inSetConversionThreshold", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // small-append write path (the X2 tick appends one small file set
-      // per micro-batch): committer v2 moves task output straight to the
-      // destination at task commit instead of a second job-commit rename
-      // pass, and the _SUCCESS marker + parquet summary files are pure
-      // per-job constant for a sink nobody reads markers from. On object
-      // stores the same settings are the standard append tuning.
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
-      .config("spark.hadoop.parquet.summary.metadata.level", "NONE")
+      // NOTE: the small-append committer tuning (fileoutputcommitter v2,
+      // no _SUCCESS marker, no parquet summary files) lives on the K1
+      // append write itself (Sinks.appendPartitioned per-write options),
+      // NOT here: session-wide it made task-committed files visible to
+      // EVERY sink/verify reader even when a job later failed (ADVICE
+      // r17 #3) — only the tick append path has the re-seed +
+      // X5-dedup machinery to tolerate that.
       .config("spark.ui.enabled", "false")
 
   def get(cores: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt): SparkSession = {

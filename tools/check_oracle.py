@@ -37,9 +37,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def _cache_dir():
     if os.environ.get("GRAFT_ORACLE_CACHE", "1").lower() in ("0", "false", "off", "no"):
         return None
-    d = Path(os.environ.get("GRAFT_ORACLE_CACHE_DIR", "/tmp/graft_oracle_cache"))
+    # per-uid default + ownership check (ADVICE r17 #2): a shared
+    # world-writable dir would let any local user drop a parquet file
+    # the correctness gate silently trusts as ground truth. An
+    # explicitly-configured dir must be owned by the caller too.
+    import tempfile
+    default = Path(tempfile.gettempdir()) / f"graft_oracle_cache_{os.getuid()}"
+    d = Path(os.environ.get("GRAFT_ORACLE_CACHE_DIR", default))
     try:
         d.mkdir(parents=True, exist_ok=True)
+        if d.stat().st_uid != os.getuid():
+            return None
         return d
     except Exception:
         return None
