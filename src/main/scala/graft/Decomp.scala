@@ -88,7 +88,24 @@ object Decomp {
         val ck = w1Proj.localCheckpoint()
         val out = ck.orderBy("event_id")
         out
-      }))
+      }),
+      // q_g2 output-sort alternatives (VERDICT r17 next #3): the q_e3
+      // one-task precedent — anti-pattern for a FULL-row-count output
+      // (q_a2 measured it at ~10% once), measured here with q_g2's own
+      // numbers; and the w1-style checkpoint-before-orderBy
+      "g2_total_order_1task_ALT" -> (() =>
+        g2Proj.repartition(1).sortWithinPartitions("event_id")),
+      "g2_total_order_ckpt_ALT" -> (() =>
+        g2Proj.localCheckpoint().orderBy("event_id")),
+      // E2 exchange-width comparison (VERDICT r17 next #1): the r17
+      // wide shape (dedup window FIRST — text+content+title_desc cross
+      // the exchange) vs the r18 registered scalar-first shape (all
+      // scores/stats computed pre-window — only fixed-width columns
+      // cross)
+      "e2_wide_exchange_R17" -> (() =>
+        graft.queries.PipelineQueries.e2WideExchange(spark, dir)),
+      "e2_scalar_first" -> (() =>
+        graft.SparkEntry.freshQueries("q_e2_news_pipeline")(spark, dir)))
     val timed = stages.map { case (n, f) => n -> bestOf3(f()) }
     println(timed.map { case (n, t) => f""""$n":$t%.3f""" }
       .mkString(s"""{"metric":"decomp","dir":"$dir",""", ",", "}"))

@@ -313,10 +313,9 @@ object PipelineQueries extends QueryPack {
     * wrapping in adversarial markup keeps the parser honest while the
     * oracle re-derives the clean text analytically (q_t1b's trick).
     */
-  private def e2Build(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Scorers
-    import graft.operators.Scorers._
-    import graft.operators.TextOps._
+  /** The E2 front shared by both exchange-width shapes: union-fetch +
+    * parser-exact strip + title/description assembly. */
+  private def e2Articles(s: SparkSession, dir: String): DataFrame = {
     // fetch stand-in (S6): two overlapping hourly fetches — the 24h+1h
     // window (news_etl_dag.py:38) re-delivers recent articles
     val docs = Tables.documents(s, dir)
@@ -324,7 +323,7 @@ object PipelineQueries extends QueryPack {
     val b2 = docs.filter(col("doc_id") % 3 === 0).withColumn("fetch_id", lit(2L))
     // process_data: parser-exact HTML strip of content + the
     // title_and_description concat
-    val articles = b1.unionByName(b2)
+    b1.unionByName(b2)
       .withColumn("content", call_function("graft_html_strip", concat(
         lit("<article data-x=\"a>b\"><script>if (1 < 2) { t(\"<p>x</p>\"); }</script>"),
         col("text"), lit("</article>"))))
@@ -332,26 +331,87 @@ object PipelineQueries extends QueryPack {
         lit("<h1 class=\"t\">"),
         concat_ws(" ", col("source"), col("lang"), substring(col("text"), 1, 30)),
         lit("</h1><!-- meta > -->"))))
-    // dedup-on-write (the X3 fix): newest fetch wins per content print.
-    // Shape note (measured at 10× sf0.1): the window exchanges the wide
-    // article rows once (~4 s of 9.6 s) — but the "narrower" groupBy +
-    // join-back alternative is WORSE (22.7 s): feeding the stripped
-    // columns into two join branches clones the HtmlStrip subtree into
-    // every consumer (10 strip instances in the optimized plan vs 2),
-    // because without the exchange barrier project-collapse re-inlines
-    // the expression per use. The window's exchange doubles as the
-    // materialization point for content/title_desc.
+  }
+
+  /** Registered q_e2 shape (scalar-first, r18): EVERY per-row scalar —
+    * strip → fused field stats → 5-model × 2-field scores → embedding
+    * head — is computed BEFORE the fingerprint dedup window, so the
+    * window's exchange carries ~34 fixed-width columns instead of the
+    * text + content + title_desc strings (plus lang/n_chars) the r17
+    * shape shuffled: ~6× fewer shuffled bytes at the one data exchange,
+    * for +33% map-side scoring work (stats now run on the 1.33N
+    * pre-dedup rows instead of N survivors — scoring is a narrow
+    * codegen'd pass riding the scan, the cheap side of that trade at
+    * every tier). Everything stays in ONE pre-exchange projection, so
+    * single-pass FieldStats structs + whole-stage-codegen subexpression
+    * elimination keep one strip per field per row (the join-back hazard
+    * in the e2Articles note does not apply: there is no second branch).
+    * Same rows, same expressions, same oracle — hash-parity pinned by
+    * the unchanged e2Oracle and NewsPipelineSpec. */
+  private def e2Build(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scorers
+    import graft.operators.Scorers._
+    import graft.operators.TextOps._
+    val articles = e2Articles(s, dir)
+    // semantic_analysis: M4 fan-out with M3's per-row fallback channel
+    // r7: the whole fan-out reads from TWO single-pass fused stats
+    // structs (pos/neg/hash/th per field — functions.FieldStats); the
+    // old shape re-traversed content ~3× through regex normalizes
+    // (VERDICT r6 wrong #1, the ×10-scale outlier)
+    val withC = Scorers.withFieldStats(articles, "c", col("content"), keepTh = true)
+    val withT = Scorers.withFieldStats(withC, "t", col("title_desc"))
+    val scored = withT
+      .withColumn("fp", md5(normalizeText(col("content")).cast("binary")))
+      .withColumn("th", col("c_th"))
+      .withColumn("raw", rawEmbeddingFromHashes(col("th"), 16))
+      .withColumn("n", l2Norm(col("raw")))
+      .select(
+        Seq(col("doc_id"), col("source"), col("fetch_id"), col("fp")) ++
+        Models.flatMap(m =>
+          ScorerQueries.modelCols(m, "c", s"${m.name}_content") ++
+          ScorerQueries.modelCols(m, "t", s"${m.name}_title")) ++
+        Seq(
+          round(when(col("n") > 0.0, element_at(col("raw"), 1) / col("n"))
+            .otherwise(element_at(col("raw"), 1)), 6).as("emb_head"),
+          lit(16).as("emb_dim")): _*)
+    // dedup-on-write (the X3 fix): newest fetch wins per content print,
+    // over the already-scored narrow rows
+    val byFp = Window.partitionBy("fp")
+    scored
+      .withColumn("best_fetch", max(col("fetch_id")).over(byFp))
+      .withColumn("n_dups", count(lit(1)).over(byFp))
+      .filter(col("fetch_id") === col("best_fetch"))
+      .withColumnRenamed("fetch_id", "fetch_kept")
+      .drop("fp", "best_fetch")
+      .orderBy("doc_id")
+  }
+
+  /** The r17 wide-exchange E2 shape, kept for the same-run Decomp
+    * comparison that justified the scalar-first swap (and as the
+    * reference point its floor note cites). Dedup window FIRST over the
+    * full article rows — the exchange carries text + content +
+    * title_desc — then stats/scores over the survivors.
+    *
+    * Historical shape note (measured at 10× sf0.1): the window
+    * exchanges the wide article rows once (~4 s of 9.6 s) — and the
+    * "narrower" groupBy + join-back alternative is WORSE (22.7 s):
+    * feeding the stripped columns into two join branches clones the
+    * HtmlStrip subtree into every consumer (10 strip instances in the
+    * optimized plan vs 2), because without the exchange barrier
+    * project-collapse re-inlines the expression per use. The
+    * scalar-first registered shape escapes the dilemma a third way:
+    * one linear projection, no second branch, narrow exchange. */
+  private[graft] def e2WideExchange(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scorers
+    import graft.operators.Scorers._
+    import graft.operators.TextOps._
+    val articles = e2Articles(s, dir)
     val byFp = Window.partitionBy("fp")
     val deduped = articles
       .withColumn("fp", md5(normalizeText(col("content")).cast("binary")))
       .withColumn("best_fetch", max(col("fetch_id")).over(byFp))
       .withColumn("n_dups", count(lit(1)).over(byFp))
       .filter(col("fetch_id") === col("best_fetch"))
-    // semantic_analysis: M4 fan-out with M3's per-row fallback channel
-    // r7: the whole fan-out reads from TWO single-pass fused stats
-    // structs (pos/neg/hash/th per field — functions.FieldStats); the
-    // old shape re-traversed content ~3× through regex normalizes
-    // (VERDICT r6 wrong #1, the ×10-scale outlier)
     val withC = Scorers.withFieldStats(deduped, "c", col("content"), keepTh = true)
     val withT = Scorers.withFieldStats(withC, "t", col("title_desc"))
     withT

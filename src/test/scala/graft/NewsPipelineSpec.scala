@@ -39,6 +39,21 @@ class NewsPipelineSpec extends AnyFunSuite {
     assert(fallbacks > 0, "the M3 fallback channel must fire in-composition")
   }
 
+  test("scalar-first shape == wide-exchange r17 shape row-for-row") {
+    // the r18 swap moves every scalar (strip/stats/scores/embedding
+    // head) BEFORE the fingerprint window so the dedup exchange carries
+    // fixed-width columns only; same rows, same expressions, same
+    // oracle — pinned here against the kept r17 shape
+    val narrow = SparkEntry.queries("q_e2_news_pipeline")(spark, sf)
+    val wide = graft.queries.PipelineQueries.e2WideExchange(spark, sf)
+    assert(narrow.columns.sorted.sameElements(wide.columns.sorted),
+      "column sets must match")
+    val cols = narrow.columns.sorted.map(col).toSeq
+    assert(narrow.select(cols: _*).except(wide.select(cols: _*)).isEmpty &&
+      wide.select(cols: _*).except(narrow.select(cols: _*)).isEmpty,
+      "row sets must be identical")
+  }
+
   /** The per-batch E2 transform (strip → fingerprint → score): the body
     * the stream runs per micro-batch. Dedup is NOT here — it's owned by
     * the sink's newest-wins merge, which is what makes re-delivery safe. */
