@@ -1924,17 +1924,18 @@ object Bench {
       "re-run x10 1.37); the r17 record's x5 0.794s (2.44 floors, " +
       "ratio 2.31) was a tail sample on an UNCHANGED binary - the same " +
       "round's driver re-run measured 0.446s on the identical commit. " +
-      "r18 re-registered the scalar-first shape (all strip/stats/" +
-      "score/embedding scalars computed BEFORE the fingerprint dedup " +
-      "window, so the one data exchange carries ~34 fixed-width " +
-      "columns instead of text+content+title_desc strings - ~6x fewer " +
-      "shuffled bytes by plan structure); same-run Decomp x5/x10 " +
-      "comparisons vs the r17 wide shape are performance-neutral at " +
-      "test tiers (ratios 0.63-1.42, n=7 - both exchanges are " +
-      "absolute-cheap at 400-800k rows), so the swap is a " +
-      "scale-structure win, not a tier-letter dodge. Remaining cost = " +
-      "bounded scan + one codegen'd strip/stats/score pass + one " +
-      "narrow exchange + output total order."
+      "r18 re-registered the strip-first/narrow-exchange shape after " +
+      "a three-way same-run Decomp comparison at x5 AND x50: content " +
+      "strips pre-window (the fingerprint needs it) but text and " +
+      "title_desc never cross the exchange (title re-derives from a " +
+      "30-char head column on the N survivors), and scoring runs " +
+      "post-dedup - less shuffle AND less compute than the r17 wide " +
+      "shape (x50: 1.44/1.64s vs wide 2.24/1.75s), and it beats the " +
+      "pure scalar-first variant which pays stats on the 1.33N " +
+      "pre-dedup rows (1.76/2.19s at x50). Both rejected variants " +
+      "stay in Decomp as e2_wide_exchange_R17/e2_scalar_first_ALT. " +
+      "Remaining cost = bounded scan + one strip pass + ONE " +
+      "one-string exchange + survivor scoring + output total order."
     val D5OwnNote: String =
       "exec here is a RESIDUAL, not the query: the connected-components " +
       "loop runs eager localCheckpoints at DataFrame-construction time " +

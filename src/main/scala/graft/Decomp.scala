@@ -104,7 +104,9 @@ object Decomp {
       // cross)
       "e2_wide_exchange_R17" -> (() =>
         graft.queries.PipelineQueries.e2WideExchange(spark, dir)),
-      "e2_scalar_first" -> (() =>
+      "e2_scalar_first_ALT" -> (() =>
+        graft.queries.PipelineQueries.e2ScalarFirst(spark, dir)),
+      "e2_strip_first_narrow" -> (() =>
         graft.SparkEntry.freshQueries("q_e2_news_pipeline")(spark, dir)))
     val timed = stages.map { case (n, f) => n -> bestOf3(f()) }
     println(timed.map { case (n, t) => f""""$n":$t%.3f""" }

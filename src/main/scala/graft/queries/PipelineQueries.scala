@@ -333,31 +333,87 @@ object PipelineQueries extends QueryPack {
         lit("</h1><!-- meta > -->"))))
   }
 
-  /** Registered q_e2 shape (scalar-first, r18): EVERY per-row scalar —
-    * strip → fused field stats → 5-model × 2-field scores → embedding
-    * head — is computed BEFORE the fingerprint dedup window, so the
-    * window's exchange carries ~34 fixed-width columns instead of the
-    * text + content + title_desc strings (plus lang/n_chars) the r17
-    * shape shuffled: ~6× fewer shuffled bytes at the one data exchange,
-    * for +33% map-side scoring work (stats now run on the 1.33N
-    * pre-dedup rows instead of N survivors — scoring is a narrow
-    * codegen'd pass riding the scan, the cheap side of that trade at
-    * every tier). Everything stays in ONE pre-exchange projection, so
-    * single-pass FieldStats structs + whole-stage-codegen subexpression
-    * elimination keep one strip per field per row (the join-back hazard
-    * in the e2Articles note does not apply: there is no second branch).
-    * Same rows, same expressions, same oracle — hash-parity pinned by
-    * the unchanged e2Oracle and NewsPipelineSpec. */
+  /** Registered q_e2 shape (strip-first / narrow-exchange, r18): the
+    * content strip runs BEFORE the dedup window because the fingerprint
+    * needs it, but everything the survivors can re-derive is dropped
+    * from the exchange — `text` (superseded by `content`) and
+    * `title_desc` (re-derived post-dedup from source/lang + a 30-char
+    * `head30` column) never cross. The one data exchange carries ONE
+    * document-sized string instead of the three the r17 shape shuffled,
+    * and scoring (field stats → 5-model × 2-field fan-out → embedding)
+    * runs on the N survivors, not the 1.33N pre-dedup rows. This
+    * dominates the r17 wide shape on both axes (less shuffle AND less
+    * compute: the title strip moves from 1.33N pre-window rows to N
+    * survivors) and beats the pure scalar-first variant at every
+    * measured tier (scalar-first pays stats/scores on dup rows —
+    * measured +30-40% at ×50 where compute dominates the cheap local
+    * shuffle). Same rows, same expressions, same oracle — hash-parity
+    * pinned by the unchanged e2Oracle and NewsPipelineSpec. */
   private def e2Build(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Scorers
     import graft.operators.Scorers._
     import graft.operators.TextOps._
-    val articles = e2Articles(s, dir)
+    val docs = Tables.documents(s, dir)
+    val b1 = docs.withColumn("fetch_id", lit(1L))
+    val b2 = docs.filter(col("doc_id") % 3 === 0).withColumn("fetch_id", lit(2L))
+    // process_data front: parser-exact HTML strip of content (the
+    // fingerprint input), then PRUNE — text is superseded by content,
+    // and the title needs only source/lang + the first 30 chars
+    val narrow = b1.unionByName(b2)
+      .withColumn("content", call_function("graft_html_strip", concat(
+        lit("<article data-x=\"a>b\"><script>if (1 < 2) { t(\"<p>x</p>\"); }</script>"),
+        col("text"), lit("</article>"))))
+      .select(col("doc_id"), col("source"), col("lang"), col("fetch_id"),
+        col("content"), substring(col("text"), 1, 30).as("head30"))
+    // dedup-on-write (the X3 fix): newest fetch wins per content print
+    val byFp = Window.partitionBy("fp")
+    val deduped = narrow
+      .withColumn("fp", md5(normalizeText(col("content")).cast("binary")))
+      .withColumn("best_fetch", max(col("fetch_id")).over(byFp))
+      .withColumn("n_dups", count(lit(1)).over(byFp))
+      .filter(col("fetch_id") === col("best_fetch"))
+      // title_and_description assembly, re-derived on the survivors
+      .withColumn("title_desc", call_function("graft_html_strip", concat(
+        lit("<h1 class=\"t\">"),
+        concat_ws(" ", col("source"), col("lang"), col("head30")),
+        lit("</h1><!-- meta > -->"))))
     // semantic_analysis: M4 fan-out with M3's per-row fallback channel
     // r7: the whole fan-out reads from TWO single-pass fused stats
     // structs (pos/neg/hash/th per field — functions.FieldStats); the
     // old shape re-traversed content ~3× through regex normalizes
     // (VERDICT r6 wrong #1, the ×10-scale outlier)
+    val withC = Scorers.withFieldStats(deduped, "c", col("content"), keepTh = true)
+    val withT = Scorers.withFieldStats(withC, "t", col("title_desc"))
+    withT
+      .withColumn("th", col("c_th"))
+      .withColumn("raw", rawEmbeddingFromHashes(col("th"), 16))
+      .withColumn("n", l2Norm(col("raw")))
+      .select(
+        Seq(col("doc_id"), col("source"), col("fetch_id").as("fetch_kept"),
+          col("n_dups")) ++
+        Models.flatMap(m =>
+          ScorerQueries.modelCols(m, "c", s"${m.name}_content") ++
+          ScorerQueries.modelCols(m, "t", s"${m.name}_title")) ++
+        Seq(
+          round(when(col("n") > 0.0, element_at(col("raw"), 1) / col("n"))
+            .otherwise(element_at(col("raw"), 1)), 6).as("emb_head"),
+          lit(16).as("emb_dim")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** The r18 pure scalar-first E2 variant, kept for the same-run Decomp
+    * comparison: EVERY per-row scalar (strip → stats → scores →
+    * embedding head) computes before the dedup window, so the exchange
+    * carries fixed-width columns only — at the price of scoring the
+    * 1.33N pre-dedup rows. Measured ~30-40% WORSE than the registered
+    * strip-first shape at ×50 (compute dominates the cheap local
+    * shuffle); would reconsider only on a network-shuffle cluster where
+    * bytes beat CPU. */
+  private[graft] def e2ScalarFirst(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scorers
+    import graft.operators.Scorers._
+    import graft.operators.TextOps._
+    val articles = e2Articles(s, dir)
     val withC = Scorers.withFieldStats(articles, "c", col("content"), keepTh = true)
     val withT = Scorers.withFieldStats(withC, "t", col("title_desc"))
     val scored = withT
@@ -374,8 +430,6 @@ object PipelineQueries extends QueryPack {
           round(when(col("n") > 0.0, element_at(col("raw"), 1) / col("n"))
             .otherwise(element_at(col("raw"), 1)), 6).as("emb_head"),
           lit(16).as("emb_dim")): _*)
-    // dedup-on-write (the X3 fix): newest fetch wins per content print,
-    // over the already-scored narrow rows
     val byFp = Window.partitionBy("fp")
     scored
       .withColumn("best_fetch", max(col("fetch_id")).over(byFp))

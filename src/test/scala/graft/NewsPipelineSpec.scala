@@ -39,19 +39,23 @@ class NewsPipelineSpec extends AnyFunSuite {
     assert(fallbacks > 0, "the M3 fallback channel must fire in-composition")
   }
 
-  test("scalar-first shape == wide-exchange r17 shape row-for-row") {
-    // the r18 swap moves every scalar (strip/stats/scores/embedding
-    // head) BEFORE the fingerprint window so the dedup exchange carries
-    // fixed-width columns only; same rows, same expressions, same
-    // oracle — pinned here against the kept r17 shape
-    val narrow = SparkEntry.queries("q_e2_news_pipeline")(spark, sf)
-    val wide = graft.queries.PipelineQueries.e2WideExchange(spark, sf)
-    assert(narrow.columns.sorted.sameElements(wide.columns.sorted),
-      "column sets must match")
-    val cols = narrow.columns.sorted.map(col).toSeq
-    assert(narrow.select(cols: _*).except(wide.select(cols: _*)).isEmpty &&
-      wide.select(cols: _*).except(narrow.select(cols: _*)).isEmpty,
-      "row sets must be identical")
+  test("strip-first narrow shape == wide and scalar-first shapes row-for-row") {
+    // the r18 swap keeps the strip pre-window (the fingerprint needs
+    // it) but drops text/title_desc from the dedup exchange and scores
+    // the survivors; same rows, same expressions, same oracle — pinned
+    // here against BOTH measured-and-kept alternatives
+    val registered = SparkEntry.queries("q_e2_news_pipeline")(spark, sf)
+    val alts = Seq(
+      "wide" -> graft.queries.PipelineQueries.e2WideExchange(spark, sf),
+      "scalarFirst" -> graft.queries.PipelineQueries.e2ScalarFirst(spark, sf))
+    val cols = registered.columns.sorted.map(col).toSeq
+    for ((name, alt) <- alts) {
+      assert(registered.columns.sorted.sameElements(alt.columns.sorted),
+        s"$name: column sets must match")
+      assert(registered.select(cols: _*).except(alt.select(cols: _*)).isEmpty &&
+        alt.select(cols: _*).except(registered.select(cols: _*)).isEmpty,
+        s"$name: row sets must be identical")
+    }
   }
 
   /** The per-batch E2 transform (strip → fingerprint → score): the body
