@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
 
-import graft.sources.Sinks
+import graft.sources.{DriverParquetAppend, Sinks}
 
 /** X2 — the reference's stateful incremental recompute as a runtime
   * component (btc_usdt_etl_dag.py:55-106,217: each hourly tick re-reads
@@ -408,16 +408,16 @@ object IncrementalTick {
               nullable = true)) ++
           Seq(StructField("buy", BooleanType, nullable = true),
             StructField("sell", BooleanType, nullable = true)))
-      // createDataset + the codegen'd row encoder beats
-      // createDataFrame(RDD[Row]) by ~0.35 s at this batch size
-      // (measured same-run): the generic-Row -> Catalyst conversion
-      // happens once through generated code instead of the reflective
-      // CatalystTypeConverters path per task
-      val ds = spark.createDataset(outRows)(
-        org.apache.spark.sql.Encoders.row(outSchema))
-      val outDf =
-        if (appendFiles > 1) ds.repartition(appendFiles) else ds.coalesce(1)
-      Sinks.appendPartitioned(outDf, "ts", sinkPath)
+      // r18 (VERDICT r17 next #8): the rows are ALREADY on the driver —
+      // write the day-partitioned parquet directly through Spark's own
+      // row codec instead of launching a 1-task Spark job per tick
+      // (plan + schedule + task-side writer init + commit protocol were
+      // ~0.25-0.8 s of pure fixed cost per micro-batch, 79% of tick
+      // time in the r17 record). Same layout, same visibility contract
+      // (hidden-then-rename); bit-parity with the distributed path is
+      // pinned by IncrementalTickSpec's ticked-sink == batch-recompute
+      // gates, which read this sink back through the executor path.
+      DriverParquetAppend.append(spark, outRows, outSchema, "ts", sinkPath)
       // driver-side tail maintenance: merge fresh rows, keep the newest
       // ≤ Lookback per series (ascending (ts_ns, event_id), takeRight —
       // the same order rowCap pins)
