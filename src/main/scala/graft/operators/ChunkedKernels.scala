@@ -86,6 +86,17 @@ object ChunkedKernels {
       // superseded carried blocks are released, so unpersisting here is
       // safe — without it checkpointed tail RDDs accumulate O(#chunks)
       // in the storage pool for the life of the job (ADVICE r16).
+      // Lifetime adjudication (ADVICE r17 #4): a returned chunk's
+      // lineage does reference the unpersisted seed through its join —
+      // but every chunk is persist(MEMORY_AND_DISK)-ed and counted in
+      // runChunk before the loop advances, so storage pressure EVICTS
+      // to disk rather than stranding that lineage; the only way a
+      // chunk recompute can reach the dead checkpoint is executor
+      // death, which localCheckpoint (non-reliable by contract) does
+      // not survive anyway — on a cluster the job fails cleanly and
+      // re-runs. A release-callback API was considered and rejected:
+      // the chunks are consumed lazily inside registered QueryDefs,
+      // which have no post-execution hook to call it from.
       val superseded = carried
       carried = Some(next.localCheckpoint())
       superseded.foreach(_.unpersist())
