@@ -816,6 +816,9 @@ object Bench {
         case ((name, fn), i) =>
           if (elapsedSec > wallDeadlineSec) sweepShed += 1
           else {
+            // label the query's jobs so UI/event-log attribution works
+            // (guide §1.5); description is thread-local and cleared after
+            spark.sparkContext.setJobDescription(s"sweep:$name")
             val t0 = System.nanoTime()
             val ok =
               try { fn(spark, sfDir).count(); true }
@@ -824,6 +827,7 @@ object Bench {
                   errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
                   false
               }
+            spark.sparkContext.setJobDescription(null)
             sweepBuf += name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
           }
           if ((i + 1) % 40 == 0) {

@@ -125,6 +125,35 @@ object StreamingOps {
         col("l_ts_us"), col("r_ts_us"))
   }
 
+  /** Session clone with state partitions sized to the (capped) sample
+    * instead of the session's shuffle default. The gate streams feed at
+    * most [[graft.queries.StreamingQueries.SampleCap]] rows by
+    * construction, but a stateful operator initializes, loads and
+    * commits one state store PER shuffle partition PER micro-batch (a
+    * stream-stream join holds four stores per partition) — at the
+    * session's core-count default that is hundreds of store lifecycles
+    * per query for a 2000-row stream, and the fixed cost dominated the
+    * cold sweep (q_x10 ~40 s, q_x12 ~34 s measured r18). Partitions
+    * derive from the actual row count (~250 rows per state partition,
+    * floor 1, capped by the session default so a genuinely large feed
+    * keeps full parallelism) — scale-adaptive, not a local[] constant.
+    * Output is identical under any partitioning (decimal-exact partial
+    * aggs, exact joins); the DuckDB oracles re-verify it per query.
+    * A cloned session scopes the override: the caller's conf (and any
+    * parallel Verify workers sharing it) never see the change. */
+  private def streamSession(spark: SparkSession, nRows: Int): SparkSession = {
+    val parts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong, nRows / 1000L))
+    val ss = spark.newSession()
+    // result-parity confs must survive the clone (newSession rebuilds
+    // SQLConf from the SparkContext conf, not from the caller's session):
+    // the bar queries format event-time in the SESSION timezone
+    ss.conf.set("spark.sql.session.timeZone",
+      spark.conf.get("spark.sql.session.timeZone"))
+    ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    ss
+  }
+
   /** Two-stream variant of [[runTwoPhase]]: both memory sources advance in
     * two phases, each closed by a far-future sentinel (the join's own
     * user_id = -1 sentinel pair is filtered from the sink). */
@@ -134,8 +163,9 @@ object StreamingOps {
       rightRows: Seq[Ev],
       transform: (DataFrame, DataFrame) => DataFrame,
       outputMode: String): DataFrame = {
-    import spark.implicits._
-    implicit val sq = spark.sqlContext
+    val ss = streamSession(spark, leftRows.length + rightRows.length)
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
     val ls = MemoryStream[Ev]
     val rs = MemoryStream[Ev]
     val sinkName = s"graft_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -157,7 +187,7 @@ object StreamingOps {
       rs.addData(r2 :+ sentinel)
       query.processAllAvailable()
     } finally query.stop()
-    spark.table(sinkName).filter(col("user_id") >= 0)
+    ss.table(sinkName).filter(col("user_id") >= 0)
   }
 
   /** Streaming dedup on the business key (user_id, ts_us): duplicates
@@ -181,8 +211,9 @@ object StreamingOps {
       dups: Seq[Ev],
       transform: DataFrame => DataFrame,
       outputMode: String): DataFrame = {
-    import spark.implicits._
-    implicit val sq = spark.sqlContext
+    val ss = streamSession(spark, rows.length + dups.length)
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
     val source = MemoryStream[Ev]
     val sinkName = s"graft_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val query = transform(source.toDF())
@@ -200,6 +231,6 @@ object StreamingOps {
       source.addData(phase2 ++ dups :+ sentinel)
       query.processAllAvailable()
     } finally query.stop()
-    spark.table(sinkName).filter(col("user_id") >= 0)
+    ss.table(sinkName).filter(col("user_id") >= 0)
   }
 }
