@@ -173,6 +173,20 @@ object IvfIndex {
     * (marker matches layout version + corpus row count).
     * `quantize=true` stores int8 cell payloads ([[QuantLayoutVersion]]);
     * searches dequant-rescore transparently based on the marker. */
+  /** Writer-task count for the partitionBy(cent_id) cells write, sized
+    * to the corpus instead of inherited from the scan/default
+    * parallelism: a dynamic-partition write runs one file PER writer
+    * task PER cell it holds, so a core-count task wave over a small
+    * corpus emits up to tasks×k tiny files and pays the commit protocol
+    * for each (the sf0.1 builds wrote 2000 rows through 32 tasks).
+    * Hash-clustering by cent_id first keeps one file per cell per
+    * covering task; ~256k rows (tens of MB) per task keeps production
+    * corpora at full parallelism. */
+  private def cellWriteParts(e: DataFrame, n: Long): Int =
+    math.max(1, math.min(
+      e.sparkSession.sparkContext.defaultParallelism,
+      (n / 262144L).toInt))
+
   def buildIfAbsent(e: DataFrame, cents: DataFrame, path: String,
       quantize: Boolean = false): Unit =
     lockFor(path).synchronized {
@@ -185,7 +199,8 @@ object IvfIndex {
       // (e.g. ivfK(n) growing past a previously-built constant k) must
       // invalidate the persisted cell geometry, or searches probe stale
       // cells while the oracle computes the new ones.
-      val stamp = s"$layout,k=${cents.count()},count=${e.count()}"
+      val n = e.count()
+      val stamp = s"$layout,k=${cents.count()},count=$n"
       if (fs.exists(marker) && readMarker(fs, marker) == stamp) return
       // unique tmp per attempt (ADVICE r5): a fixed ".build" path lets two
       // concurrent first builds interleave delete/write/rename and corrupt
@@ -197,7 +212,8 @@ object IvfIndex {
           .parquet(new Path(tmp, "centroids").toString)
         val assigned = assignCells(e, cents)
         val cells = if (quantize) quantizeCells(assigned) else assigned
-        cells.write.mode("overwrite").partitionBy("cent_id")
+        cells.repartition(cellWriteParts(e, n), col("cent_id"))
+          .write.mode("overwrite").partitionBy("cent_id")
           .parquet(new Path(tmp, "cells").toString)
         val out = fs.create(new Path(tmp, Marker), true)
         try out.write(stamp.getBytes("UTF-8")) finally out.close()
@@ -281,19 +297,26 @@ object IvfIndex {
             // dominated the build (43 s of the sf0.01 sweep);
             // kmeansCentroidsL2GroupedDf is bit-identical per subspace.
             val stride = math.max(1L, n / PqTrainSampleMax)
+            // partitions sized to the BOUNDED sample (≤ PqTrainSampleMax
+            // rows by construction), not inherited from the corpus scan:
+            // every Lloyd stage otherwise runs a full core-count task
+            // wave over a few MB (32 tasks for 2000 rows at sf0.1 — pure
+            // fixed cost, the dominant share of the cold q_v12 build)
+            val sampleParts = math.max(1, math.min(
+              e.sparkSession.sparkContext.defaultParallelism,
+              (math.min(n, PqTrainSampleMax) / 8192L).toInt))
             val sample = (if (stride == 1L) assigned
               else assigned.filter(pmod(col("vec_id"), lit(stride)) === 0))
-              .select(col("res")).localCheckpoint()
+              .select(col("res")).repartition(sampleParts).localCheckpoint()
             val subRows = sample.select(posexplode(array((0 until PqS).map(s0 =>
               slice(col("res"), s0 * d + 1, d)): _*)).as(Seq("s", "sub")))
-            val init = (0 until PqS).flatMap(s0 => (0 until PqK).map(j =>
-              (s0, j, cb0(s0)(j).toSeq))).toDF("s", "cent_id", "cvec")
-            val refined = VectorOps.kmeansCentroidsL2GroupedDf(
-                subRows, "sub", init, trainIters, d)
-              .collect()
-              .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
-              .toMap
-            Array.tabulate(PqS, PqK)((s0, j) => refined((s0, j)))
+            // literal-centroid Lloyd: PQ codebooks are constant-sized
+            // (PqS×PqK×d ≈ 8 KB), so the refinement collects only the
+            // k-sized update per iteration — one action per iteration
+            // instead of the DF form's broadcast/join/checkpoint cycle
+            // (bit-identical per KmeansSpec's grouped-parity test)
+            VectorOps.kmeansCentroidsL2GroupedLit(
+              subRows, "sub", cb0, trainIters, d)
           }
         cb.zipWithIndex.flatMap { case (entries, s0) =>
           entries.zipWithIndex.map { case (v, j) => (s0, j, v.toSeq) }
@@ -301,6 +324,7 @@ object IvfIndex {
           .coalesce(1).write.mode("overwrite")
           .parquet(new Path(tmp, "codebooks").toString)
         pqEncoded(assigned, cb, d)
+          .repartition(cellWriteParts(e, n), col("cent_id"))
           .write.mode("overwrite").partitionBy("cent_id")
           .parquet(new Path(tmp, "cells").toString)
         val out = fs.create(new Path(tmp, Marker), true)

@@ -291,6 +291,59 @@ object VectorOps {
     cents
   }
 
+  /** Literal-centroid form of [[kmeansCentroidsL2GroupedDf]] for
+    * CONSTANT-size centroid sets: per iteration the codebook rides into
+    * the assignment as a literal 3-d array (indexed by the group key
+    * `s`) and only the k-sized update (PqS×PqK×d doubles — for PQ
+    * codebooks a fixed ~8 KB, independent of corpus AND of the ivfK
+    * clamp) collects back to the driver. Rationale: the DF-native form
+    * pays ~8 scheduler/AQE job cycles per iteration (broadcast of the
+    * centroid list, update exchange, join-back, localCheckpoint) which
+    * dominated the trained-PQ build on small corpora (the q_v12 cold
+    * sweep row, r18); this form runs ONE action per iteration. It is
+    * NOT for IVF coarse centroids, whose k×dim can reach ~400 MB — PQ
+    * codebooks are constant-sized by construction, the same class of
+    * driver state as the codebook literals the encoder already embeds.
+    *
+    * Bit-parity with [[kmeansCentroidsL2GroupedDf]] (KmeansSpec): the
+    * assignment folds the SAME l2dist left fold over the same doubles
+    * (argmin ties → smallest cent_id via max over (−dist, −id); the
+    * literal array is ordered by cent_id, and `transform`'s index IS
+    * the cent_id), the update is the same decimal-exact per-dimension
+    * mean (order-independent), and empty cells keep their previous
+    * entry. `e` carries (s, vecCol); `cb0(s)(j)` is the init. */
+  def kmeansCentroidsL2GroupedLit(
+      e: org.apache.spark.sql.DataFrame,
+      vecCol: String,
+      cb0: Array[Array[Array[Double]]],
+      iters: Int,
+      dim: Int): Array[Array[Array[Double]]] = {
+    val nS = cb0.length
+    val nK = cb0.head.length
+    var cb = cb0
+    for (_ <- 0 until iters) {
+      val lit3d = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+      val cbs = element_at(lit3d, col("s") + 1)
+      val best = array_max(transform(cbs, (c, i) =>
+        struct((-l2dist(col(vecCol), c)).as("negd"), (-i).as("nid"))))
+      val dims = (0 until dim).map { dIdx =>
+        (sum(element_at(col(vecCol), dIdx + 1).cast("decimal(28,12)")) /
+          count(lit(1))).cast("double").as(s"m$dIdx")
+      }
+      val updated = e
+        .withColumn("__cell", -best.getField("nid"))
+        .groupBy(col("s"), col("__cell"))
+        .agg(dims.head, dims.tail: _*)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          (2 until 2 + dim).map(r.getDouble).toArray)
+        .toMap
+      cb = Array.tabulate(nS, nK)((s0, j) =>
+        updated.getOrElse((s0, j), cb(s0)(j)))
+    }
+    cb
+  }
+
   /** Grouped form of [[kmeansCentroidsDf]] (COSINE assignment — the IVF
     * coarse quantizer's metric): trains MANY independent cosine k-means
     * problems (key column `s`) inside the same Lloyd jobs, the way

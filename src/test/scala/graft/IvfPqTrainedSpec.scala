@@ -203,6 +203,47 @@ class IvfPqTrainedSpec extends AnyFunSuite {
       "grouped refinement must be bit-identical to the per-subspace chains")
   }
 
+  test("literal-centroid grouped Lloyd equals the DF-native grouped form bit-for-bit") {
+    // the r18 build-path optimization (codebook rides into the
+    // assignment as a literal, only the fixed ~8 KB update collects per
+    // iteration) must be a pure job-count change like the r9 one: same
+    // l2dist folds, same argmin tie rule (transform's index IS the
+    // cent_id), same decimal-exact means, same empty-cell retention.
+    val dim = VectorQueries.Dim
+    val half = dim / 2
+    val e = corpus.limit(200).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .localCheckpoint()
+    val subRows = e.select(posexplode(array(
+      slice(col("emb"), 1, half), slice(col("emb"), half + 1, half)))
+      .as(Seq("s", "sub")))
+    val initG = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cent_id"), col("emb"))
+      .select(explode(array(
+        struct(lit(0).as("s"), col("cent_id"), slice(col("emb"), 1, half).as("cvec")),
+        struct(lit(1).as("s"), col("cent_id"), slice(col("emb"), half + 1, half).as("cvec"))))
+        .as("r"))
+      .select(col("r.s"), col("r.cent_id"), col("r.cvec"))
+    val viaDf = VectorOps.kmeansCentroidsL2GroupedDf(
+        subRows, "sub", initG, iters = 2, dim = half)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        r.getSeq[Double](2).toSeq).toMap
+    val cb0 = e.filter(col("vec_id") < 4).orderBy("vec_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val init3d = Array.tabulate(2, 4)((s0, j) =>
+      cb0(j).slice(s0 * half, s0 * half + half))
+    val viaLit = VectorOps.kmeansCentroidsL2GroupedLit(
+      subRows, "sub", init3d, iters = 2, dim = half)
+    val litMap = (for (s0 <- 0 until 2; j <- 0 until 4)
+      yield (s0, j) -> viaLit(s0)(j).toSeq).toMap
+    assert(litMap == viaDf,
+      "literal-centroid refinement must be bit-identical to the DF form")
+    // and partitioning-independence carries over
+    val viaLit2 = VectorOps.kmeansCentroidsL2GroupedLit(
+      subRows.repartition(7), "sub", init3d, iters = 2, dim = half)
+    assert(viaLit2.flatten.map(_.toSeq).toSeq == viaLit.flatten.map(_.toSeq).toSeq)
+  }
+
   test("append encodes against stored trained codebooks; marker keeps layout and ti") {
     val e = corpus
     val path = freshPath("append")
