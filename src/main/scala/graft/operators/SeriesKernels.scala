@@ -105,12 +105,33 @@ object SeriesKernels {
       inIdx: Array[Array[Int]],
       kernels: Array[Kernel],
       outLen: Int): Iterator[Row] = {
-    var lastKey: Seq[Any] = null
+    // per-PARTITION buffers, not per-row (r18): at 20M rows the old
+    // per-row Seq key + fresh input arrays + Row.fromSeq copy were the
+    // dominant per-row cost of the kernel stage after the exchange —
+    // kernels read values out of `in` and never retain the array (the
+    // Kernel.step contract), so one buffer per kernel is safe to reuse.
+    // Key-change detection compares fields in place; boxed `equals` has
+    // the same semantics the old Seq == had. The output Array[Any] stays
+    // fresh per row — the row object escapes into the encoder pipeline.
+    val nKeys = keyIdx.length
+    val lastKey = new Array[Any](nKeys)
+    var hasKey = false
+    val inBufs = inIdx.map(idx => new Array[Double](idx.length))
     rows.map { row =>
-      val key = keyIdx.map(row.get).toSeq
-      if (key != lastKey) {
-        kernels.foreach(_.reset())
-        lastKey = key
+      var changed = !hasKey
+      var ki = 0
+      while (!changed && ki < nKeys) {
+        val v = row.get(keyIdx(ki))
+        val prev = lastKey(ki)
+        if (if (v == null) prev != null else !v.equals(prev)) changed = true
+        ki += 1
+      }
+      if (changed) {
+        var i = 0
+        while (i < nKeys) { lastKey(i) = row.get(keyIdx(i)); i += 1 }
+        hasKey = true
+        var k = 0
+        while (k < kernels.length) { kernels(k).reset(); k += 1 }
       }
       val out = new Array[Any](outLen)
       var i = 0
@@ -119,7 +140,7 @@ object SeriesKernels {
       var o = inLen
       while (k < kernels.length) {
         val idx = inIdx(k)
-        val in = new Array[Double](idx.length)
+        val in = inBufs(k)
         var j = 0
         while (j < idx.length) {
           in(j) = if (row.isNullAt(idx(j))) Double.NaN else row.getDouble(idx(j))
@@ -133,7 +154,7 @@ object SeriesKernels {
         }
         k += 1
       }
-      Row.fromSeq(out.toIndexedSeq)
+      new org.apache.spark.sql.catalyst.expressions.GenericRow(out)
     }
   }
 
