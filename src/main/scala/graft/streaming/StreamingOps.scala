@@ -158,14 +158,14 @@ object StreamingOps {
     * two phases, each closed by a far-future sentinel (the join's own
     * user_id = -1 sentinel pair is filtered from the sink). */
   def runTwoPhaseTwoStreams(
-      spark: SparkSession,
+      caller: SparkSession,
       leftRows: Seq[Ev],
       rightRows: Seq[Ev],
       transform: (DataFrame, DataFrame) => DataFrame,
       outputMode: String): DataFrame = {
-    val ss = streamSession(spark, leftRows.length + rightRows.length)
-    import ss.implicits._
-    implicit val sq = ss.sqlContext
+    val spark = streamSession(caller, leftRows.length + rightRows.length)
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
     val ls = MemoryStream[Ev]
     val rs = MemoryStream[Ev]
     val sinkName = s"graft_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -187,7 +187,7 @@ object StreamingOps {
       rs.addData(r2 :+ sentinel)
       query.processAllAvailable()
     } finally query.stop()
-    ss.table(sinkName).filter(col("user_id") >= 0)
+    spark.table(sinkName).filter(col("user_id") >= 0)
   }
 
   /** Streaming dedup on the business key (user_id, ts_us): duplicates
@@ -206,14 +206,14 @@ object StreamingOps {
     * order, processAllAvailable barriers between phases.
     */
   def runTwoPhase(
-      spark: SparkSession,
+      caller: SparkSession,
       rows: Seq[Ev],
       dups: Seq[Ev],
       transform: DataFrame => DataFrame,
       outputMode: String): DataFrame = {
-    val ss = streamSession(spark, rows.length + dups.length)
-    import ss.implicits._
-    implicit val sq = ss.sqlContext
+    val spark = streamSession(caller, rows.length + dups.length)
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
     val source = MemoryStream[Ev]
     val sinkName = s"graft_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val query = transform(source.toDF())
@@ -231,6 +231,6 @@ object StreamingOps {
       source.addData(phase2 ++ dups :+ sentinel)
       query.processAllAvailable()
     } finally query.stop()
-    ss.table(sinkName).filter(col("user_id") >= 0)
+    spark.table(sinkName).filter(col("user_id") >= 0)
   }
 }
