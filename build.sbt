@@ -30,5 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g): local[32] runs 32 executor threads in ONE JVM,
+  // and the bench's NSW int8 serve phase OOM-killed the forked JVM
+  // (exit 52, GCLocker retry warnings) at 8g under a 24-thread
+  // contention rehearsal — 8g/32 threads is ~250 MB per concurrent task,
+  // below the serve path's shard-reconstruction working set. The sandbox
+  // is 128 GiB; callers still override via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
