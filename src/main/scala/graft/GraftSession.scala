@@ -309,6 +309,11 @@ object GraftSession {
               constInt(children(2), "graft_long_to_money: scale"))
           }))
         ext.injectFunction((
+          FunctionIdentifier("graft_quant8"),
+          new ExpressionInfo(classOf[graft.functions.Quant8].getName, "graft_quant8"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            graft.functions.Quant8(children.head)))
+        ext.injectFunction((
           FunctionIdentifier("graft_token_hashes"),
           new ExpressionInfo(classOf[graft.functions.TokenHashes].getName, "graft_token_hashes"),
           (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
@@ -334,6 +339,13 @@ object GraftSession {
       // r17 #3) — only the tick append path has the re-seed +
       // X5-dedup machinery to tolerate that.
       .config("spark.ui.enabled", "false")
+      // opt-in event logging for job/stage attribution (guide §1/§7):
+      // measurement instrumentation only, never set by the bench or
+      // verify defaults
+      .config("spark.eventLog.enabled",
+        sys.env.contains("SPARK_GRAFT_EVENTLOG").toString)
+      .config("spark.eventLog.dir",
+        sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "/tmp"))
 
   def get(cores: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt): SparkSession = {
     val spark = builder(cores).getOrCreate()

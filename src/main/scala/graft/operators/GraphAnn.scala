@@ -392,6 +392,81 @@ object GraphAnn {
       (cur, curSim)
     }
 
+    // ---- reusable beam state (r19): the beams used to allocate two
+    // boxed-tuple PriorityQueues plus an n-bit BitSet PER CALL — one
+    // call per insertion per layer, each enqueue boxing a (Double, Int)
+    // tuple. The orderings are TOTAL (sim, then id — no two live entries
+    // compare equal: ids are visited-deduped), so any correct binary
+    // heap pops the identical sequence and the graphs stay bit-identical
+    // (NswLayeredSpec / GraphAnnSpec / the oracled walks pin it). The
+    // visited set is a generation-stamped int array: clear is one
+    // counter bump, and a full-array reset only on the (effectively
+    // unreachable) generation wraparound. State is THREAD-LOCAL:
+    // resident serve graphs are searched by concurrent tasks (the eval
+    // counters' scaladoc already admits that concurrency), and results
+    // must never share mutable beam state across threads.
+    private final class BeamState {
+      val visitedGen = new Array[Int](n)
+      var curGen = 0
+      def nextGen(): Int = {
+        curGen += 1
+        if (curGen == 0) { java.util.Arrays.fill(visitedGen, 0); curGen = 1 }
+        curGen
+      }
+      val cands = new PairHeap(64, max = true)
+      val res = new PairHeap(64, max = false)
+    }
+    private val beamState =
+      ThreadLocal.withInitial[BeamState](() => new BeamState)
+    /** Binary heap over (sim, id) pairs in parallel primitive arrays.
+      * `max = true` pops best-first ([[better]]); `max = false` pops
+      * worst-first (the exact reverse) — matching the PriorityQueue
+      * orderings they replace. */
+    private final class PairHeap(initCap: Int, max: Boolean) {
+      private var sims = new Array[Double](math.max(initCap, 8))
+      private var ids = new Array[Int](math.max(initCap, 8))
+      var size = 0
+      def clear(): Unit = size = 0
+      def nonEmpty: Boolean = size > 0
+      def headSim: Double = sims(0)
+      def headId: Int = ids(0)
+      private def before(s1: Double, i1: Int, s2: Double, i2: Int): Boolean =
+        if (max) better(s1, i1, s2, i2) else better(s2, i2, s1, i1)
+      def enqueue(s: Double, i: Int): Unit = {
+        if (size == sims.length) {
+          sims = java.util.Arrays.copyOf(sims, size * 2)
+          ids = java.util.Arrays.copyOf(ids, size * 2)
+        }
+        var c = size
+        size += 1
+        while (c > 0 && before(s, i, sims((c - 1) >> 1), ids((c - 1) >> 1))) {
+          val p = (c - 1) >> 1
+          sims(c) = sims(p); ids(c) = ids(p)
+          c = p
+        }
+        sims(c) = s; ids(c) = i
+      }
+      /** Removes the head (call headSim/headId first). */
+      def dequeue(): Unit = {
+        size -= 1
+        val s = sims(size); val i = ids(size)
+        var c = 0
+        var done = size == 0
+        while (!done) {
+          val l = 2 * c + 1
+          if (l >= size) done = true
+          else {
+            val r = l + 1
+            val m = if (r < size && before(sims(r), ids(r), sims(l), ids(l))) r else l
+            if (before(sims(m), ids(m), s, i)) {
+              sims(c) = sims(m); ids(c) = ids(m)
+              c = m
+            } else done = true
+          }
+        }
+        sims(c) = s; ids(c) = i
+      }
+    }
     /** Best-first beam at one layer from pre-scored seeds — the layered
       * counterpart of [[search]]'s probe-seeded layer-0 beam, shared by
       * layered insertion (efConstruction) and serving (efSearch).
@@ -399,29 +474,27 @@ object GraphAnn {
       * independent of seed order (all heap orders tie-break on id). */
     private def beamLayer(q: Array[Double], qNorm: Double,
         seeds: Array[(Int, Double)], ef: Int, layer: Int): Array[(Int, Double)] = {
-      val visited = new java.util.BitSet(n)
-      val candOrd = new Ordering[(Double, Int)] {
-        def compare(a: (Double, Int), b: (Double, Int)): Int =
-          if (a._1 != b._1) java.lang.Double.compare(a._1, b._1)
-          else Integer.compare(b._2, a._2)
-      }
-      val cands = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(candOrd)
-      val res = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(candOrd.reverse)
+      val st = beamState.get()
+      val gen = st.nextGen()
+      val visitedGen = st.visitedGen
+      val cands = st.cands
+      val res = st.res
+      cands.clear(); res.clear()
       var si = 0
       while (si < seeds.length) {
         val (sid, ssim) = seeds(si)
-        if (!visited.get(sid)) {
-          visited.set(sid)
-          cands.enqueue((ssim, sid))
-          res.enqueue((ssim, sid))
+        if (visitedGen(sid) != gen) {
+          visitedGen(sid) = gen
+          cands.enqueue(ssim, sid)
+          res.enqueue(ssim, sid)
           if (res.size > ef) res.dequeue()
         }
         si += 1
       }
       while (cands.nonEmpty) {
-        val (csim, c) = cands.dequeue()
-        val (wsim, wid) = res.head
-        if (res.size >= ef && !better(csim, c, wsim, wid)) {
+        val csim = cands.headSim; val c = cands.headId
+        cands.dequeue()
+        if (res.size >= ef && !better(csim, c, res.headSim, res.headId)) {
           cands.clear()
         } else {
           val nbrs = if (layer == 0) null else upperNbrsRead(c, layer)
@@ -429,13 +502,12 @@ object GraphAnn {
           var e = 0
           while (e < cnt) {
             val nb = if (layer == 0) adj(c)(e) else nbrs(e)
-            if (!visited.get(nb)) {
-              visited.set(nb)
+            if (visitedGen(nb) != gen) {
+              visitedGen(nb) = gen
               val sim = cos(q, qNorm, nb)
-              val (w2, wi2) = res.head
-              if (res.size < ef || better(sim, nb, w2, wi2)) {
-                cands.enqueue((sim, nb))
-                res.enqueue((sim, nb))
+              if (res.size < ef || better(sim, nb, res.headSim, res.headId)) {
+                cands.enqueue(sim, nb)
+                res.enqueue(sim, nb)
                 if (res.size > ef) res.dequeue()
               }
             }
@@ -446,8 +518,8 @@ object GraphAnn {
       val out = new Array[(Int, Double)](res.size)
       var oi = out.length - 1
       while (oi >= 0) {
-        val (s, i) = res.dequeue()
-        out(oi) = (i, s)
+        out(oi) = (res.headId, res.headSim)
+        res.dequeue()
         oi -= 1
       }
       out
@@ -543,15 +615,16 @@ object GraphAnn {
       var qi = 0
       while (qi < q.length) { qn += q(qi) * q(qi); qi += 1 }
       val qNorm = math.sqrt(qn)
-      val visited = new java.util.BitSet(n)
-      // candidate max-heap and result min-heap, both on (sim, id)
-      val candOrd = new Ordering[(Double, Int)] {
-        def compare(a: (Double, Int), b: (Double, Int)): Int =
-          if (a._1 != b._1) java.lang.Double.compare(a._1, b._1)
-          else Integer.compare(b._2, a._2) // smaller id = "greater" = popped first
-      }
-      val cands = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(candOrd)
-      val res = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(candOrd.reverse)
+      // same thread-local primitive beam state as [[beamLayer]] (r19):
+      // candidate max-heap (better-first) and result min-heap (worst at
+      // the head), total orders — pop sequences identical to the boxed
+      // PriorityQueues these replace
+      val st = beamState.get()
+      val gen = st.nextGen()
+      val visitedGen = st.visitedGen
+      val cands = st.cands
+      val res = st.res
+      cands.clear(); res.clear()
       // entry: evaluate a deterministic stride sample of the built nodes
       // and seed the beam with all of them (best seeds steer; poor seeds
       // evict) — with probes=1 the sample is exactly {0}, the legacy
@@ -563,31 +636,30 @@ object GraphAnn {
       var p = 0
       while (p < nProbes) {
         val idx = ((p.toLong * lim) / nProbes).toInt
-        if (!visited.get(idx)) {
-          visited.set(idx)
+        if (visitedGen(idx) != gen) {
+          visitedGen(idx) = gen
           val sp = cos(q, qNorm, idx)
-          cands.enqueue((sp, idx))
-          res.enqueue((sp, idx))
+          cands.enqueue(sp, idx)
+          res.enqueue(sp, idx)
           if (res.size > ef) res.dequeue()
         }
         p += 1
       }
       while (cands.nonEmpty) {
-        val (csim, c) = cands.dequeue()
-        val (wsim, wid) = res.head
-        if (res.size >= ef && !better(csim, c, wsim, wid)) {
+        val csim = cands.headSim; val c = cands.headId
+        cands.dequeue()
+        if (res.size >= ef && !better(csim, c, res.headSim, res.headId)) {
           cands.clear() // no candidate can improve the result beam
         } else {
           var e = 0
           while (e < deg(c)) {
             val nb = adj(c)(e)
-            if (!visited.get(nb)) {
-              visited.set(nb)
+            if (visitedGen(nb) != gen) {
+              visitedGen(nb) = gen
               val sim = cos(q, qNorm, nb)
-              val (w2, wi2) = res.head
-              if (res.size < ef || better(sim, nb, w2, wi2)) {
-                cands.enqueue((sim, nb))
-                res.enqueue((sim, nb))
+              if (res.size < ef || better(sim, nb, res.headSim, res.headId)) {
+                cands.enqueue(sim, nb)
+                res.enqueue(sim, nb)
                 if (res.size > ef) res.dequeue()
               }
             }
@@ -599,8 +671,8 @@ object GraphAnn {
       val out = new Array[(Int, Double)](res.size)
       var oi = out.length - 1
       while (oi >= 0) {
-        val (s, i) = res.dequeue()
-        out(oi) = (i, s)
+        out(oi) = (res.headId, res.headSim)
+        res.dequeue()
         oi -= 1
       }
       out

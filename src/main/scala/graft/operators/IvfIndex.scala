@@ -155,18 +155,24 @@ object IvfIndex {
   }
 
   /** int8 scalar quantization of assigned cells: the raw `embedding`
-    * column becomes (q ARRAY<TINYINT>, scale DOUBLE). Runs as narrow
-    * codegen'd expressions ON TOP of the assignment projection — rows
-    * still move exactly once, keyed by cent_id. */
+    * column becomes (q ARRAY<TINYINT>, scale DOUBLE). Runs as ONE fused
+    * primitive pass per row ([[graft.functions.Quant8]], r19 —
+    * bit-identical to the former staged-HOF form per Quant8Spec, minus
+    * its three interpreted array passes and the BigDecimal-stringifying
+    * double `round`) ON TOP of the assignment projection — rows still
+    * move exactly once, keyed by cent_id. */
   private[graft] def quantizeCells(assigned: DataFrame): DataFrame = {
-    val emb = transform(col("embedding"), v => v.cast("double"))
-    val absmax = aggregate(emb, lit(0.0), (a, v) => greatest(a, abs(v)))
+    val emb = assigned.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) => col("embedding")
+      case _ => transform(col("embedding"), v => v.cast("double"))
+    }
     assigned
-      .withColumn("scale",
-        when(absmax > 0.0, absmax / 127.0).otherwise(1.0))
-      .withColumn("q",
-        transform(emb, v => round(v / col("scale"), 0).cast("tinyint")))
-      .select(col("vec_id"), col("label"), col("q"), col("scale"), col("cent_id"))
+      .withColumn("__qz", call_function("graft_quant8", emb))
+      .select(col("vec_id"), col("label"),
+        col("__qz").getField("q").as("q"),
+        col("__qz").getField("scale").as("scale"),
+        col("cent_id"))
   }
 
   /** Build the index at `path` unless a current one is already there
@@ -314,7 +320,7 @@ object IvfIndex {
             // (PqS×PqK×d ≈ 8 KB), so the refinement collects only the
             // k-sized update per iteration — one action per iteration
             // instead of the DF form's broadcast/join/checkpoint cycle
-            // (bit-identical per KmeansSpec's grouped-parity test)
+            // (bit-identical per IvfPqTrainedSpec's literal==DF parity test)
             VectorOps.kmeansCentroidsL2GroupedLit(
               subRows, "sub", cb0, trainIters, d)
           }

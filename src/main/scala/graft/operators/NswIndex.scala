@@ -147,23 +147,33 @@ object NswIndex {
     * ([[IvfIndex]]'s cell quantization): scale = max|v|/127 (1.0 for the
     * zero vector), q = HALF_UP round of v/scale, dequantized `v` = q·scale.
     *
-    * Output columns: (vec_id, v = dequantized doubles, q, scale). The
-    * scale is STAGED as its own projection before the per-element
-    * lambdas reference it: inlining the O(dim) absmax `aggregate` into
-    * the `transform` lambda body makes each element evaluation O(dim) —
-    * O(dim^2) per row, which at 768 dims x 1e5 rows turned the r10 bench
-    * int8 build into 282 s vs the raw build's 5 s. Referencing a bound
-    * attribute keeps the whole quantize pass O(dim) per row. */
-  private[graft] def withQuant(ided: DataFrame): DataFrame = {
-    val absmax = aggregate(col("v"), lit(0.0), (a, v) => greatest(a, abs(v)))
-    ided
-      .withColumn("scale", when(absmax > 0.0, absmax / 127.0).otherwise(1.0))
-      .withColumn("q",
-        transform(col("v"), v => round(v / col("scale"), 0).cast("tinyint")))
+    * Output columns: (vec_id, v = dequantized doubles, q, scale).
+    * Since r19 the (q, scale) pair comes from the fused
+    * [[graft.functions.Quant8]] expression — one primitive pass per row,
+    * bit-identical to the former staged-HOF form (Quant8Spec), which
+    * cost ~3–4 s of the 1e5 × 768-d build alone (Spark's double `round`
+    * stringifies every element through BigDecimal.valueOf). The
+    * dequantized `v` stays an in-plan transform for the append path;
+    * [[buildIfAbsent]] skips it entirely and dequantizes map-side. */
+  private[graft] def withQuant(ided: DataFrame): DataFrame =
+    withQuantQS(ided)
       .select(col("vec_id"),
         transform(col("q"), b => b.cast("double") * col("scale")).as("v"),
         col("q"), col("scale"))
-  }
+
+  /** (vec_id, q, scale) — the quantized payload WITHOUT the dequantized
+    * doubles: what the build shuffles (8× fewer bytes than carrying the
+    * dequant column; the build task re-derives v = q·scale in the same
+    * IEEE op the in-plan transform used). The fused expression is
+    * aliased once and field-extracted so it evaluates once per row
+    * (CollapseProject keeps non-cheap producers staged; Quant8Spec pins
+    * the plan shape). */
+  private def withQuantQS(ided: DataFrame): DataFrame =
+    ided
+      .withColumn("__qz", call_function("graft_quant8", col("v")))
+      .select(col("vec_id"),
+        col("__qz").getField("q").as("q"),
+        col("__qz").getField("scale").as("scale"))
 
   /** In-plan dequantization back to the doubles the graph was built on. */
   private def dequantV: org.apache.spark.sql.Column =
@@ -193,12 +203,21 @@ object NswIndex {
       val stamp = stampOf(e.count(), params, numShards, quantize)
       if (fs.exists(marker) && readMarker(fs, marker) == stamp) return
       val layered = params.layered
+      // skip the per-element cast pass when the source is already
+      // ARRAY<DOUBLE> (identity cast — same values, one fewer O(dim)
+      // interpreted HOF pass per row over the whole corpus)
+      val vAsDouble = e.schema(vecCol).dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _) => col(vecCol)
+        case _ => transform(col(vecCol), x => x.cast("double"))
+      }
       val ided = e.select(col(idCol).cast("long").as("vec_id"),
-        transform(col(vecCol), x => x.cast("double")).as("v"))
-      // quantized builds: q/scale are computed in-plan and carried to the
-      // writer; `v` becomes the dequantized array so the mapPartitions
-      // below is layout-agnostic at positions 0..2
-      val prepared = if (quantize) withQuant(ided) else ided
+        vAsDouble.as("v"))
+      // quantized builds shuffle ONLY (vec_id, q, scale) — the
+      // dequantized doubles are re-derived inside the build task with
+      // the identical IEEE op (q·scale) the in-plan transform used, so
+      // the shuffle carries ~1 byte per element instead of 9 (§2.3)
+      val prepared = if (quantize) withQuantQS(ided) else ided
       val sharded = prepared
         .withColumn("shard",
           pmod(hash(col("vec_id")), lit(numShards)).cast("int"))
@@ -207,11 +226,20 @@ object NswIndex {
         .mapPartitions { it =>
           // a partition may hold several shard groups (hash-of-hash
           // collisions); each group is exactly one rebuild-path shard.
-          // row layout: (vec_id, v[, q, scale], shard) — shard appended last
-          val shardIdx = if (quantize) 4 else 2
+          // row layout: (vec_id, v | q, scale, shard) — shard appended last
+          val shardIdx = if (quantize) 3 else 2
           it.toArray.groupBy(_.getInt(shardIdx)).iterator.flatMap { case (shard, rs) =>
-            val sorted = rs.map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
-                if (quantize) (r.getSeq[Byte](2), r.getDouble(3)) else null))
+            val sorted = rs.map { r =>
+              if (quantize) {
+                val qb = r.getSeq[Byte](1)
+                val sc = r.getDouble(2)
+                val v = new Array[Double](qb.length)
+                var d = 0
+                while (d < v.length) { v(d) = qb(d).toDouble * sc; d += 1 }
+                (r.getLong(0), v, (qb, sc))
+              } else (r.getLong(0), r.getSeq[Double](1).toArray,
+                null: (scala.collection.Seq[Byte], Double))
+            }
               .sortBy(_._1) // deterministic insertion order
             val nsw = new Nsw(sorted.map(_._2), params).build()
             def payload(i: Int): Seq[Any] =
