@@ -134,7 +134,7 @@ object StreamingOps {
     * session's core-count default that is hundreds of store lifecycles
     * per query for a 2000-row stream, and the fixed cost dominated the
     * cold sweep (q_x10 ~40 s, q_x12 ~34 s measured r18). Partitions
-    * derive from the actual row count (~250 rows per state partition,
+    * derive from the actual row count (~1000 rows per state partition,
     * floor 1, capped by the session default so a genuinely large feed
     * keeps full parallelism) — scale-adaptive, not a local[] constant.
     * Output is identical under any partitioning (decimal-exact partial
@@ -151,8 +151,29 @@ object StreamingOps {
     ss.conf.set("spark.sql.session.timeZone",
       spark.conf.get("spark.sql.session.timeZone"))
     ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // RAM-backed checkpoint files for the gate harness (r19): every
+    // micro-batch paid ~85 ms of offset/commit WAL plus 150–400 ms of
+    // state-store delta commits through the Hadoop checkpoint file
+    // manager (metadata-path overhead — a tmpfs location changed
+    // nothing). The gates' checkpoints are throwaway by construction
+    // (two-phase MemoryStream feed, dropped after the query), so they
+    // live in a JVM map; the production file-source probe keeps the
+    // durable default. Opt-out: SPARK_GRAFT_GATE_RAM_CKPT=0.
+    if (ramCkptEnabled)
+      ss.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+        classOf[RamCheckpointFileManager].getName)
     ss
   }
+
+  private def ramCkptEnabled: Boolean =
+    !Set("0", "false", "no", "off").contains(
+      sys.env.getOrElse("SPARK_GRAFT_GATE_RAM_CKPT", "1").trim.toLowerCase)
+
+  /** Fresh throwaway checkpoint root for one gate query (a unique path
+    * string — with the RAM manager nothing is ever created on disk). */
+  private def gateCkptDir(): String =
+    System.getProperty("java.io.tmpdir").stripSuffix("/") +
+      s"/graft_gate_ckpt/${java.util.UUID.randomUUID().toString.take(12)}"
 
   /** Two-stream variant of [[runTwoPhase]]: both memory sources advance in
     * two phases, each closed by a far-future sentinel (the join's own
@@ -169,10 +190,12 @@ object StreamingOps {
     val ls = MemoryStream[Ev]
     val rs = MemoryStream[Ev]
     val sinkName = s"graft_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = gateCkptDir()
     val query = transform(ls.toDF(), rs.toDF())
       .writeStream
       .format("memory")
       .queryName(sinkName)
+      .option("checkpointLocation", ckpt)
       .outputMode(outputMode)
       .start()
     try {
@@ -186,7 +209,10 @@ object StreamingOps {
       ls.addData(l2 :+ sentinel)
       rs.addData(r2 :+ sentinel)
       query.processAllAvailable()
-    } finally query.stop()
+    } finally {
+      query.stop()
+      RamCheckpointFileManager.drop(ckpt)
+    }
     spark.table(sinkName).filter(col("user_id") >= 0)
   }
 
@@ -216,10 +242,12 @@ object StreamingOps {
     implicit val sq = spark.sqlContext
     val source = MemoryStream[Ev]
     val sinkName = s"graft_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = gateCkptDir()
     val query = transform(source.toDF())
       .writeStream
       .format("memory")
       .queryName(sinkName)
+      .option("checkpointLocation", ckpt)
       .outputMode(outputMode)
       .start()
     try {
@@ -230,7 +258,10 @@ object StreamingOps {
       val sentinel = Ev(-1L, maxUs + 10L * 24 * 3600 * 1000000, -1L, 0.0)
       source.addData(phase2 ++ dups :+ sentinel)
       query.processAllAvailable()
-    } finally query.stop()
+    } finally {
+      query.stop()
+      RamCheckpointFileManager.drop(ckpt)
+    }
     spark.table(sinkName).filter(col("user_id") >= 0)
   }
 }
