@@ -66,7 +66,8 @@ object ChunkedKernels {
     // entirely as a DataFrame over the persisted chunk outputs
     var carried: Option[DataFrame] = None
     chunks.map { chunk =>
-      val (enriched, tails) = runChunk(chunk, keyCols, orderCols, specs, carried)
+      val (enriched, tails, chunkRows) =
+        runChunk(chunk, keyCols, orderCols, specs, carried)
       val next = carried match {
         case None => tails
         case Some(prev) =>
@@ -77,6 +78,18 @@ object ChunkedKernels {
           val cond = keyCols.map(c => col(c) <=> col(s"__t_$c")).reduce(_ && _)
           prev.join(t, cond, "left_anti").unionByName(tails)
       }
+      // size the carried checkpoint to the DATA, not the accumulated
+      // union lineage (r19): without this the checkpointed tails kept
+      // prev-carried partitions PLUS the new tails' cache partitions —
+      // 32, 64, 96… tasks per barrier across chunks, pure fixed cost
+      // over a one-row-per-series table. Tails rows are bounded by the
+      // chunk's row count (one per series), so ~256k rows/task with
+      // floor 1 keeps sample-scale runs at one task and data-scale runs
+      // at full parallelism (the cellWriteParts rule).
+      val carryParts = math.max(1, math.min(
+        chunk.sparkSession.sparkContext.defaultParallelism,
+        (chunkRows / 262144L).toInt))
+      val sized = next.repartition(carryParts, keyCols.map(col): _*)
       // truncate the carried plan per chunk (the q_d5 CC-rounds
       // precedent): without it the seed join + accumulation nest the
       // previous carried plan twice per chunk — exponential plan trees
@@ -98,7 +111,7 @@ object ChunkedKernels {
       // the chunks are consumed lazily inside registered QueryDefs,
       // which have no post-execution hook to call it from.
       val superseded = carried
-      carried = Some(next.localCheckpoint())
+      carried = Some(sized.localCheckpoint())
       superseded.foreach(_.unpersist())
       enriched
     }
@@ -110,7 +123,7 @@ object ChunkedKernels {
       orderCols: Seq[String],
       specs: Seq[KernelSpec],
       seed: Option[DataFrame])
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, Long) = {
     val inSchema = df.schema
     val outCols = specs.flatMap(_.outputCols)
     val stagedSchema = StructType(
@@ -196,12 +209,13 @@ object ChunkedKernels {
     // materialize THIS chunk before the caller moves on — preserves the
     // old collect()'s chunk-by-chunk sequencing (each chunk computed
     // exactly once into the cache) without landing any state on the
-    // driver; only a count crosses the wire
-    staged.count()
+    // driver; only a count crosses the wire (reused upstream to size
+    // the carried checkpoint)
+    val chunkRows = staged.count()
 
     val tails = staged
       .filter(col("__state").isNotNull)
       .select((keyCols.map(col) :+ col("__state")): _*)
-    (staged.drop("__state"), tails)
+    (staged.drop("__state"), tails, chunkRows)
   }
 }
