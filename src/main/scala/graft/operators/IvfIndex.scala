@@ -143,13 +143,22 @@ object IvfIndex {
     * per-row struct-ordering argmax — one narrow projection, ties to
     * the smallest cent_id, zero extra exchanges. */
   def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    // norms staged once per side (r19, guide §4): cosine(v, c) re-ran
+    // both norm2 folds per (row, centroid) pair inside the interpreted
+    // HOF argmax — 3 dot folds per pair. The staged cn2/__vn2 fold the
+    // same doubles in the same graft_dotp order, so every cosine (and
+    // thus every assignment and tie) is bit-identical; the whole
+    // q_v6/q_v11/q_v12 hash-oracle surface rides on this projection.
     val centsArr = cents.agg(
-      collect_list(struct(col("cent_id"), col("cvec"))).as("cs"))
+      collect_list(struct(col("cent_id"), col("cvec"),
+        VectorOps.norm2(col("cvec")).as("cn2"))).as("cs"))
     val best = array_max(transform(col("cs"), c =>
       struct(
-        cosine(col("embedding"), c.getField("cvec")).as("sim"),
+        (VectorOps.dot(col("embedding"), c.getField("cvec")) /
+          (sqrt(col("__vn2")) * sqrt(c.getField("cn2")))).as("sim"),
         (-c.getField("cent_id")).as("nid"))))
-    e.crossJoin(broadcast(centsArr))
+    e.withColumn("__vn2", VectorOps.norm2(col("embedding")))
+      .crossJoin(broadcast(centsArr))
       .withColumn("cent_id", -best.getField("nid"))
       .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
   }

@@ -164,20 +164,37 @@ object VectorOps {
       vecCol: String,
       cents0: org.apache.spark.sql.DataFrame,
       iters: Int,
-      dim: Int): org.apache.spark.sql.DataFrame = {
+      dim: Int,
+      assignParts: Int = 0): org.apache.spark.sql.DataFrame = {
     var cents = cents0.select(col("cent_id").cast("int").as("cent_id"),
       transform(col("cvec"), x => x.cast("double")).as("cvec"))
+    // assignment-stage parallelism derives from the WORK (rows × k dot
+    // folds), not the scan's byte-sized splits: a tiny corpus with a
+    // compute-dense argmax otherwise runs the whole Lloyd assignment on
+    // the scan's one split (q_v6d measured 0.79 s single-task, r19).
+    // 0 (default) keeps the caller's partitioning — data-scale corpora
+    // already scan wide.
+    val e2 = if (assignParts > 0) e.repartition(assignParts) else e
     for (_ <- 0 until iters) {
+      // norms staged once per side (r19, guide §4): cosine(v, c) re-ran
+      // the norm2 folds per (row, centroid) pair inside the interpreted
+      // HOF lambda — 3 dot folds per pair. The staged forms fold the
+      // SAME doubles in the SAME order (graft_dotp both ways), so every
+      // cosine is bit-identical; KmeansSpec's literal-vs-DF parity and
+      // the q_v6d hash oracle pin it.
       val centsArr = cents.agg(
-        collect_list(struct(col("cent_id"), col("cvec"))).as("cs"))
+        collect_list(struct(col("cent_id"), col("cvec"),
+          norm2(col("cvec")).as("cn2"))).as("cs"))
       val best = array_max(transform(col("cs"), c =>
-        struct(cosine(col(vecCol), c.getField("cvec")).as("sim"),
+        struct((dot(col(vecCol), c.getField("cvec")) /
+            (sqrt(col("__vn2")) * sqrt(c.getField("cn2")))).as("sim"),
           (-c.getField("cent_id")).as("nid"))))
       val dims = (0 until dim).map { dIdx =>
         (sum(element_at(col(vecCol), dIdx + 1).cast("decimal(28,12)")) /
           count(lit(1))).cast("double").as(s"m$dIdx")
       }
-      val updated = e.crossJoin(broadcast(centsArr))
+      val updated = e2.withColumn("__vn2", norm2(col(vecCol)))
+        .crossJoin(broadcast(centsArr))
         .withColumn("__cell", -best.getField("nid"))
         .groupBy("__cell")
         .agg(dims.head, dims.tail: _*)
@@ -305,7 +322,9 @@ object VectorOps {
     * codebooks are constant-sized by construction, the same class of
     * driver state as the codebook literals the encoder already embeds.
     *
-    * Bit-parity with [[kmeansCentroidsL2GroupedDf]] (KmeansSpec): the
+    * Bit-parity with [[kmeansCentroidsL2GroupedDf]] (IvfPqTrainedSpec's
+    * "literal-centroid grouped Lloyd equals the DF-native grouped form
+    * bit-for-bit"): the
     * assignment folds the SAME l2dist left fold over the same doubles
     * (argmin ties → smallest cent_id via max over (−dist, −id); the
     * literal array is ordered by cent_id, and `transform`'s index IS
@@ -366,16 +385,21 @@ object VectorOps {
       col("cent_id").cast("int").as("cent_id"),
       transform(col("cvec"), x => x.cast("double")).as("cvec"))
     for (_ <- 0 until iters) {
+      // norms staged once per side — same bit-identical-cosine argument
+      // as [[kmeansCentroidsDf]] (r19, guide §4)
       val centsBys = cents.groupBy("s").agg(
-        collect_list(struct(col("cent_id"), col("cvec"))).as("cs"))
+        collect_list(struct(col("cent_id"), col("cvec"),
+          norm2(col("cvec")).as("cn2"))).as("cs"))
       val best = array_max(transform(col("cs"), c =>
-        struct(cosine(col(vecCol), c.getField("cvec")).as("sim"),
+        struct((dot(col(vecCol), c.getField("cvec")) /
+            (sqrt(col("__vn2")) * sqrt(c.getField("cn2")))).as("sim"),
           (-c.getField("cent_id")).as("nid"))))
       val dims = (0 until dim).map { dIdx =>
         (sum(element_at(col(vecCol), dIdx + 1).cast("decimal(28,12)")) /
           count(lit(1))).cast("double").as(s"m$dIdx")
       }
-      val updated = e.join(broadcast(centsBys), Seq("s"))
+      val updated = e.withColumn("__vn2", norm2(col(vecCol)))
+        .join(broadcast(centsBys), Seq("s"))
         .withColumn("__cell", -best.getField("nid"))
         .groupBy(col("s"), col("__cell"))
         .agg(dims.head, dims.tail: _*)
