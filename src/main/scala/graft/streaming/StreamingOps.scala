@@ -145,11 +145,21 @@ object StreamingOps {
     val parts = math.max(1L, math.min(
       spark.sessionState.conf.numShufflePartitions.toLong, nRows / 1000L))
     val ss = spark.newSession()
-    // result-parity confs must survive the clone (newSession rebuilds
-    // SQLConf from the SparkContext conf, not from the caller's session):
-    // the bar queries format event-time in the SESSION timezone
-    ss.conf.set("spark.sql.session.timeZone",
-      spark.conf.get("spark.sql.session.timeZone"))
+    // propagate EVERY caller session-level override (ADVICE r18 #4 —
+    // the clone used to hand-copy only the timezone, so any future
+    // result-affecting conf set at session level would silently not
+    // reach the gate streams): newSession rebuilds SQLConf from the
+    // SparkContext conf, so copy each caller entry the clone disagrees
+    // on. The session-identity key stays per-session (copying it would
+    // alias DataFrame cache keys), and static confs are skipped (they
+    // cannot differ within one SparkContext anyway).
+    val base = ss.conf.getAll
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (!base.get(k).contains(v) && k != "spark.graft.session.uuid") {
+        try ss.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+      }
+    }
     ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
     // RAM-backed checkpoint files for the gate harness (r19): every
     // micro-batch paid ~85 ms of offset/commit WAL plus 150–400 ms of
