@@ -292,7 +292,17 @@ object VectorQueries extends QueryPack {
     def coef(r: Int) =
       (pmod(hash(col("id"), lit(r)), lit(2001)).cast("double") / lit(1000.0)
         - lit(1.0)) * lit(ClustCoefAmp)
-    s.range(n)
+    // generator partitions sized to the data, not the core count (r19):
+    // a bare range(n) defaults to defaultParallelism slices, so EVERY
+    // materialization of this corpus (index-build scans, broadcast
+    // stages, query-point collects — the whole q_v11/q_v12/q_v6e/f
+    // family) ran 32-task waves over ~62 rows each at sf0.1 (event-log
+    // attribution: 16 such jobs inside one cold q_v12 build). ~4096
+    // rows/task keeps sample scales at one task and data scales at full
+    // parallelism; values are per-row functions of id, so the corpus is
+    // partitioning-invariant.
+    s.range(0, n, 1, math.max(1, math.min(
+        s.sparkContext.defaultParallelism.toLong, n / 4096L)).toInt)
       .select(col("id"), (col("id") % ClustC).cast("int").as("c"),
         coef(0).as("k0"), coef(1).as("k1"), coef(2).as("k2"), coef(3).as("k3"))
       .select(
