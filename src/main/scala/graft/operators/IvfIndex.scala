@@ -312,14 +312,20 @@ object IvfIndex {
             // dominated the build (43 s of the sf0.01 sweep);
             // kmeansCentroidsL2GroupedDf is bit-identical per subspace.
             val stride = math.max(1L, n / PqTrainSampleMax)
-            // partitions sized to the BOUNDED sample (≤ PqTrainSampleMax
-            // rows by construction), not inherited from the corpus scan:
-            // every Lloyd stage otherwise runs a full core-count task
-            // wave over a few MB (32 tasks for 2000 rows at sf0.1 — pure
-            // fixed cost, the dominant share of the cold q_v12 build)
-            val sampleParts = math.max(1, math.min(
-              e.sparkSession.sparkContext.defaultParallelism,
-              (math.min(n, PqTrainSampleMax) / 8192L).toInt))
+            // partitions sized to the Lloyd WORK, bounded above by the
+            // core count (r19; refines the r18 rows-only rule): each
+            // sample row costs PqS subspace rows × PqK argmin l2dists of
+            // dim d per iteration, so sizing by rows alone put the whole
+            // 2.05M-mult assignment on ONE task at sf0.1 (event log:
+            // three 0.6–1.0 s single-task jobs, the cold q_v12 build's
+            // largest remaining term). ~131k mults/task keeps tasks in
+            // the tens-of-ms class; the decimal-exact update is
+            // order-independent, so the result is partitioning-invariant
+            // (IvfPqTrainedSpec's partitioning-independence test).
+            val sampleRows = math.min(n, PqTrainSampleMax)
+            val sampleParts = math.max(1L, math.min(
+              e.sparkSession.sparkContext.defaultParallelism.toLong,
+              sampleRows * PqS * PqK * d / 131072L)).toInt
             val sample = (if (stride == 1L) assigned
               else assigned.filter(pmod(col("vec_id"), lit(stride)) === 0))
               .select(col("res")).repartition(sampleParts).localCheckpoint()
